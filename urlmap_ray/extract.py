@@ -1,0 +1,193 @@
+"""Link extraction — the engine's core per-page transform (operator M1-M3).
+
+Semantics mirror /root/reference/internal/parser/parser.go:
+
+- ``extract_links``             ← ExtractLinks            (parser.go:120-208)
+- ``extract_same_domain_links`` ← ExtractSameDomainLinks  (parser.go:211-245)
+- ``extract_links_with_stats``  ← ExtractLinksWithStats   (parser.go:248-333)
+
+Per anchor (document order, duplicates preserved): trim href; drop empty;
+drop skip-scheme (javascript:/mailto:/…); absolute http(s) hrefs pass
+verbatim, others resolve against the base URL; validate; normalize
+(canonical URL). Invalid base URL is an error; empty HTML yields no links.
+
+``extract_links_batch`` is the zero-copy Arrow batch form used by the Ray
+Data fetch→parse stage: pages arrive as a pyarrow RecordBatch with ``url``
+(base) and ``html`` (binary) columns; out comes a ``links: list<string>``
+column. HTML bytes are decoded as UTF-8 (lossy) exactly once per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .htmlparse import iter_hrefs
+from .urlnorm import (
+    URLError,
+    extract_domain,
+    is_valid_url,
+    normalize_url,
+    resolve_url,
+    should_skip_url,
+)
+
+
+@dataclass
+class ExtractionStats:
+    """Counter set matching the reference's ExtractionStats (parser.go:323-333)."""
+
+    total_found: int = 0
+    valid: int = 0
+    empty_hrefs: int = 0
+    filtered_out: int = 0
+    relative_urls: int = 0
+    resolution_errors: int = 0
+    invalid_urls: int = 0
+    normalization_errors: int = 0
+
+
+def extract_links_with_stats(
+    base_url: str, html_content: str | bytes
+) -> tuple[list[str], ExtractionStats]:
+    """Extract normalized links plus counters; does not validate the base URL
+    (matching the reference's WithStats variant)."""
+    stats = ExtractionStats()
+    base_url = base_url.strip()
+    if not base_url:
+        raise URLError("base URL cannot be empty")
+    if isinstance(html_content, bytes):
+        html_content = html_content.decode("utf-8", errors="replace")
+    html_content = html_content.strip()
+    if not html_content:
+        return [], stats
+
+    links: list[str] = []
+    for href in iter_hrefs(html_content):
+        stats.total_found += 1
+        href = href.strip()
+        if not href:
+            stats.empty_hrefs += 1
+            continue
+        if should_skip_url(href):
+            stats.filtered_out += 1
+            continue
+        if href.startswith(("http://", "https://")):
+            absolute = href
+        else:
+            stats.relative_urls += 1
+            try:
+                absolute = resolve_url(base_url, href)
+            except URLError:
+                stats.resolution_errors += 1
+                continue
+        if not is_valid_url(absolute):
+            stats.invalid_urls += 1
+            continue
+        try:
+            normalized = normalize_url(absolute)
+        except URLError:
+            stats.normalization_errors += 1
+            continue
+        links.append(normalized)
+        stats.valid += 1
+    return links, stats
+
+
+def extract_links(base_url: str, html_content: str | bytes) -> list[str]:
+    """ExtractLinks parity: validates the base URL, returns normalized links
+    in document order with duplicates preserved."""
+    base_url = base_url.strip()
+    if not base_url:
+        raise URLError("base URL cannot be empty")
+    if isinstance(html_content, bytes):
+        html_content = html_content.decode("utf-8", errors="replace")
+    if not html_content.strip():
+        return []
+    if not is_valid_url(base_url):
+        raise URLError(f"invalid base URL: {base_url}")
+    links, _ = extract_links_with_stats(base_url, html_content)
+    return links
+
+
+def extract_same_domain_links(base_url: str, html_content: str | bytes) -> list[str]:
+    """ExtractLinks then keep links whose hostname equals the base's
+    (case-insensitive, ports ignored; link errors are skipped)."""
+    all_links = extract_links(base_url, html_content)
+    if not all_links:
+        return []
+    try:
+        base_domain = extract_domain(base_url).casefold()
+    except URLError:
+        return []
+    out = []
+    for link in all_links:
+        try:
+            if extract_domain(link).casefold() == base_domain:
+                out.append(link)
+        except URLError:
+            continue
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow batch forms for Ray Data map_batches (zero-copy in, Arrow out).
+
+STATS_FIELDS = (
+    "total_found",
+    "valid",
+    "empty_hrefs",
+    "filtered_out",
+    "relative_urls",
+    "resolution_errors",
+    "invalid_urls",
+    "normalization_errors",
+)
+
+
+def extract_links_batch(
+    batch: pa.Table,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+    same_domain: bool = False,
+    with_stats: bool = False,
+    drop_html: bool = True,
+) -> pa.Table:
+    """Per-batch link extraction: adds ``links: list<string>`` (and optional
+    per-page stats columns) to the batch; drops the heavy ``html`` column by
+    default so downstream blocks stay small.
+
+    Pure function over one Arrow batch — safe for stateless ``map_batches``.
+    """
+    urls = batch.column(url_col).to_pylist()
+    htmls = batch.column(html_col).to_pylist()
+    links_out: list[list[str]] = []
+    stats_out: list[ExtractionStats] = []
+    for base, html in zip(urls, htmls):
+        if html is None:
+            links_out.append([])
+            stats_out.append(ExtractionStats())
+            continue
+        try:
+            if same_domain:
+                links = extract_same_domain_links(base, html)
+                stats = None
+            else:
+                links, stats = extract_links_with_stats(base, html)
+        except URLError:
+            links, stats = [], None
+        links_out.append(links)
+        stats_out.append(stats or ExtractionStats())
+
+    if drop_html and html_col in batch.column_names:
+        batch = batch.drop_columns([html_col])
+    batch = batch.append_column("links", pa.array(links_out, type=pa.list_(pa.string())))
+    if with_stats:
+        for f in STATS_FIELDS:
+            batch = batch.append_column(
+                f, pa.array([getattr(s, f) for s in stats_out], type=pa.int64())
+            )
+    return batch

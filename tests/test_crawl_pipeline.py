@@ -1,0 +1,141 @@
+"""End-to-end engine ⟷ oracle equivalence on the synthetic corpus.
+
+The sequential oracle re-implements the reference's CrawlRecursive
+(crawler.go:168-276); the engine must produce the identical visited set,
+per-URL depth, and sorted output — through both the driver-local and the
+distributed wave paths. Plus: resume-from-checkpoint identity and the
+per-row byte-identical text invariant.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from urlmap_ray.config import CrawlConfig
+from urlmap_ray.corpus import generate_corpus
+from urlmap_ray.extract import extract_links, extract_text
+from urlmap_ray.oracle import crawl_sequential, crawl_waves, load_corpus_dict
+from urlmap_ray.robotstxt import RobotsIndex
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def corpus_info(tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus")
+    return generate_corpus(str(out), N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def corpus_dict(corpus_info):
+    return load_corpus_dict(corpus_info.pages_path)
+
+
+@pytest.fixture(scope="module")
+def robots_index(corpus_info):
+    idx = RobotsIndex(CrawlConfig().user_agent)
+    tbl = pq.read_table(corpus_info.robots_path)
+    for o, c in zip(tbl.column("origin").to_pylist(), tbl.column("content").to_pylist()):
+        idx.add(o, c)
+    return idx
+
+
+def _engine(ray_session, corpus_info, cfg, ckpt, **kw):
+    from urlmap_ray.pipelines.crawl import CrawlEngine
+
+    return CrawlEngine(corpus_info, cfg, checkpoint_dir=ckpt, seen_shards=2, **kw)
+
+
+def _depths(engine):
+    return {r["url"]: r["depth"] for r in engine.visited_dataset().take_all()}
+
+
+def test_text_invariant_per_row(corpus_info):
+    """Every corpus row: extract_text(html) is byte-identical to text, and
+    link extraction is deterministic (per-row invariant from input_hint)."""
+    tbl = pads.dataset(corpus_info.pages_path, format="parquet").to_table()
+    for url, html, text in zip(
+        tbl.column("url").to_pylist(),
+        tbl.column("html").to_pylist(),
+        tbl.column("text").to_pylist(),
+    ):
+        assert extract_text(html) == text, url
+        assert extract_links(url, html) == extract_links(url, html)
+
+
+def test_engine_matches_sequential_oracle(ray_session, corpus_info, corpus_dict, tmp_path):
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
+    eng = _engine(ray_session, corpus_info, CrawlConfig(), str(tmp_path / "ck"))
+    eng.crawl(corpus_info.seeds[0])
+    assert eng.visited_urls() == oracle.output_urls
+    assert _depths(eng) == {r.url: r.depth for r in oracle.results}
+
+
+def test_distributed_path_matches(ray_session, corpus_info, corpus_dict, tmp_path):
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
+    eng = _engine(
+        ray_session, corpus_info, CrawlConfig(), str(tmp_path / "ck"), small_wave_rows=0
+    )
+    out = eng.crawl(corpus_info.seeds[0])
+    assert all(w.mode == "ray" for w in out.waves)
+    assert eng.visited_urls() == oracle.output_urls
+    assert _depths(eng) == {r.url: r.depth for r in oracle.results}
+
+
+def test_max_depth(ray_session, corpus_info, corpus_dict, tmp_path):
+    cfg = CrawlConfig(max_depth=3)
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0], cfg)
+    eng = _engine(ray_session, corpus_info, cfg, str(tmp_path / "ck"))
+    eng.crawl(corpus_info.seeds[0])
+    assert eng.visited_urls() == oracle.output_urls
+
+
+def test_budget_and_robots(ray_session, corpus_info, corpus_dict, robots_index, tmp_path):
+    cfg = CrawlConfig(per_host_budget=20, respect_robots=True, max_depth=8)
+    oracle = crawl_waves(corpus_dict, corpus_info.seeds[0], cfg, robots=robots_index)
+    eng = _engine(
+        ray_session, corpus_info, cfg, str(tmp_path / "ck"), wave_seconds=1e9
+    )
+    out = eng.crawl(corpus_info.seeds[0])
+    assert sum(w.deferred for w in out.waves) > 0  # budget actually bit
+    assert sum(w.skipped_robots for w in out.waves) >= 0
+    assert eng.visited_urls() == oracle.output_urls
+
+
+def test_budget_set_invariance(corpus_dict, corpus_info, robots_index):
+    """The politeness budget must never change WHICH urls are crawled."""
+    free = crawl_waves(corpus_dict, corpus_info.seeds[0])
+    tight = crawl_waves(corpus_dict, corpus_info.seeds[0], CrawlConfig(per_host_budget=5))
+    assert free.output_urls == tight.output_urls
+
+
+def test_resume_identical(ray_session, corpus_info, corpus_dict, tmp_path):
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
+    ck = str(tmp_path / "ck")
+    eng = _engine(ray_session, corpus_info, CrawlConfig(), ck)
+    out = eng.crawl(corpus_info.seeds[0])
+    n_waves = len(out.waves)
+    assert n_waves >= 4
+    # Simulate a crash after wave k: drop later waves + a half-written one.
+    for d in range(3, n_waves):
+        shutil.rmtree(os.path.join(ck, f"wave-{d:04d}"))
+    half = os.path.join(ck, f"wave-{3:04d}")
+    os.makedirs(os.path.join(half, "results"), exist_ok=True)  # no manifest → incomplete
+    eng2 = _engine(ray_session, corpus_info, CrawlConfig(), ck)
+    out2 = eng2.crawl(corpus_info.seeds[0], resume=True)
+    assert [w.wave for w in out2.waves] == list(range(n_waves))
+    assert eng2.visited_urls() == oracle.output_urls
+
+
+def test_wave_stats_consistency(ray_session, corpus_info, corpus_dict, tmp_path):
+    eng = _engine(ray_session, corpus_info, CrawlConfig(), str(tmp_path / "ck"))
+    out = eng.crawl(corpus_info.seeds[0])
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
+    assert out.total_results == len(oracle.results)
+    failed = sum(w.failed for w in out.waves)
+    assert failed == sum(1 for r in oracle.results if r.status == 0)

@@ -1,0 +1,24 @@
+"""Crawl job specification (reference Config, crawler.go:83-95).
+
+The CLI hardcodes SameDomain=true and SamePathPrefix=true (main.go:163-174);
+those are the defaults here. ``per_host_budget`` is this engine's wave-level
+politeness admission (the scalable form of the reference's global rate
+limiter + robots Crawl-delay sleeps): at most B URLs per host are crawled
+per wave, admission deterministic (URL sort order), remainder deferred to
+the next wave. ``None`` disables budgeting (reference parity mode — the
+reference's rate limiter never changes the final URL set, only timing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    max_depth: int = -1  # -1 = unlimited (reference default)
+    same_domain: bool = True
+    same_path_prefix: bool = True
+    respect_robots: bool = False
+    user_agent: str = "urlmap-ray/0.1 (+https://github.com/aoshimash/urlmap)"
+    per_host_budget: int | None = None

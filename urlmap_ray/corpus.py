@@ -1,0 +1,310 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+"Fetching" in this engine is a lookup into a Parquet ``pages`` table with the
+schema from BASELINE.json:input_hint::
+
+    url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string
+
+This module synthesizes such a corpus with a known link graph so crawls have
+a computable ground truth (the sequential oracle in oracle.py):
+
+- hosts with a skewed size distribution (host 0 is the "hot host" — ~30% of
+  all pages — to exercise politeness budgets and skew salting);
+- per host, a binary-tree BFS backbone (page j links to 2j+1, 2j+2) giving
+  every page a known min-depth from the host root;
+- extra intra-host links, cross-host links (exercise the same-domain filter),
+  dangling external links (fetch misses → failures), skip-scheme links,
+  query/fragment variants, duplicate links;
+- ~5% structurally malformed pages (unclosed <a> before a <div>) exercising
+  the adoption-agency duplicate semantics of the extractor;
+- a ``robots`` table (origin, content): a quarter of hosts disallow /sec3/
+  and some declare Crawl-delay.
+
+Generation is counter-based (np.random.default_rng([seed, page_id])): any
+page can be produced independently, so the same corpus can be written by a
+single process at test scale or by ``ray.data.range(n).map_batches(...)`` at
+scale, with identical bytes either way.
+
+Everything is deterministic in (seed, n_pages, n_hosts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+ROBOTS_SCHEMA = pa.schema([("origin", pa.string()), ("content", pa.string())])
+
+_LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]
+_WORDS = (
+    "crawl frontier wave depth link anchor page host path robot polite queue "
+    "shard hash batch arrow block stream spill budget seed fetch parse text "
+    "graph node edge tree root leaf branch index filter exact near dup token"
+).split()
+_BASE_TS = np.datetime64("2025-06-01T00:00:00", "us")
+
+
+def host_name(h: int) -> str:
+    return f"h{h:05d}.example.org"
+
+
+def host_layout(n_pages: int, n_hosts: int) -> np.ndarray:
+    """Start offset of each host's page range (skewed: host 0 gets ~30%)."""
+    sizes = np.full(n_hosts, 0, dtype=np.int64)
+    hot = max(1, int(0.3 * n_pages))
+    rest = n_pages - hot
+    base = rest // max(1, n_hosts - 1) if n_hosts > 1 else 0
+    sizes[0] = hot
+    if n_hosts > 1:
+        sizes[1:] = base
+        sizes[1 : 1 + (rest - base * (n_hosts - 1))] += 1
+    starts = np.zeros(n_hosts + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    return starts
+
+
+def page_url(h: int, j: int) -> str:
+    if j == 0:
+        return f"https://{host_name(h)}/"
+    return f"https://{host_name(h)}/sec{j % 6}/p{j}"
+
+
+# Pages are generated in fixed chunks of _CHUNK ids sharing one RNG stream,
+# so any writer (single process or Ray blocks) produces identical bytes as
+# long as it generates whole chunks in order. Per-page RNG construction was
+# ~6ms/page; chunked streams are ~50x faster.
+_CHUNK = 256
+_WORDS_ARR = np.array(_WORDS)
+
+
+def _gen_one(gid: int, starts: np.ndarray, rng: np.random.Generator) -> tuple[str, np.datetime64, bytes, str, str]:
+    h = int(np.searchsorted(starts, gid, side="right") - 1)
+    j = int(gid - starts[h])
+    host_n = int(starts[h + 1] - starts[h])
+    url = page_url(h, j)
+
+    # --- text ---
+    n_paras = int(rng.integers(2, 5))
+    paras = []
+    for _ in range(n_paras):
+        k = int(rng.integers(20, 45))
+        paras.append(" ".join(_WORDS_ARR[rng.integers(0, len(_WORDS_ARR), size=k)]))
+    text = "\n".join(paras)
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+
+    # --- links ---
+    nav: list[str] = []
+    children = [c for c in (2 * j + 1, 2 * j + 2) if c < host_n]
+    for c in children:
+        style = int(rng.integers(0, 3))
+        target = f"/sec{c % 6}/p{c}"
+        if style == 0:
+            nav.append(target)  # absolute path
+        elif style == 1:
+            nav.append(page_url(h, c))  # full URL
+        else:
+            nav.append(f"sec{c % 6}/p{c}" if j == 0 else f"../sec{c % 6}/p{c}")
+    # extra same-host links
+    for _ in range(int(rng.integers(0, 4))):
+        t = int(rng.integers(0, host_n))
+        nav.append(f"/sec{t % 6}/p{t}" if t else "/")
+    # occasional duplicate of the first child (duplicates preserved by parser)
+    if children and rng.random() < 0.3:
+        nav.append(f"/sec{children[0] % 6}/p{children[0]}")
+    # query/fragment variants (query → canonical miss, fragment → same page)
+    if children and rng.random() < 0.15:
+        nav.append(f"/sec{children[0] % 6}/p{children[0]}#details")
+    if host_n > 1 and rng.random() < 0.08:
+        t = int(rng.integers(1, host_n))
+        nav.append(f"/sec{t % 6}/p{t}?ref={j}")
+    # cross-host + dangling external
+    ext: list[str] = []
+    for _ in range(int(rng.integers(0, 3))):
+        oh = int(rng.integers(0, len(starts) - 1))
+        ext.append(f"https://{host_name(oh)}/")
+    for _ in range(int(rng.integers(0, 3))):
+        ext.append(f"https://ext{int(rng.integers(0, 50)):03d}.example.net/res")
+    skip = ["mailto:info@example.org", "javascript:void(0)", "#top"][: int(rng.integers(0, 3))]
+
+    # --- html ---
+    title = f"{host_name(h)} page {j}"
+    parts = [
+        "<!DOCTYPE html>\n<html>\n<head><title>",
+        title,
+        "</title></head>\n<body>\n<nav>\n",
+    ]
+    for href in nav:
+        parts.append(f'  <a href="{href}">{href}</a>\n')
+    parts.append("</nav>\n<main>\n")
+    for p_text in paras:
+        words = p_text.split(" ")
+        if len(words) > 4 and ext:
+            # inline anchor around one word; anchor text stays part of <p> text
+            w = len(words) // 2
+            href = ext.pop(0)
+            body = " ".join(words[:w]) + f' <a href="{href}">{words[w]}</a> ' + " ".join(
+                words[w + 1 :]
+            )
+        else:
+            body = p_text
+        parts.append(f"<p>{body}</p>\n")
+    for href in ext:
+        parts.append(f'<a href="{href}">more</a>\n')
+    if rng.random() < 0.05 and children:
+        # malformed block: unclosed <a> interrupted by a div → the HTML5
+        # adoption agency clones it (href appears twice in the DOM)
+        c0 = children[0]
+        parts.append(
+            f'<div class="promo"><a href="/sec{c0 % 6}/p{c0}">promo\n'
+            f'<div><a href="/">home</a></div></div>\n'
+        )
+    parts.append("<footer>\n")
+    for href in skip:
+        parts.append(f'<a href="{href}">x</a>\n')
+    parts.append("</footer>\n</body>\n</html>\n")
+    html = "".join(parts).encode("utf-8")
+
+    ts = _BASE_TS + np.timedelta64(gid, "s").astype("timedelta64[us]")
+    return url, ts, html, text, lang
+
+
+def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int) -> pa.Table:
+    """Generate a batch of pages; usable standalone or inside map_batches.
+
+    Deterministic in (seed, gid) regardless of how gids are batched: each
+    fixed 256-id chunk has its own RNG stream, and partial chunks are
+    generated in full (cheap) with only the requested rows emitted.
+    """
+    n_total = int(starts[-1])
+    gids = np.sort(np.asarray(gids, dtype=np.int64))
+    wanted = set(gids.tolist())
+    cols = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    for chunk_id in np.unique(gids // _CHUNK):
+        rng = np.random.default_rng([seed, int(chunk_id)])
+        lo = int(chunk_id) * _CHUNK
+        hi = min(lo + _CHUNK, n_total)
+        for gid in range(lo, hi):
+            url, ts, html, text, lang = _gen_one(gid, starts, rng)
+            if gid not in wanted:
+                continue
+            cols["url"].append(url)
+            cols["warc_ts"].append(ts)
+            cols["html"].append(html)
+            cols["text"].append(text)
+            cols["lang"].append(lang)
+    return pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(cols["html"], pa.binary()),
+            "text": pa.array(cols["text"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+        }
+    )
+
+
+def robots_table(n_hosts: int, seed: int) -> pa.Table:
+    """Robots bodies for every 4th host: /sec3/ disallowed; some crawl-delay."""
+    origins, contents = [], []
+    for h in range(0, n_hosts, 4):
+        delay = "" if h % 8 else "Crawl-delay: 1\n"
+        origins.append(f"https://{host_name(h)}")
+        contents.append(f"User-agent: *\nDisallow: /sec3/\n{delay}")
+    return pa.table({"origin": pa.array(origins), "content": pa.array(contents)})
+
+
+@dataclass
+class CorpusInfo:
+    dir: str
+    n_pages: int
+    n_hosts: int
+    seed: int
+    partitions: int
+    seeds: list[str]
+
+    @property
+    def pages_path(self) -> str:
+        return os.path.join(self.dir, "pages")
+
+    @property
+    def robots_path(self) -> str:
+        return os.path.join(self.dir, "robots.parquet")
+
+
+def sf_to_pages(sf: float) -> int:
+    return max(200, int(600_000 * sf))
+
+
+def generate_corpus(
+    out_dir: str,
+    n_pages: int,
+    n_hosts: int | None = None,
+    seed: int = 42,
+    partitions: int = 8,
+) -> CorpusInfo:
+    """Write pages (url-hash partitioned parquet dir) + robots + manifest.
+
+    Idempotent: if a manifest with identical parameters exists, reuse it.
+    """
+    if n_hosts is None:
+        n_hosts = max(4, n_pages // 150)
+    manifest_path = os.path.join(out_dir, "corpus.json")
+    params = {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed, "partitions": partitions}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if {k: m[k] for k in params} == params:
+            return CorpusInfo(out_dir, n_pages, n_hosts, seed, partitions, m["seeds"])
+
+    starts = host_layout(n_pages, n_hosts)
+    os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
+
+    # Hash-partition by URL so the fetch join can co-partition at scale.
+    import pandas as pd
+
+    table = gen_pages_batch(np.arange(n_pages), starts, seed)
+    buckets = (
+        pd.util.hash_array(np.asarray(table.column("url").to_pylist(), dtype=object))
+        % partitions
+    ).astype(np.int64)
+    for b in range(partitions):
+        sub = table.filter(pa.array(buckets == b))
+        pq.write_table(
+            sub, os.path.join(out_dir, "pages", f"bucket-{b:05d}.parquet"),
+            compression="zstd",
+        )
+    pq.write_table(robots_table(n_hosts, seed), os.path.join(out_dir, "robots.parquet"))
+
+    seeds = [f"https://{host_name(0)}/"]
+    if n_hosts > 2:
+        seeds.append(f"https://{host_name(1)}/")
+    with open(manifest_path, "w") as f:
+        json.dump({**params, "seeds": seeds}, f)
+    return CorpusInfo(out_dir, n_pages, n_hosts, seed, partitions, seeds)
+
+
+def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/urlmap_corpus") -> CorpusInfo:
+    """Map a testdata sf dir (…/sf0.01) to a cached deterministic corpus of
+    matching scale. The corpus is derived from (seed=42, sf) only — no
+    external data."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+    n = sf_to_pages(sf)
+    out = os.path.join(cache_root, name)
+    os.makedirs(out, exist_ok=True)
+    return generate_corpus(out, n)

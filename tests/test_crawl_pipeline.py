@@ -139,3 +139,13 @@ def test_wave_stats_consistency(ray_session, corpus_info, corpus_dict, tmp_path)
     assert out.total_results == len(oracle.results)
     failed = sum(w.failed for w in out.waves)
     assert failed == sum(1 for r in oracle.results if r.status == 0)
+
+
+def test_multi_seed(ray_session, corpus_info, corpus_dict, tmp_path):
+    """Seed-list crawl = union of per-host BFS trees, shared waves."""
+    seeds = corpus_info.seeds  # distinct hosts
+    oracle = crawl_sequential(corpus_dict, seeds)
+    eng = _engine(ray_session, corpus_info, CrawlConfig(), str(tmp_path / "ck"))
+    eng.crawl(seeds)
+    assert eng.visited_urls() == oracle.output_urls
+    assert _depths(eng) == {r.url: r.depth for r in oracle.results}

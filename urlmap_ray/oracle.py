@@ -62,32 +62,39 @@ def _fetch_and_extract(url: str, depth: int, corpus: dict[str, bytes], cfg: Craw
     return OracleResult(url, depth, 200, links=links)
 
 
-def _admit(link: str, base: str, cfg: CrawlConfig) -> bool:
+def _admit(link: str, bases: list[str], cfg: CrawlConfig) -> bool:
     if not cfg.same_domain:
         return True
-    try:
-        if cfg.same_path_prefix:
-            return is_same_path_prefix(base, link)
-        return is_same_domain(base, link)
-    except URLError:
-        return False
+    for base in bases:
+        try:
+            if cfg.same_path_prefix:
+                if is_same_path_prefix(base, link):
+                    return True
+            elif is_same_domain(base, link):
+                return True
+        except URLError:
+            continue
+    return False
 
 
 def crawl_sequential(
     corpus: dict[str, bytes],
-    start_url: str,
+    start_url: str | list[str],
     cfg: CrawlConfig = CrawlConfig(),
     robots: RobotsIndex | None = None,
 ) -> OracleCrawl:
     """FIFO BFS exactly as CrawlRecursive; robots handling as processJob."""
     out = OracleCrawl()
-    if not is_valid_url(start_url):
-        raise URLError(f"invalid start URL: {start_url}")
-    seed = normalize_url(start_url)
-    base = seed  # full normalized seed URL (crawler.go:183-185)
+    starts = [start_url] if isinstance(start_url, str) else list(start_url)
+    for s in starts:
+        if not is_valid_url(s):
+            raise URLError(f"invalid start URL: {s}")
+    seeds = [normalize_url(s) for s in starts]
+    bases = seeds  # full normalized seed URLs (crawler.go:183-185)
 
-    queue: deque[tuple[str, int]] = deque([(seed, 0)])
-    out.visited[seed] = 0
+    queue: deque[tuple[str, int]] = deque((s, 0) for s in seeds)
+    for s in seeds:
+        out.visited[s] = 0
     while queue:
         url, depth = queue.popleft()
         if robots is not None and cfg.respect_robots and not robots.is_allowed(url):
@@ -102,7 +109,7 @@ def crawl_sequential(
             for link in result.links:
                 if link in out.visited:
                     continue
-                if not _admit(link, base, cfg):
+                if not _admit(link, bases, cfg):
                     continue
                 queue.append((link, depth + 1))
                 out.visited[link] = depth + 1
@@ -112,19 +119,22 @@ def crawl_sequential(
 
 def crawl_waves(
     corpus: dict[str, bytes],
-    start_url: str,
+    start_url: str | list[str],
     cfg: CrawlConfig = CrawlConfig(),
     robots: RobotsIndex | None = None,
 ) -> OracleCrawl:
     """Explicit-wave BFS with deterministic per-host budget deferral —
     the single-process semantic model of the Ray engine."""
     out = OracleCrawl()
-    if not is_valid_url(start_url):
-        raise URLError(f"invalid start URL: {start_url}")
-    seed = normalize_url(start_url)
-    base = seed
-    out.visited[seed] = 0
-    frontier: list[tuple[str, int]] = [(seed, 0)]
+    starts = [start_url] if isinstance(start_url, str) else list(start_url)
+    for s in starts:
+        if not is_valid_url(s):
+            raise URLError(f"invalid start URL: {s}")
+    seeds = [normalize_url(s) for s in starts]
+    bases = seeds
+    for s in seeds:
+        out.visited[s] = 0
+    frontier: list[tuple[str, int]] = [(s, 0) for s in seeds]
     while frontier:
         # Deterministic per-host admission: sort by (host, url), take first B.
         if cfg.per_host_budget is not None:
@@ -157,7 +167,7 @@ def crawl_waves(
             out.max_depth_reached = max(out.max_depth_reached, depth)
             if result.error is None:
                 for link in result.links:
-                    if not _admit(link, base, cfg):
+                    if not _admit(link, bases, cfg):
                         continue
                     if link not in candidates or depth + 1 < candidates[link]:
                         candidates[link] = depth + 1

@@ -152,10 +152,12 @@ class CrawlEngine:
 
     # -- main loop ---------------------------------------------------------
 
-    def crawl(self, seed_url: str, resume: bool = False) -> CrawlOutcome:
-        if not is_valid_url(seed_url):
-            raise URLError(f"invalid start URL: {seed_url}")
-        seed = normalize_url(seed_url)
+    def crawl(self, seed_url: str | list[str], resume: bool = False) -> CrawlOutcome:
+        seed_list = [seed_url] if isinstance(seed_url, str) else list(seed_url)
+        for s in seed_list:
+            if not is_valid_url(s):
+                raise URLError(f"invalid start URL: {s}")
+        seeds = [normalize_url(s) for s in seed_list]
         outcome = CrawlOutcome(self.ckpt)
 
         start_wave = 0
@@ -166,11 +168,11 @@ class CrawlEngine:
             if os.path.exists(self.ckpt):
                 shutil.rmtree(self.ckpt)
             os.makedirs(self.ckpt, exist_ok=True)
-            seen.contains_and_add([seed])
+            seen.contains_and_add(seeds)
             f0 = os.path.join(self.ckpt, "frontier-0")
             os.makedirs(f0, exist_ok=True)
             pq.write_table(
-                frontier_columns([seed], [0], self.corpus.partitions),
+                frontier_columns(seeds, [0] * len(seeds), self.corpus.partitions),
                 os.path.join(f0, "part-0.parquet"),
             )
 
@@ -190,11 +192,11 @@ class CrawlEngine:
                 shutil.rmtree(wdir)
             os.makedirs(wdir)
             if n_frontier <= self.small_wave_rows:
-                stats = self._run_wave_local(d, frontier_path, n_frontier, seed, seen)
+                stats = self._run_wave_local(d, frontier_path, n_frontier, seeds, seen)
             else:
-                stats = self._run_wave_ray(d, frontier_path, n_frontier, seed, seen)
+                stats = self._run_wave_ray(d, frontier_path, n_frontier, seeds, seen)
             stats.seconds = time.time() - t0
-            self._checkpoint_seen_and_manifest(d, frontier_path, stats, seed, seen)
+            self._checkpoint_seen_and_manifest(d, frontier_path, stats, seeds, seen)
             outcome.waves.append(stats)
             d += 1
 
@@ -203,7 +205,7 @@ class CrawlEngine:
 
     # -- distributed wave --------------------------------------------------
 
-    def _run_wave_ray(self, d, frontier_path, n_frontier, seed, seen) -> WaveStats:
+    def _run_wave_ray(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
         stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")
         wdir = self._wave_dir(d)
         results_path = os.path.join(wdir, "results")
@@ -247,7 +249,7 @@ class CrawlEngine:
             .map_batches(
                 flatten_candidates,
                 fn_kwargs=dict(
-                    seed_url=seed,
+                    seed_urls=seeds,
                     same_domain=self.cfg.same_domain,
                     same_path_prefix=self.cfg.same_path_prefix,
                     partitions=self.corpus.partitions,
@@ -281,7 +283,7 @@ class CrawlEngine:
 
     # -- driver-local wave (same stage functions, pyarrow only) ------------
 
-    def _run_wave_local(self, d, frontier_path, n_frontier, seed, seen) -> WaveStats:
+    def _run_wave_local(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
         stats = WaveStats(wave=d, frontier=n_frontier, mode="local")
         wdir = self._wave_dir(d)
         results_path = os.path.join(wdir, "results")
@@ -314,7 +316,7 @@ class CrawlEngine:
         cands = _cast_frontier(
             flatten_candidates(
                 admitted.select(["url", "depth", "links"]),
-                seed_url=seed,
+                seed_urls=seeds,
                 same_domain=self.cfg.same_domain,
                 same_path_prefix=self.cfg.same_path_prefix,
                 partitions=self.corpus.partitions,
@@ -348,7 +350,7 @@ class CrawlEngine:
             ).cast(pa.int64())
         ).as_py() or 0
 
-    def _checkpoint_seen_and_manifest(self, d, frontier_path, stats, seed, seen) -> None:
+    def _checkpoint_seen_and_manifest(self, d, frontier_path, stats, seeds, seen) -> None:
         wdir = self._wave_dir(d)
         seen_dir = os.path.join(wdir, "seen")
         os.makedirs(seen_dir, exist_ok=True)
@@ -360,7 +362,7 @@ class CrawlEngine:
                 )
         manifest = {
             "wave": d,
-            "seed": seed,
+            "seeds": seeds,
             "config": asdict(self.cfg),
             "input_frontier": {"path": frontier_path, "rows": stats.frontier},
             "outputs": {

@@ -47,8 +47,28 @@ def frontier_columns(urls: list[str], depths, partitions: int) -> pa.Table:
     )
 
 
+def admit_link(link: str, seeds: list[str], same_path_prefix: bool) -> bool:
+    """Queue-admission filter (crawler.go:758-775) generalized to a seed
+    list: a link is admitted if it matches ANY seed's domain/prefix."""
+    for seed in seeds:
+        try:
+            if same_path_prefix:
+                if is_same_path_prefix(seed, link):
+                    return True
+            elif is_same_domain(seed, link):
+                return True
+        except URLError:
+            continue
+    return False
+
+
 def flatten_candidates(
-    batch: pa.Table, *, seed_url: str, same_domain: bool, same_path_prefix: bool, partitions: int
+    batch: pa.Table,
+    *,
+    seed_urls: list[str],
+    same_domain: bool,
+    same_path_prefix: bool,
+    partitions: int,
 ) -> pa.Table:
     """results(url, depth, links) → admitted candidate rows (link, depth+1).
 
@@ -66,14 +86,12 @@ def flatten_candidates(
     urls = flat.to_pylist()
     keep = np.ones(len(urls), dtype=bool)
     if same_domain:
+        cache: dict[str, bool] = {}
         for i, link in enumerate(urls):
-            try:
-                if same_path_prefix:
-                    keep[i] = is_same_path_prefix(seed_url, link)
-                else:
-                    keep[i] = is_same_domain(seed_url, link)
-            except URLError:
-                keep[i] = False
+            v = cache.get(link)
+            if v is None:
+                v = cache[link] = admit_link(link, seed_urls, same_path_prefix)
+            keep[i] = v
     tbl = pa.table({"url": flat, "depth": depths}).filter(pa.array(keep))
     # local combiner: min depth per url within this batch
     tbl = tbl.group_by("url").aggregate([("depth", "min")]).rename_columns(["url", "depth"])

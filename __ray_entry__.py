@@ -1,44 +1,332 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship corpus crawl at sf0.001. ``queries()`` exposes
+one callable per implemented operator family (SURVEY.md §2 + the
+training-data operators); ``oracle_sql()`` gives DuckDB equivalents for the
+SQL-expressible ones (same column names both sides). Crawl-family queries
+operate on the deterministic synthetic page corpus derived from the sf of
+``sf_dir`` (BASELINE.json input_hint schema; no external data) — those are
+rows-only checks, their correctness gate is the oracle-vs-engine pytest
+suite.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _corpus(sf_dir: str):
+    from urlmap_ray.corpus import corpus_for_sf_dir
+
+    return corpus_for_sf_dir(sf_dir)
+
+
+def _crawl(sf_dir: str, tag: str, cfg) -> Any:
+    import ray.data
+
+    from urlmap_ray.pipelines.crawl import CrawlEngine
+
+    info = _corpus(sf_dir)
+    eng = CrawlEngine(
+        info,
+        cfg,
+        checkpoint_dir=os.path.join("/tmp/urlmap_ckpt", os.path.basename(info.dir), tag),
+        seen_shards=4,
+    )
+    eng.crawl(info.seeds[0])
+    return eng.visited_dataset()
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full corpus crawl at sf0.001 → sorted visited Dataset."""
+    from urlmap_ray.config import CrawlConfig
+
+    return _crawl("/root/testdata/sf0.001", "entry", CrawlConfig())
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from urlmap_ray.config import CrawlConfig
+    from urlmap_ray.extract import extract_links_batch
+    from urlmap_ray.functions import dedup as dd
+    from urlmap_ray.functions import similarity as sim
+    from urlmap_ray.functions import textstats as ts
+    from urlmap_ray.functions.multimodal import MediaFeatureExtractor, make_media_table
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_bfs(sf_dir):
+        return _crawl(sf_dir, "bfs", CrawlConfig())
+
+    def crawl_depth3(sf_dir):
+        return _crawl(sf_dir, "d3", CrawlConfig(max_depth=3))
+
+    def crawl_budget_robots(sf_dir):
+        return _crawl(
+            sf_dir, "br", CrawlConfig(per_host_budget=200, respect_robots=True)
+        )
+
+    def page_links(sf_dir):
+        import ray.data
+
+        info = _corpus(sf_dir)
+        return (
+            ray.data.read_parquet(info.pages_path)
+            .map_batches(
+                extract_links_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "url": t.column("url"),
+                        "n_links": pa.compute.list_value_length(t.column("links")).cast(
+                            pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .sort("url")
+        )
+
+    def doc_token_counts(sf_dir):
+        return _docs(sf_dir).map_batches(
+            lambda t: ts.token_count_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(lambda t: t.drop_columns(["n_bpe_tokens"]), batch_format="pyarrow")
+
+    def doc_quality(sf_dir):
+        return _docs(sf_dir).map_batches(
+            lambda t: ts.quality_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def doc_lang_id(sf_dir):
+        return _docs(sf_dir).map_batches(
+            lambda t: ts.lang_id_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def doc_fingerprint(sf_dir):
+        return _docs(sf_dir).map_batches(
+            lambda t: ts.fingerprint_batch(t.select(["doc_id", "text"])).drop_columns(
+                ["fp_rolling"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def dedup_exact(sf_dir):
+        return dd.dedup_exact(_docs(sf_dir))
+
+    def dedup_minhash(sf_dir):
+        return dd.dedup_minhash_lsh(_docs(sf_dir), threshold=0.8)
+
+    def dedup_simhash(sf_dir):
+        return dd.dedup_simhash(_docs(sf_dir), max_hamming=3)
+
+    def embedding_neardup(sf_dir):
+        return dd.embedding_neardup(_emb(sf_dir), threshold=0.4)
+
+    def _query_vecs(sf_dir):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        sub = tbl.filter(pa.compute.less(tbl.column("vec_id"), 3))
+        order = pa.compute.sort_indices(sub, sort_keys=[("vec_id", "ascending")])
+        return np.asarray(sub.take(order).column("embedding").to_pylist(), dtype=np.float64)
+
+    def ann_topk(sf_dir):
+        out = sim.topk_cosine(_emb(sf_dir), _query_vecs(sf_dir), k=10)
+        return out.select(["query_idx", "vec_id"])
+
+    def ann_topk_lsh(sf_dir):
+        out = sim.topk_cosine_lsh(
+            _emb(sf_dir), _query_vecs(sf_dir), k=10, dim=64, n_planes=8
+        )
+        return out.select(["query_idx", "vec_id"])
+
+    def _docs_table(sf_dir):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+
+    def media_features(sf_dir):
+        import ray.data
+
+        media = make_media_table(_docs_table(sf_dir))
+        return (
+            ray.data.from_arrow(media)
+            .map_batches(
+                MediaFeatureExtractor,
+                fn_constructor_kwargs=dict(mode="deterministic-fake"),
+                concurrency=(1, 2),
+                batch_size=64,
+                batch_format="pyarrow",
+            )
+            .sort("media_id")
+        )
+
+    def events_daily(sf_dir):
+        import ray.data
+
+        def day_col(t: pa.Table) -> pa.Table:
+            day = pa.compute.floor_temporal(t.column("ts"), unit="day")
+            return pa.table({"user_id": t.column("user_id"), "day": day})
+
+        return (
+            ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+            .map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["user_id", "day"])
+            .count()
+            .map_batches(
+                lambda t: t.rename_columns(
+                    ["n_events" if c == "count()" else c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    def orders_top20(sf_dir):
+        import ray.data
+
+        return (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            )
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(20)
+            .map_batches(
+                lambda t: t.select(["o_orderkey", "o_custkey"]), batch_format="pyarrow"
+            )
+        )
+
+    def lineitem_agg(sf_dir):
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        def cast_qty(t: pa.Table) -> pa.Table:
+            return t
+
+        agg = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_returnflag", "l_linestatus", "l_quantity"],
+            )
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_rows"))
+        )
+        return agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "sum_qty": pa.compute.round(t.column("sum_qty")).cast(pa.int64()),
+                    "n_rows": t.column("n_rows"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return {
+        "crawl_bfs": crawl_bfs,
+        "crawl_depth3": crawl_depth3,
+        "crawl_budget_robots": crawl_budget_robots,
+        "page_links": page_links,
+        "doc_token_counts": doc_token_counts,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "embedding_neardup": embedding_neardup,
+        "ann_topk": ann_topk,
+        "ann_topk_lsh": ann_topk_lsh,
+        "media_features": media_features,
+        "events_daily": events_daily,
+        "orders_top20": orders_top20,
+        "lineitem_agg": lineitem_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ",".join(f"'{w}'" for w in sorted(
+        "the a an and or of to in is are was be for on with as at by it this that".split()
+    ))
+    return {
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   x -> x IN ({stop}))) AS n_stopwords
+            FROM documents
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "embedding_neardup": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_idx, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT q.query_idx, e.vec_id
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_idx
+                ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+            ) <= 10
+        """,
+        "events_daily": """
+            SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_top20": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Headline pipeline: full-corpus crawl (seed list = every host root) over the
+deterministic synthetic page corpus at the scale of $GRAFT_SF_DIR, plus the
+main training-data operators over the testdata tables. Corpus generation is
+setup (cached, excluded from timings).
+
+  GRAFT_SF_DIR   input scale dir  (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS ray cpu count    (default 32)
+
+  python bench.py             # single run
+  python bench.py --scaling   # same job at 8 and 32 cpus in fresh
+                              # processes → throughputs + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from urlmap_ray.config import CrawlConfig
+    from urlmap_ray.corpus import corpus_for_sf_dir, page_url
+    from urlmap_ray.pipelines.crawl import CrawlEngine
+
+    sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "") or 0.1)
+    info = corpus_for_sf_dir(SF_DIR)  # cached after first generation
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- headline: whole-corpus crawl from every host root ---
+    seeds = [page_url(h, 0) for h in range(info.n_hosts)]
+    eng = CrawlEngine(
+        info,
+        CrawlConfig(),
+        checkpoint_dir=f"/tmp/urlmap_bench_ckpt/{os.path.basename(info.dir)}-{NUM_CPUS}",
+        seen_shards=max(2, NUM_CPUS // 4),
+    )
+    t0 = time.time()
+    outcome = eng.crawl(seeds)
+    crawl_s = time.time() - t0
+    pages = sum(w.admitted - w.failed for w in outcome.waves)
+    urls = sum(w.admitted for w in outcome.waves)
+    queries["crawl_full"] = round(crawl_s, 3)
+    extras["crawl"] = {
+        "waves": len(outcome.waves),
+        "pages_fetched": pages,
+        "urls_processed": urls,
+        "pages_per_sec": round(pages / crawl_s, 1),
+        "urls_per_sec": round(urls / crawl_s, 1),
+    }
+
+    # --- training-data operators over the sf tables ---
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "embedding_neardup",
+        "ann_topk",
+        "doc_quality",
+        "doc_token_counts",
+        "page_links",
+        "lineitem_agg",
+        "events_daily",
+    ):
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume the result (Dataset results are lazy)
+        if hasattr(res, "count"):
+            n = res.count()
+        else:
+            n = len(res)
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "crawl (full corpus, all-host seeds) + training-data operator wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same headline job at N and 4N cpus in fresh processes."""
+    lo, hi = 8, 32
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_lo = results[lo]["queries"]["crawl_full"]
+    t_hi = results[hi]["queries"]["crawl_full"]
+    speedup = t_lo / t_hi
+    eff = speedup / (hi / lo)
+    return {
+        "metric": f"crawl_full scaling {lo}→{hi} cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": results[lo]["sf"],
+        "runs": {
+            str(lo): {
+                "sec": t_lo,
+                "pages_per_sec": results[lo]["crawl"]["pages_per_sec"],
+            },
+            str(hi): {
+                "sec": t_hi,
+                "pages_per_sec": results[hi]["crawl"]["pages_per_sec"],
+            },
+        },
+        "speedup": round(speedup, 3),
+        "efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

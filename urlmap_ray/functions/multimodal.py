@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The real decode kernels (PIL/ffmpeg/torchaudio) are NOT available in this
+environment — ``decode=\"real\"`` raises NotImplementedError by design. The
+``deterministic-fake`` decoder derives stable pseudo-features from the
+payload bytes so the Ray-side plumbing — schema, batch sizing for large
+binaries, actor signature, output layout — is real and testable end to end.
+
+At scale: binary payloads dominate block size, so stages here should run
+with small ``batch_size`` (32-128) and ``target_max_block_size`` tuned so
+batch × concurrency fits the worker heap; metadata-only transforms project
+the binary column away first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def make_media_table(docs: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Derive a deterministic media table from a documents table (payload =
+    UTF-8 bytes standing in for encoded media; dims derived from content)."""
+    ids = docs.column(id_col).to_pylist()
+    texts = docs.column(text_col).to_pylist()
+    payloads, types, ws, hs, durs = [], [], [], [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        digest = hashlib.md5(b).digest()
+        payloads.append(b)
+        types.append(["image", "audio", "video"][digest[0] % 3])
+        ws.append(64 + digest[1] % 192)
+        hs.append(64 + digest[2] % 192)
+        durs.append(100 + int.from_bytes(digest[3:5], "little") % 10000)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(types, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        }
+    )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode → feature-extract per media row.
+
+    Use as ``ds.map_batches(MediaFeatureExtractor, fn_constructor_kwargs=
+    {"mode": "deterministic-fake"}, concurrency=(1, N), batch_size=64,
+    num_cpus=1, batch_format="pyarrow")`` — decoder state (codec contexts /
+    model weights in a real deployment) is initialized once per actor here
+    in ``__init__``, not per batch.
+    """
+
+    N_FEATURES = 8
+
+    def __init__(self, mode: str = "deterministic-fake"):
+        if mode == "real":
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg, not present in this "
+                "environment — use mode='deterministic-fake'"
+            )
+        if mode != "deterministic-fake":
+            raise ValueError(f"unknown decode mode: {mode}")
+        self.mode = mode
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload or b"").digest()
+        return np.frombuffer(digest[: self.N_FEATURES * 4], dtype=np.uint32).astype(
+            np.float32
+        ) / np.float32(2**32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p) for p in batch.column("payload").to_pylist()]
+        out = batch.drop_columns(["payload"])  # shed the heavy bytes immediately
+        return out.append_column(
+            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
+        )
+
+
+def resize_stub_batch(batch: pa.Table, *, max_side: int = 128) -> pa.Table:
+    """Deterministic \"resize\": recompute target dims preserving aspect
+    ratio (metadata-only; the pixel transform would live in the decoder)."""
+    ws = batch.column("width").to_pylist()
+    hs = batch.column("height").to_pylist()
+    out_w, out_h = [], []
+    for w, h in zip(ws, hs):
+        scale = min(1.0, max_side / max(w, h))
+        out_w.append(max(1, int(w * scale)))
+        out_h.append(max(1, int(h * scale)))
+    batch = batch.drop_columns(["width", "height"])
+    batch = batch.append_column("width", pa.array(out_w, pa.int32()))
+    batch = batch.append_column("height", pa.array(out_h, pa.int32()))
+    return batch
+
+
+def frame_sample_plan_batch(batch: pa.Table, *, every_ms: int = 1000) -> pa.Table:
+    """Frame-sampling plan for video rows: list of timestamps to decode."""
+    durs = batch.column("duration_ms").to_pylist()
+    types = batch.column("media_type").to_pylist()
+    plans = [
+        list(range(0, d, every_ms)) if t == "video" else []
+        for d, t in zip(durs, types)
+    ]
+    return batch.append_column("frame_ts_ms", pa.array(plans, pa.list_(pa.int32())))

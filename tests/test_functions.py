@@ -1,0 +1,228 @@
+"""Training-data operator tests: exactness vs brute-force references on the
+sf0.001 testdata tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from urlmap_ray.functions.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    embedding_neardup,
+    hamming64,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+)
+from urlmap_ray.functions.multimodal import (
+    MediaFeatureExtractor,
+    frame_sample_plan_batch,
+    make_media_table,
+    resize_stub_batch,
+)
+from urlmap_ray.functions.similarity import topk_cosine, topk_cosine_lsh
+from urlmap_ray.functions.textstats import (
+    lang_id,
+    quality_batch,
+    rolling_fingerprint,
+    token_count_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def test_token_count_batch(docs_tbl):
+    out = token_count_batch(docs_tbl.select(["doc_id", "text"]))
+    texts = docs_tbl.column("text").to_pylist()
+    got = out.column("n_tokens").to_pylist()
+    assert got == [len(t.split()) for t in texts]
+
+
+def test_quality_batch_counts(docs_tbl):
+    out = quality_batch(docs_tbl.select(["doc_id", "text"]).slice(0, 50))
+    texts = docs_tbl.column("text").to_pylist()[:50]
+    assert out.column("n_chars").to_pylist() == [len(t) for t in texts]
+
+
+def test_lang_id_deterministic():
+    assert lang_id("the thing and the other thing") == "en"
+    assert lang_id("der schnelle und der ich") == "de"
+    assert lang_id("一二三四五六七八九十一二三四五") == "zh"
+    assert lang_id("") == "und"
+
+
+def test_rolling_fingerprint_stable():
+    assert rolling_fingerprint("abc") == rolling_fingerprint("abc")
+    assert rolling_fingerprint("abc") != rolling_fingerprint("abd")
+
+
+def test_minhash_approximates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog and runs away fast today"
+    b = "the quick brown fox jumps over the lazy cat and runs away fast today"
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = (sa == sb).mean()
+    true = ngram_jaccard(a, b)
+    assert abs(est - true) < 0.25
+
+
+def test_simhash_properties():
+    s1 = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    s2 = simhash64("the quick brown fox jumps over the lazy dog " * 5 + "extra")
+    s3 = simhash64("completely different words about ray data engines and arrow")
+    assert hamming64(s1, s1) == 0
+    assert hamming64(s1, s2) < hamming64(s1, s3)
+
+
+def test_dedup_exact_with_planted_dups(ray_session, docs_tbl):
+    import ray.data
+
+    # plant duplicates: copy first 5 texts with new ids
+    texts = docs_tbl.column("text").to_pylist()
+    ids = docs_tbl.column("doc_id").to_pylist()
+    dup = pa.table(
+        {
+            "doc_id": pa.array([max(ids) + 1 + i for i in range(5)], pa.int64()),
+            "text": pa.array(texts[:5], pa.string()),
+        }
+    )
+    combined = pa.concat_tables([docs_tbl.select(["doc_id", "text"]), dup])
+    out = dedup_exact(ray.data.from_arrow(combined)).to_pandas()
+    assert len(out) == len(set(texts))  # one group per distinct text
+    dup_groups = out[out["dup_count"] > 1]
+    assert len(dup_groups) >= 5
+    # representative is the min id → none of the planted ids survive
+    assert not set(dup["doc_id"].to_pylist()) & set(out["doc_id"])
+
+
+def test_minhash_lsh_finds_planted_neardups(ray_session, docs_tbl):
+    import ray.data
+
+    texts = docs_tbl.column("text").to_pylist()[:50]
+    rows = {"doc_id": list(range(50)), "text": texts}
+    # plant near-dups of doc 0 and 1: drop last 2 words
+    for j, src in enumerate((0, 1)):
+        rows["doc_id"].append(100 + j)
+        rows["text"].append(" ".join(texts[src].split()[:-2]))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()), "text": pa.array(rows["text"])})
+    )
+    pairs = dedup_minhash_lsh(ds, threshold=0.7).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 100) in found and (1, 101) in found
+    # verified pairs really have jaccard >= threshold
+    tmap = dict(zip(rows["doc_id"], rows["text"]))
+    for a, b in found:
+        assert ngram_jaccard(tmap[a], tmap[b]) >= 0.7
+
+
+def test_simhash_pairs_verified(ray_session, docs_tbl):
+    import ray.data
+
+    texts = docs_tbl.column("text").to_pylist()[:80]
+    ids = list(range(80)) + [900]
+    texts = texts + [texts[0] + " tail"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    out = dedup_simhash(ds, max_hamming=3).to_pandas()
+    assert ((out["a"] == 0) & (out["b"] == 900)).any()
+    assert (out["hamming"] <= 3).all()
+
+
+def test_embedding_neardup_matches_bruteforce(ray_session, emb_tbl):
+    import ray.data
+
+    out = embedding_neardup(ray.data.from_arrow(emb_tbl), threshold=0.4).to_pandas()
+    m = np.asarray(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.asarray(emb_tbl.column("vec_id").to_pylist())
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = u @ u.T
+    expect = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and s[i, j] >= 0.4
+    }
+    assert set(zip(out["a"], out["b"])) == expect
+
+
+def test_topk_matches_bruteforce(ray_session, emb_tbl):
+    import ray.data
+
+    m = np.asarray(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.asarray(emb_tbl.column("vec_id").to_pylist())
+    q = m[:2]
+    out = topk_cosine(ray.data.from_arrow(emb_tbl), q, k=5)
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = u @ qu.T
+    for qi in range(2):
+        order = np.lexsort((ids, -sims[:, qi]))[:5]
+        expect = [int(ids[i]) for i in order]
+        got = out.filter(pa.compute.equal(out.column("query_idx"), qi)).column("vec_id").to_pylist()
+        assert got == expect
+
+
+def test_topk_lsh_recall(ray_session, emb_tbl):
+    import ray.data
+
+    m = np.asarray(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    q = m[:3]
+    exact = topk_cosine(ray.data.from_arrow(emb_tbl), q, k=10)
+    approx = topk_cosine_lsh(
+        ray.data.from_arrow(emb_tbl), q, k=10, dim=m.shape[1], n_planes=8
+    )
+    ex = set(zip(exact.column("query_idx").to_pylist(), exact.column("vec_id").to_pylist()))
+    ap = set(zip(approx.column("query_idx").to_pylist(), approx.column("vec_id").to_pylist()))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5  # multiprobe 1-bit flips; recall bounded below
+
+
+def test_media_pipeline(ray_session, docs_tbl):
+    import ray.data
+
+    media = make_media_table(docs_tbl.slice(0, 100))
+    ds = ray.data.from_arrow(media).map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs=dict(mode="deterministic-fake"),
+        concurrency=(1, 2),
+        batch_size=32,
+        batch_format="pyarrow",
+    )
+    out = ds.to_pandas()
+    assert len(out) == 100
+    assert all(len(f) == MediaFeatureExtractor.N_FEATURES for f in out["features"])
+    assert "payload" not in out.columns  # heavy bytes shed in the stage
+    # determinism
+    f1 = MediaFeatureExtractor()._features(b"abc")
+    f2 = MediaFeatureExtractor()._features(b"abc")
+    assert np.array_equal(f1, f2)
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="real")
+
+
+def test_media_stubs(docs_tbl):
+    media = make_media_table(docs_tbl.slice(0, 20))
+    resized = resize_stub_batch(media, max_side=64)
+    assert max(resized.column("width").to_pylist()) <= 64
+    planned = frame_sample_plan_batch(media, every_ms=500)
+    for t, plan in zip(
+        planned.column("media_type").to_pylist(), planned.column("frame_ts_ms").to_pylist()
+    ):
+        assert (len(plan) > 0) == (t == "video")

@@ -36,6 +36,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401  (pa.compute used below)
 import pyarrow.parquet as pq
 
 PAGES_SCHEMA = pa.schema(
@@ -284,9 +285,13 @@ def generate_corpus(
     ).astype(np.int64)
     for b in range(partitions):
         sub = table.filter(pa.array(buckets == b))
+        # Sort by url with small row groups: the fetch stage's `url isin`
+        # predicate then prunes on row-group statistics instead of scanning
+        # the whole bucket.
+        sub = sub.take(pa.compute.sort_indices(sub, sort_keys=[("url", "ascending")]))
         pq.write_table(
             sub, os.path.join(out_dir, "pages", f"bucket-{b:05d}.parquet"),
-            compression="zstd",
+            compression="zstd", row_group_size=512,
         )
     pq.write_table(robots_table(n_hosts, seed), os.path.join(out_dir, "robots.parquet"))
 

@@ -103,7 +103,7 @@ def topk_cosine_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    multiprobe: int = 1,
+    multiprobe: int = 2,
 ) -> pa.Table:
     """Approximate top-k: bucket table rows by hyperplane signature
     (groupby-style partition), search only the query's bucket ± multiprobe
@@ -119,13 +119,18 @@ def topk_cosine_lsh(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
+    from itertools import combinations
+
     q_buckets = lsh.bucket_of(q)
     probe: set[int] = set()
     for b in q_buckets:
         probe.add(int(b))
-        if multiprobe:
-            for bit in range(n_planes):
-                probe.add(int(b) ^ (1 << bit))
+        for flips in range(1, multiprobe + 1):
+            for bits in combinations(range(n_planes), flips):
+                x = int(b)
+                for bit in bits:
+                    x ^= 1 << bit
+                probe.add(x)
     import pyarrow.compute as pc
 
     probe_arr = pa.array(sorted(probe), pa.int64())

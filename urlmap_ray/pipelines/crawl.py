@@ -211,7 +211,11 @@ class CrawlEngine:
         results_path = os.path.join(wdir, "results")
         next_path = os.path.join(wdir, "next_frontier")
 
-        ds = ray.data.read_parquet(frontier_path)
+        # Frontier checkpoints can be a single file (local waves write one);
+        # split into enough blocks that fetch+extract parallelize across the
+        # cluster. Frontier rows are tiny — this repartition moves KBs.
+        n_blocks = max(4, min(64, n_frontier // 1000))
+        ds = ray.data.read_parquet(frontier_path).repartition(n_blocks)
         if self._needs_host_gate():
             if self._robots_ref is None:
                 self._robots_ref = ray.put(self.robots_bodies())

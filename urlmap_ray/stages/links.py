@@ -11,6 +11,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..gourl import parse as gourl_parse
 from ..state.seen import SeenSet, url_hash
 from ..urlnorm import URLError, extract_domain, is_same_domain, is_same_path_prefix
 
@@ -47,19 +48,67 @@ def frontier_columns(urls: list[str], depths, partitions: int) -> pa.Table:
     )
 
 
-def admit_link(link: str, seeds: list[str], same_path_prefix: bool) -> bool:
-    """Queue-admission filter (crawler.go:758-775) generalized to a seed
-    list: a link is admitted if it matches ANY seed's domain/prefix."""
-    for seed in seeds:
+class AdmissionIndex:
+    """O(1)-per-link form of the queue-admission filter (crawler.go:758-775)
+    generalized to a seed list: host → dir-normalized seed base paths.
+
+    Semantics identical to is_same_path_prefix / is_same_domain against each
+    seed (hostname casefolded, ports stripped, dir-normalized prefix match),
+    but the link is parsed once instead of 4×|seeds| times — with thousands
+    of seeds the naive loop dominated whole waves.
+    """
+
+    def __init__(self, seeds: list[str], same_path_prefix: bool):
+        self.same_path_prefix = same_path_prefix
+        self.by_host: dict[str, list[str]] = {}
+        for seed in seeds:
+            try:
+                u = gourl_parse(seed)
+                host = u.hostname().casefold()
+                base = u.path
+                if base != "/" and not base.endswith("/"):
+                    base += "/"
+                if base == "":
+                    base = "/"
+            except URLError:
+                continue
+            self.by_host.setdefault(host, []).append(base)
+
+    def admits(self, link: str) -> bool:
         try:
-            if same_path_prefix:
-                if is_same_path_prefix(seed, link):
-                    return True
-            elif is_same_domain(seed, link):
-                return True
+            u = gourl_parse(link)
+            host = u.hostname().casefold()
         except URLError:
-            continue
-    return False
+            return False
+        if u.host == "" or host == "":
+            return False
+        bases = self.by_host.get(host)
+        if bases is None:
+            return False
+        if not self.same_path_prefix:
+            return True
+        path = u.path
+        if path != "/" and not path.endswith("/"):
+            path += "/"
+        if path == "":
+            path = "/"
+        return any(path.startswith(b) for b in bases)
+
+
+_ADMISSION_CACHE: dict[tuple, AdmissionIndex] = {}
+
+
+def admission_index(seeds: list[str], same_path_prefix: bool) -> AdmissionIndex:
+    key = (tuple(seeds), same_path_prefix)
+    idx = _ADMISSION_CACHE.get(key)
+    if idx is None:
+        idx = _ADMISSION_CACHE[key] = AdmissionIndex(seeds, same_path_prefix)
+    return idx
+
+
+def admit_link(link: str, seeds: list[str], same_path_prefix: bool) -> bool:
+    """Single-link form (kept for tests/oracle parity checks)."""
+    return admission_index(seeds, same_path_prefix).admits(link)
 
 
 def flatten_candidates(
@@ -86,11 +135,12 @@ def flatten_candidates(
     urls = flat.to_pylist()
     keep = np.ones(len(urls), dtype=bool)
     if same_domain:
+        idx = admission_index(list(seed_urls), same_path_prefix)
         cache: dict[str, bool] = {}
         for i, link in enumerate(urls):
             v = cache.get(link)
             if v is None:
-                v = cache[link] = admit_link(link, seed_urls, same_path_prefix)
+                v = cache[link] = idx.admits(link)
             keep[i] = v
     tbl = pa.table({"url": flat, "depth": depths}).filter(pa.array(keep))
     # local combiner: min depth per url within this batch

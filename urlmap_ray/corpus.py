@@ -219,6 +219,34 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int) -> pa.Table
     )
 
 
+def _gen_all(n_pages: int, starts: np.ndarray, seed: int) -> pa.Table:
+    """Generate the full pages table — in parallel Ray tasks when a session
+    is up and the corpus is big (chunk-aligned spans, so bytes are identical
+    to the single-process path)."""
+    try:
+        import ray
+
+        use_ray = n_pages >= 50_000 and ray.is_initialized()
+    except ImportError:
+        use_ray = False
+    if not use_ray:
+        return gen_pages_batch(np.arange(n_pages), starts, seed)
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    span = max(_CHUNK, ((n_pages // (cpus * 4)) // _CHUNK + 1) * _CHUNK)
+
+    @ray.remote
+    def _gen_span(lo: int, hi: int) -> pa.Table:
+        return gen_pages_batch(np.arange(lo, hi), starts, seed)
+
+    futs = [
+        _gen_span.remote(lo, min(lo + span, n_pages)) for lo in range(0, n_pages, span)
+    ]
+    return pa.concat_tables(ray.get(futs))
+
+
 def robots_table(n_hosts: int, seed: int) -> pa.Table:
     """Robots bodies for every 4th host: /sec3/ disallowed; some crawl-delay."""
     origins, contents = [], []
@@ -278,7 +306,7 @@ def generate_corpus(
     # Hash-partition by URL so the fetch join can co-partition at scale.
     import pandas as pd
 
-    table = gen_pages_batch(np.arange(n_pages), starts, seed)
+    table = _gen_all(n_pages, starts, seed)
     buckets = (
         pd.util.hash_array(np.asarray(table.column("url").to_pylist(), dtype=object))
         % partitions

@@ -52,7 +52,7 @@ from ..extract import extract_links_batch
 from ..state.seen import SeenSet
 from ..stages.fetch import fetch_batch
 from ..stages.links import claim_batch, empty_candidates, flatten_candidates, frontier_columns
-from ..stages.politeness import PolitenessGate, gate_group
+from ..stages.politeness import PolitenessGate, gate_group, gate_rows
 from ..urlnorm import URLError, is_valid_url, normalize_url
 
 RESULTS_COLS = ["url", "depth", "host", "bucket", "verdict", "status", "links"]
@@ -150,6 +150,16 @@ class CrawlEngine:
             wave_seconds=self.wave_seconds,
         )
 
+    def warmup(self) -> None:
+        """Start Ray worker processes and pay module-import cost before any
+        timed work (first-wave latency otherwise includes ~5s of worker
+        spawn + imports). Benchmarks call this; correctness paths don't
+        need to."""
+        n = int(ray.cluster_resources().get("CPU", 4))
+        ray.data.range(n * 4, override_num_blocks=n * 4).map_batches(
+            _warm_worker, batch_format="pyarrow"
+        ).materialize()
+
     # -- main loop ---------------------------------------------------------
 
     def crawl(self, seed_url: str | list[str], resume: bool = False) -> CrawlOutcome:
@@ -206,20 +216,30 @@ class CrawlEngine:
     # -- distributed wave --------------------------------------------------
 
     def _run_wave_ray(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
+        """No-budget fast path: the entire wave is ONE fused, shuffle-free
+        execution — read → gate(row-local) → fetch → extract →
+        [side-effect results checkpoint] → flatten/admit → claim → write
+        next frontier. With a uniform-depth frontier (no deferral) the
+        wave-level groupby-min is a no-op (all candidates share depth d+1),
+        so the only cross-task coordination is the seen-shard claim.
+        Budgeted crawls take the two-execution path (_run_wave_ray_budget):
+        per-host admission needs whole host groups and mixes depths."""
+        if self.cfg.per_host_budget is not None:
+            return self._run_wave_ray_budget(d, frontier_path, n_frontier, seeds, seen)
         stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")
         wdir = self._wave_dir(d)
         results_path = os.path.join(wdir, "results")
         next_path = os.path.join(wdir, "next_frontier")
+        os.makedirs(results_path, exist_ok=True)
 
-        # Frontier checkpoints can be a single file (local waves write one);
-        # split into enough blocks that fetch+extract parallelize across the
-        # cluster. Frontier rows are tiny — this repartition moves KBs.
-        n_blocks = max(4, min(64, n_frontier // 1000))
-        ds = ray.data.read_parquet(frontier_path).repartition(n_blocks)
-        if self._needs_host_gate():
+        ds = ray.data.read_parquet(frontier_path)
+        if self.cfg.respect_robots:
+            # row-local robots+depth verdicts (gate_group routes to gate_rows
+            # when no budget is set — robots checked before depth, matching
+            # processJob order, crawler.go:583-622)
             if self._robots_ref is None:
                 self._robots_ref = ray.put(self.robots_bodies())
-            ds = ds.groupby("host").map_groups(
+            ds = ds.map_batches(
                 gate_group,
                 fn_kwargs=dict(robots_ref=self._robots_ref, **self._gate_kwargs()),
                 batch_format="pyarrow",
@@ -231,6 +251,64 @@ class CrawlEngine:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+        ds = (
+            ds.map_batches(
+                _fetch_gated,
+                fn_kwargs=dict(
+                    pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                extract_links_batch,
+                fn_kwargs=dict(same_domain=self.cfg.same_domain, drop_html=True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .map_batches(
+                _checkpoint_results_passthrough,
+                fn_kwargs=dict(results_path=results_path),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                flatten_candidates,
+                fn_kwargs=dict(
+                    seed_urls=seeds,
+                    same_domain=self.cfg.same_domain,
+                    same_path_prefix=self.cfg.same_path_prefix,
+                    partitions=self.corpus.partitions,
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .map_batches(
+                claim_batch,
+                fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
+                batch_format="pyarrow",
+            )
+        )
+        ds.write_parquet(next_path, row_group_size=512)
+        if os.environ.get("URLMAP_STATS"):
+            print(f"--- wave {d} fused stats ---\n{ds.stats()}", flush=True)
+        self._tally_verdicts(results_path, stats)
+        stats.new_urls = _count_rows(next_path)
+        return stats
+
+    def _run_wave_ray_budget(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
+        stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")
+        wdir = self._wave_dir(d)
+        results_path = os.path.join(wdir, "results")
+        next_path = os.path.join(wdir, "next_frontier")
+
+        ds = ray.data.read_parquet(frontier_path)
+        if self._robots_ref is None:
+            self._robots_ref = ray.put(self.robots_bodies())
+        # per-host deterministic admission needs whole host groups
+        ds = ds.groupby("host").map_groups(
+            gate_group,
+            fn_kwargs=dict(robots_ref=self._robots_ref, **self._gate_kwargs()),
+            batch_format="pyarrow",
+        )
         ds = ds.map_batches(
             _fetch_gated,
             fn_kwargs=dict(pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions),
@@ -242,6 +320,8 @@ class CrawlEngine:
             zero_copy_batch=True,
         )
         ds.write_parquet(results_path)
+        if os.environ.get("URLMAP_STATS"):
+            print(f"--- wave {d} results stats ---\n{ds.stats()}", flush=True)
         self._tally_verdicts(results_path, stats)
 
         survivors = (
@@ -282,6 +362,8 @@ class CrawlEngine:
             ).map_batches(_cast_frontier, batch_format="pyarrow")
             survivors = survivors.union(deferred)
         survivors.write_parquet(next_path)
+        if os.environ.get("URLMAP_STATS"):
+            print(f"--- wave {d} survivors stats ---\n{survivors.stats()}", flush=True)
         stats.new_urls = max(0, _count_rows(next_path) - stats.deferred)
         return stats
 
@@ -299,18 +381,23 @@ class CrawlEngine:
         if self._needs_host_gate():
             if self._local_gate is None:
                 self._local_gate = PolitenessGate(self.robots_bodies(), **self._gate_kwargs())
-            gated_parts = [
-                self._local_gate(frontier.filter(pc.equal(frontier.column("host"), h)))
-                for h in pc.unique(frontier.column("host"))
-            ]
-            gated = pa.concat_tables(gated_parts)
+            if self.cfg.per_host_budget is None:
+                gated = gate_rows(self._local_gate, frontier)
+            else:
+                gated_parts = [
+                    self._local_gate(frontier.filter(pc.equal(frontier.column("host"), h)))
+                    for h in pc.unique(frontier.column("host"))
+                ]
+                gated = pa.concat_tables(gated_parts)
         else:
             gated = _depth_gate(frontier, max_depth=self.cfg.max_depth)
         fetched = _fetch_gated(
             gated, pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
         )
         results = extract_links_batch(fetched, same_domain=self.cfg.same_domain, drop_html=True)
-        pq.write_table(results, os.path.join(results_path, "part-0.parquet"))
+        pq.write_table(
+            results, os.path.join(results_path, "part-0.parquet"), row_group_size=512
+        )
         self._tally_verdicts(results_path, stats)
 
         admitted = results.filter(pc.equal(results.column("verdict"), "admit"))
@@ -332,7 +419,11 @@ class CrawlEngine:
         )
         nxt = pa.concat_tables([survivors, _cast_frontier(deferred)])
         if nxt.num_rows:
-            pq.write_table(nxt, os.path.join(next_path, "part-0.parquet"))
+            # small row groups → the next distributed wave can split this
+            # single file into parallel blocks
+            pq.write_table(
+                nxt, os.path.join(next_path, "part-0.parquet"), row_group_size=512
+            )
         stats.new_urls = survivors.num_rows
         return stats
 
@@ -435,6 +526,31 @@ class CrawlEngine:
 
 
 # -- row-local stage helpers (shared by both wave paths) -------------------
+
+
+def _warm_worker(batch: pa.Table) -> pa.Table:
+    import urlmap_ray.extract  # noqa: F401
+    import urlmap_ray.stages.fetch  # noqa: F401
+    import urlmap_ray.stages.links  # noqa: F401
+
+    time.sleep(0.05)  # hold the slot so Ray actually spawns distinct workers
+    return batch
+
+
+def _checkpoint_results_passthrough(batch: pa.Table, results_path: str) -> pa.Table:
+    """Side-effect checkpoint write inside the fused wave chain: each batch
+    lands in the results dir, then flows on (minus the columns downstream
+    doesn't need). Partial files from a crashed wave are harmless — resume
+    discards any wave dir without a manifest."""
+    import uuid
+
+    if batch.num_rows:
+        pq.write_table(
+            batch,
+            os.path.join(results_path, f"part-{uuid.uuid4().hex[:12]}.parquet"),
+            row_group_size=4096,
+        )
+    return batch.select(["url", "depth", "links"])
 
 
 def _depth_gate(batch: pa.Table, max_depth: int) -> pa.Table:

@@ -110,6 +110,36 @@ class PolitenessGate:
         return pa.concat_tables(out_tables)
 
 
+def gate_rows(gate: "PolitenessGate", batch: pa.Table) -> pa.Table:
+    """Row-local verdicts: robots + depth only, no budget/deferral.
+
+    Used when no per-host budget is configured — then admission does not
+    depend on the rest of the host's group, so the gate runs as a plain
+    map_batches with NO shuffle and no hot-host skew (the reference's
+    Crawl-delay sleep is a throughput concern, not a set concern; budgeted
+    crawls take the grouped path where the delay caps the wave budget).
+    """
+    urls = batch.column("url").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    verdicts = []
+    for u, d in zip(urls, depths):
+        if gate.respect_robots:
+            data = gate._rules_for(origin_of(u))
+            if data is not None:
+                try:
+                    path = parse_url(u).path
+                except URLError:
+                    path = "/"
+                if not check_rules(data.rules, path):
+                    verdicts.append("skip_robots")
+                    continue
+        if gate.max_depth >= 0 and d > gate.max_depth:
+            verdicts.append("skip_depth")
+            continue
+        verdicts.append("admit")
+    return batch.append_column("verdict", pa.array(verdicts, pa.string()))
+
+
 # Worker-process cache of constructed gates (parsed robots rules), keyed by
 # the broadcast object ref + config. Survives across waves without actor
 # respawn cost; the robots dict is ray.put() once per crawl and ray.get()
@@ -144,6 +174,8 @@ def gate_group(
             bodies, user_agent, per_host_budget, respect_robots, max_depth, wave_seconds
         )
         _GATE_CACHE[key] = gate
+    if per_host_budget is None:
+        return gate_rows(gate, group)
     return gate(group)
 
 

@@ -251,6 +251,13 @@ class CrawlEngine:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+        # Range-sort by (bucket, url) so each fetch task's URLs are a
+        # contiguous slice of ONE bucket file: parquet row-group pruning
+        # then reads only that slice. Without this, hash-spread URLs make
+        # every task touch nearly every row group — N_tasks full-corpus
+        # decompressions per wave, which flatlines scaling. The sort
+        # shuffles only the (tiny) frontier.
+        ds = ds.sort(["bucket", "url"])
         ds = (
             ds.map_batches(
                 _fetch_gated,
@@ -309,6 +316,7 @@ class CrawlEngine:
             fn_kwargs=dict(robots_ref=self._robots_ref, **self._gate_kwargs()),
             batch_format="pyarrow",
         )
+        ds = ds.sort(["bucket", "url"])  # cluster fetch reads (see fast path)
         ds = ds.map_batches(
             _fetch_gated,
             fn_kwargs=dict(pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions),

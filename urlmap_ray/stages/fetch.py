@@ -52,10 +52,22 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table
     html_by_url: dict[str, bytes] = {}
     for b in np.unique(buckets):
         mask = buckets == b
-        wanted = pa.array([u for u, m in zip(urls, mask) if m], pa.string())
-        hits = _bucket_ds(pages_dir, int(b)).to_table(
-            columns=["url", "html"], filter=pc.field("url").isin(wanted)
+        wanted = [u for u, m in zip(urls, mask) if m]
+        # Range predicate on the url-sorted bucket file: row-group min/max
+        # stats prune everything outside [lo, hi]. The engine range-sorts
+        # the frontier by (bucket, url), so a task's wanted set is a tight
+        # range and only its contiguous slice is read/decompressed. Exact
+        # membership is applied in memory after the pruned read.
+        lo, hi = min(wanted), max(wanted)
+        loaded = _bucket_ds(pages_dir, int(b)).to_table(
+            columns=["url", "html"],
+            filter=(pc.field("url") >= lo) & (pc.field("url") <= hi),
         )
+        wset = set(wanted)
+        keep = pa.array(
+            [u in wset for u in loaded.column("url").to_pylist()], type=pa.bool_()
+        )
+        hits = loaded.filter(keep)
         html_by_url.update(
             zip(hits.column("url").to_pylist(), hits.column("html").to_pylist())
         )

@@ -126,7 +126,12 @@ def run_scaling_child() -> dict:
     from urlmap_ray.pipelines.crawl import CrawlEngine
 
     n_pages = int(os.environ.get("URLMAP_SCALE_PAGES", "600000"))
-    info = generate_corpus(f"/tmp/urlmap_corpus/scale{n_pages}", n_pages)  # cached
+    page_scale = int(os.environ.get("URLMAP_PAGE_SCALE", "4"))
+    # page_scale=4 ≈ realistic page weight (~10KB html, ~50 links); the
+    # scale=1 toy pages leave a 32-cpu node overhead-bound.
+    info = generate_corpus(
+        f"/tmp/urlmap_corpus/scale{n_pages}x{page_scale}", n_pages, page_scale=page_scale
+    )  # cached
     seeds = [page_url(h, 0) for h in range(info.n_hosts)]
     eng = CrawlEngine(
         info,
@@ -142,6 +147,7 @@ def run_scaling_child() -> dict:
     out = {
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
+        "page_scale": page_scale,
         "sec": round(crawl_s, 3),
         "pages_fetched": pages,
         "pages_per_sec": round(pages / crawl_s, 1),

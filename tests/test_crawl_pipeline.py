@@ -149,3 +149,21 @@ def test_multi_seed(ray_session, corpus_info, corpus_dict, tmp_path):
     eng.crawl(seeds)
     assert eng.visited_urls() == oracle.output_urls
     assert _depths(eng) == {r.url: r.depth for r in oracle.results}
+
+
+def test_salted_budget_same_visited_set(ray_session, corpus_info, corpus_dict, tmp_path):
+    """Hot-host salting splits the budgeted gate's groups; the final
+    visited set must be unchanged (budget deferral never drops URLs)."""
+    base_cfg = CrawlConfig(per_host_budget=20, respect_robots=True, max_depth=8)
+    salted_cfg = CrawlConfig(
+        per_host_budget=20, respect_robots=True, max_depth=8, hot_host_salt=4
+    )
+    e1 = _engine(ray_session, corpus_info, base_cfg, str(tmp_path / "a"), wave_seconds=1e9)
+    e1.crawl(corpus_info.seeds[0])
+    e2 = _engine(ray_session, corpus_info, salted_cfg, str(tmp_path / "b"), wave_seconds=1e9)
+    out2 = e2.crawl(corpus_info.seeds[0])
+    assert e1.visited_urls() == e2.visited_urls()
+    # salting really split groups: deferrals still happened deterministically
+    e3 = _engine(ray_session, corpus_info, salted_cfg, str(tmp_path / "c"), wave_seconds=1e9)
+    out3 = e3.crawl(corpus_info.seeds[0])
+    assert [w.admitted for w in out2.waves] == [w.admitted for w in out3.waves]

@@ -22,3 +22,9 @@ class CrawlConfig:
     respect_robots: bool = False
     user_agent: str = "urlmap-ray/0.1 (+https://github.com/aoshimash/urlmap)"
     per_host_budget: int | None = None
+    # Hot-host skew salting for the budgeted politeness gate: 0 = off; k > 0
+    # splits every host's wave admission across k url-hash shards, each with
+    # ceil(budget/k) quota, so no single gate task owns a hot host's whole
+    # frontier slice. The final visited SET is unchanged (budget deferral
+    # never drops URLs); only wave assignment shifts. Deterministic.
+    hot_host_salt: int = 0

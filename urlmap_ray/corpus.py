@@ -93,14 +93,14 @@ _CHUNK = 256
 _WORDS_ARR = np.array(_WORDS)
 
 
-def _gen_one(gid: int, starts: np.ndarray, rng: np.random.Generator) -> tuple[str, np.datetime64, bytes, str, str]:
+def _gen_one(gid: int, starts: np.ndarray, rng: np.random.Generator, scale: int = 1) -> tuple[str, np.datetime64, bytes, str, str]:
     h = int(np.searchsorted(starts, gid, side="right") - 1)
     j = int(gid - starts[h])
     host_n = int(starts[h + 1] - starts[h])
     url = page_url(h, j)
 
     # --- text ---
-    n_paras = int(rng.integers(2, 5))
+    n_paras = int(rng.integers(2, 5)) * scale
     paras = []
     for _ in range(n_paras):
         k = int(rng.integers(20, 45))
@@ -121,7 +121,7 @@ def _gen_one(gid: int, starts: np.ndarray, rng: np.random.Generator) -> tuple[st
         else:
             nav.append(f"sec{c % 6}/p{c}" if j == 0 else f"../sec{c % 6}/p{c}")
     # extra same-host links
-    for _ in range(int(rng.integers(0, 4))):
+    for _ in range(int(rng.integers(0, 4)) * scale):
         t = int(rng.integers(0, host_n))
         nav.append(f"/sec{t % 6}/p{t}" if t else "/")
     # occasional duplicate of the first child (duplicates preserved by parser)
@@ -184,12 +184,14 @@ def _gen_one(gid: int, starts: np.ndarray, rng: np.random.Generator) -> tuple[st
     return url, ts, html, text, lang
 
 
-def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int) -> pa.Table:
+def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int = 1) -> pa.Table:
     """Generate a batch of pages; usable standalone or inside map_batches.
 
-    Deterministic in (seed, gid) regardless of how gids are batched: each
-    fixed 256-id chunk has its own RNG stream, and partial chunks are
+    Deterministic in (seed, gid, scale) regardless of how gids are batched:
+    each fixed 256-id chunk has its own RNG stream, and partial chunks are
     generated in full (cheap) with only the requested rows emitted.
+    ``scale`` multiplies paragraphs and link counts (page weight: scale=1 ≈
+    1.5KB toy pages; scale=4-8 ≈ realistic web pages).
     """
     n_total = int(starts[-1])
     gids = np.sort(np.asarray(gids, dtype=np.int64))
@@ -200,7 +202,7 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int) -> pa.Table
         lo = int(chunk_id) * _CHUNK
         hi = min(lo + _CHUNK, n_total)
         for gid in range(lo, hi):
-            url, ts, html, text, lang = _gen_one(gid, starts, rng)
+            url, ts, html, text, lang = _gen_one(gid, starts, rng, scale)
             if gid not in wanted:
                 continue
             cols["url"].append(url)
@@ -219,7 +221,7 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int) -> pa.Table
     )
 
 
-def _gen_all(n_pages: int, starts: np.ndarray, seed: int) -> pa.Table:
+def _gen_all(n_pages: int, starts: np.ndarray, seed: int, scale: int = 1) -> pa.Table:
     """Generate the full pages table — in parallel Ray tasks when a session
     is up and the corpus is big (chunk-aligned spans, so bytes are identical
     to the single-process path)."""
@@ -230,7 +232,7 @@ def _gen_all(n_pages: int, starts: np.ndarray, seed: int) -> pa.Table:
     except ImportError:
         use_ray = False
     if not use_ray:
-        return gen_pages_batch(np.arange(n_pages), starts, seed)
+        return gen_pages_batch(np.arange(n_pages), starts, seed, scale)
 
     import ray
 
@@ -239,7 +241,7 @@ def _gen_all(n_pages: int, starts: np.ndarray, seed: int) -> pa.Table:
 
     @ray.remote
     def _gen_span(lo: int, hi: int) -> pa.Table:
-        return gen_pages_batch(np.arange(lo, hi), starts, seed)
+        return gen_pages_batch(np.arange(lo, hi), starts, seed, scale)
 
     futs = [
         _gen_span.remote(lo, min(lo + span, n_pages)) for lo in range(0, n_pages, span)
@@ -285,6 +287,7 @@ def generate_corpus(
     n_hosts: int | None = None,
     seed: int = 42,
     partitions: int = 8,
+    page_scale: int = 1,
 ) -> CorpusInfo:
     """Write pages (url-hash partitioned parquet dir) + robots + manifest.
 
@@ -293,11 +296,17 @@ def generate_corpus(
     if n_hosts is None:
         n_hosts = max(4, n_pages // 150)
     manifest_path = os.path.join(out_dir, "corpus.json")
-    params = {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed, "partitions": partitions}
+    params = {
+        "n_pages": n_pages,
+        "n_hosts": n_hosts,
+        "seed": seed,
+        "partitions": partitions,
+        "page_scale": page_scale,
+    }
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if {k: m[k] for k in params} == params:
+        if {k: m.get(k, 1 if k == "page_scale" else None) for k in params} == params:
             return CorpusInfo(out_dir, n_pages, n_hosts, seed, partitions, m["seeds"])
 
     starts = host_layout(n_pages, n_hosts)
@@ -306,7 +315,7 @@ def generate_corpus(
     # Hash-partition by URL so the fetch join can co-partition at scale.
     import pandas as pd
 
-    table = _gen_all(n_pages, starts, seed)
+    table = _gen_all(n_pages, starts, seed, page_scale)
     buckets = (
         pd.util.hash_array(np.asarray(table.column("url").to_pylist(), dtype=object))
         % partitions

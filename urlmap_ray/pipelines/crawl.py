@@ -110,7 +110,7 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         seen_shards: int = 4,
         wave_seconds: float = 300.0,
-        small_wave_rows: int = 4000,
+        small_wave_rows: int = 1000,
     ):
         self.corpus = corpus
         self.cfg = cfg
@@ -149,6 +149,15 @@ class CrawlEngine:
             max_depth=self.cfg.max_depth,
             wave_seconds=self.wave_seconds,
         )
+
+    def _salted_gate_kwargs(self) -> dict:
+        kw = self._gate_kwargs()
+        k = self.cfg.hot_host_salt
+        if k > 0:
+            if kw["per_host_budget"] is not None:
+                kw["per_host_budget"] = -(-kw["per_host_budget"] // k)  # ceil
+            kw["wave_seconds"] = kw["wave_seconds"] / k  # scale crawl-delay cap
+        return kw
 
     def warmup(self) -> None:
         """Start Ray worker processes and pay module-import cost before any
@@ -310,12 +319,27 @@ class CrawlEngine:
         ds = ray.data.read_parquet(frontier_path)
         if self._robots_ref is None:
             self._robots_ref = ray.put(self.robots_bodies())
-        # per-host deterministic admission needs whole host groups
-        ds = ds.groupby("host").map_groups(
+        # Per-host deterministic admission needs whole host groups. With
+        # hot_host_salt=k the group key becomes (host, url_hash%k) and each
+        # shard gets ceil(budget/k) quota — a hot host's frontier never
+        # lands in one gate task (north_rule skew salting).
+        salt = self.cfg.hot_host_salt
+        if salt > 0:
+            ds = ds.map_batches(
+                _add_gate_key, fn_kwargs=dict(salt=salt), batch_format="pyarrow"
+            )
+            key = "gate_key"
+        else:
+            key = "host"
+        ds = ds.groupby(key).map_groups(
             gate_group,
-            fn_kwargs=dict(robots_ref=self._robots_ref, **self._gate_kwargs()),
+            fn_kwargs=dict(robots_ref=self._robots_ref, **self._salted_gate_kwargs()),
             batch_format="pyarrow",
         )
+        if salt > 0:
+            ds = ds.map_batches(
+                lambda t: t.drop_columns(["gate_key"]), batch_format="pyarrow"
+            )
         ds = ds.sort(["bucket", "url"])  # cluster fetch reads (see fast path)
         ds = ds.map_batches(
             _fetch_gated,
@@ -388,15 +412,23 @@ class CrawlEngine:
         frontier = pads.dataset(frontier_path, format="parquet").to_table()
         if self._needs_host_gate():
             if self._local_gate is None:
-                self._local_gate = PolitenessGate(self.robots_bodies(), **self._gate_kwargs())
+                self._local_gate = PolitenessGate(
+                    self.robots_bodies(), **self._salted_gate_kwargs()
+                )
             if self.cfg.per_host_budget is None:
                 gated = gate_rows(self._local_gate, frontier)
             else:
+                key_col = "host"
+                if self.cfg.hot_host_salt > 0:
+                    frontier = _add_gate_key(frontier, self.cfg.hot_host_salt)
+                    key_col = "gate_key"
                 gated_parts = [
-                    self._local_gate(frontier.filter(pc.equal(frontier.column("host"), h)))
-                    for h in pc.unique(frontier.column("host"))
+                    self._local_gate(frontier.filter(pc.equal(frontier.column(key_col), g)))
+                    for g in pc.unique(frontier.column(key_col))
                 ]
                 gated = pa.concat_tables(gated_parts)
+                if key_col == "gate_key":
+                    gated = gated.drop_columns(["gate_key"])
         else:
             gated = _depth_gate(frontier, max_depth=self.cfg.max_depth)
         fetched = _fetch_gated(
@@ -457,12 +489,7 @@ class CrawlEngine:
         wdir = self._wave_dir(d)
         seen_dir = os.path.join(wdir, "seen")
         os.makedirs(seen_dir, exist_ok=True)
-        for shard_id, urls in enumerate(seen.drain_journals()):
-            if urls:
-                pq.write_table(
-                    pa.table({"url": pa.array(urls, pa.string())}),
-                    os.path.join(seen_dir, f"shard-{shard_id:04d}.parquet"),
-                )
+        seen.checkpoint_journals(seen_dir)
         manifest = {
             "wave": d,
             "seeds": seeds,
@@ -605,6 +632,16 @@ def _fetch_gated(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Tabl
         }
     )
     return pa.concat_tables([fetched, rest_out])
+
+
+def _add_gate_key(batch: pa.Table, salt: int) -> pa.Table:
+    from ..state.seen import url_hash
+
+    urls = batch.column("url").to_pylist()
+    hosts = batch.column("host").to_pylist()
+    shards = url_hash(urls) % salt if urls else []
+    keys = [f"{h}#{s}" for h, s in zip(hosts, shards)]
+    return batch.append_column("gate_key", pa.array(keys, pa.string()))
 
 
 def _cast_frontier(batch: pa.Table) -> pa.Table:

@@ -165,6 +165,20 @@ class SeenShard:
         j, self.journal = self.journal, []
         return j
 
+    def checkpoint_journal(self, path: str) -> int:
+        """Write (and clear) this shard's journal as Parquet — inside the
+        actor, so the driver never relays the URL lists."""
+        n = len(self.journal)
+        if n:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({"url": pa.array(self.journal, pa.string())}), path
+            )
+            self.journal = []
+        return n
+
     def size(self) -> int:
         return len(self.exact)
 
@@ -194,6 +208,16 @@ class SeenSet:
 
     def drain_journals(self) -> list[list[str]]:
         return ray.get([s.drain_journal.remote() for s in self.shards])
+
+    def checkpoint_journals(self, seen_dir: str) -> int:
+        """All shards write their deltas in parallel; returns total new urls."""
+        import os
+
+        futs = [
+            s.checkpoint_journal.remote(os.path.join(seen_dir, f"shard-{i:04d}.parquet"))
+            for i, s in enumerate(self.shards)
+        ]
+        return sum(ray.get(futs))
 
     def bulk_load(self, urls: list[str]) -> None:
         shard_of = (url_hash(urls) % self.num_shards).astype(np.int64)

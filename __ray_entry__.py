@@ -252,6 +252,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def spa_detect(sf_dir):
+        import ray.data
+
+        from urlmap_ray.spa import detect_spa_batch
+
+        info = _corpus(sf_dir)
+        return (
+            ray.data.read_parquet(info.pages_path, columns=["url", "html"])
+            .map_batches(detect_spa_batch, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(lambda t: t.drop_columns(["indicators"]), batch_format="pyarrow")
+            .sort("url")
+        )
+
+    def page_link_stats(sf_dir):
+        # G3: extraction-stats rollup (parser.go:323-333 counters summed)
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from urlmap_ray.extract import STATS_FIELDS
+
+        info = _corpus(sf_dir)
+        ds = ray.data.read_parquet(info.pages_path, columns=["url", "html"]).map_batches(
+            extract_links_batch,
+            fn_kwargs=dict(with_stats=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        row = ds.aggregate(*[Sum(f, alias_name=f"sum_{f}") for f in STATS_FIELDS])
+        return pa.table({k: [v] for k, v in row.items()})
+
     return {
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
@@ -268,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_topk_lsh": ann_topk_lsh,
         "media_features": media_features,
+        "spa_detect": spa_detect,
+        "page_link_stats": page_link_stats,
         "events_daily": events_daily,
         "orders_top20": orders_top20,
         "lineitem_agg": lineitem_agg,

@@ -241,7 +241,7 @@ class CrawlEngine:
         next_path = os.path.join(wdir, "next_frontier")
         os.makedirs(results_path, exist_ok=True)
 
-        ds = ray.data.read_parquet(frontier_path)
+        ds = self._clustered_frontier(frontier_path, n_frontier, wdir)
         if self.cfg.respect_robots:
             # row-local robots+depth verdicts (gate_group routes to gate_rows
             # when no budget is set — robots checked before depth, matching
@@ -260,13 +260,6 @@ class CrawlEngine:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-        # Range-sort by (bucket, url) so each fetch task's URLs are a
-        # contiguous slice of ONE bucket file: parquet row-group pruning
-        # then reads only that slice. Without this, hash-spread URLs make
-        # every task touch nearly every row group — N_tasks full-corpus
-        # decompressions per wave, which flatlines scaling. The sort
-        # shuffles only the (tiny) frontier.
-        ds = ds.sort(["bucket", "url"])
         ds = (
             ds.map_batches(
                 _fetch_gated,
@@ -310,6 +303,39 @@ class CrawlEngine:
         stats.new_urls = _count_rows(next_path)
         return stats
 
+    # Frontier rows must reach fetch tasks clustered by (bucket, url): each
+    # task then reads one contiguous, row-group-pruned slice of one bucket
+    # file. Without clustering, hash-spread URLs make every task touch
+    # nearly every row group — N_tasks full-corpus decompressions per wave,
+    # which flatlines scaling. Below ``driver_sort_limit`` rows the sort is
+    # a driver-side pyarrow take (~100ms for 300k rows) spilled as aligned
+    # chunk files; Ray's distributed sort (multi-second barrier per wave)
+    # only pays for itself on frontiers too big for one process.
+    driver_sort_limit = 5_000_000
+
+    def _clustered_frontier(self, frontier_path: str, n_frontier: int, wdir: str):
+        if n_frontier > self.driver_sort_limit:
+            return ray.data.read_parquet(frontier_path).sort(["bucket", "url"])
+        tbl = pads.dataset(frontier_path, format="parquet").to_table()
+        tbl = tbl.take(
+            pc.sort_indices(
+                tbl, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
+            )
+        )
+        sorted_path = os.path.join(wdir, "frontier_sorted")
+        os.makedirs(sorted_path, exist_ok=True)
+        # ~1.5k rows per chunk: enough task rounds that stragglers smooth
+        # out, small enough that a chunk is seconds of work at heavy page
+        # weights.
+        n_chunks = max(16, min(256, n_frontier // 1500)) or 1
+        step = -(-tbl.num_rows // n_chunks)
+        for i, off in enumerate(range(0, tbl.num_rows, step)):
+            pq.write_table(
+                tbl.slice(off, step),
+                os.path.join(sorted_path, f"chunk-{i:05d}.parquet"),
+            )
+        return ray.data.read_parquet(sorted_path)
+
     def _run_wave_ray_budget(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
         stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")
         wdir = self._wave_dir(d)
@@ -340,7 +366,8 @@ class CrawlEngine:
             ds = ds.map_batches(
                 lambda t: t.drop_columns(["gate_key"]), batch_format="pyarrow"
             )
-        ds = ds.sort(["bucket", "url"])  # cluster fetch reads (see fast path)
+        ds = ds.sort(["bucket", "url"])  # cluster fetch reads (budget path keeps
+        # the distributed sort: gated output is already materialized per wave)
         ds = ds.map_batches(
             _fetch_gated,
             fn_kwargs=dict(pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions),

@@ -215,7 +215,13 @@ class CrawlEngine:
             else:
                 stats = self._run_wave_ray(d, frontier_path, n_frontier, seeds, seen)
             stats.seconds = time.time() - t0
+            t_ck = time.time()
             self._checkpoint_seen_and_manifest(d, frontier_path, stats, seeds, seen)
+            if os.environ.get("URLMAP_STATS"):
+                print(
+                    f"wave {d}: total {stats.seconds:.2f}s ckpt {time.time() - t_ck:.2f}s mode={stats.mode}",
+                    flush=True,
+                )
             outcome.waves.append(stats)
             d += 1
 
@@ -236,6 +242,7 @@ class CrawlEngine:
         if self.cfg.per_host_budget is not None:
             return self._run_wave_ray_budget(d, frontier_path, n_frontier, seeds, seen)
         stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")
+        stats._t0 = time.time()
         wdir = self._wave_dir(d)
         results_path = os.path.join(wdir, "results")
         next_path = os.path.join(wdir, "next_frontier")
@@ -296,11 +303,18 @@ class CrawlEngine:
                 batch_format="pyarrow",
             )
         )
+        t_exec = time.time()
         ds.write_parquet(next_path, row_group_size=512)
-        if os.environ.get("URLMAP_STATS"):
-            print(f"--- wave {d} fused stats ---\n{ds.stats()}", flush=True)
+        t_write = time.time()
         self._tally_verdicts(results_path, stats)
+        t_tally = time.time()
         stats.new_urls = _count_rows(next_path)
+        if os.environ.get("URLMAP_STATS"):
+            print(
+                f"wave {d}: setup+sort {t_exec - stats._t0:.2f}s exec {t_write - t_exec:.2f}s "
+                f"tally {t_tally - t_write:.2f}s count {time.time() - t_tally:.2f}s",
+                flush=True,
+            )
         return stats
 
     # Frontier rows must reach fetch tasks clustered by (bucket, url): each
@@ -326,8 +340,9 @@ class CrawlEngine:
         os.makedirs(sorted_path, exist_ok=True)
         # ~1.5k rows per chunk: enough task rounds that stragglers smooth
         # out, small enough that a chunk is seconds of work at heavy page
-        # weights.
-        n_chunks = max(16, min(256, n_frontier // 1500)) or 1
+        # weights. (URLMAP_CHUNK_ROWS overrides for tuning.)
+        chunk_rows = int(os.environ.get("URLMAP_CHUNK_ROWS", "1500"))
+        n_chunks = max(16, min(256, n_frontier // chunk_rows)) or 1
         step = -(-tbl.num_rows // n_chunks)
         for i, off in enumerate(range(0, tbl.num_rows, step)):
             pq.write_table(

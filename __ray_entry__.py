@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_simhash(sf_dir):
         return dd.dedup_simhash(_docs(sf_dir), max_hamming=3)
 
+    def dedup_ngram(sf_dir):
+        return dd.dedup_ngram_jaccard(_docs(sf_dir), threshold=0.8)
+
     def embedding_neardup(sf_dir):
         return dd.embedding_neardup(_emb(sf_dir), threshold=0.4)
 
@@ -166,6 +169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_topk_lsh(sf_dir):
         out = sim.topk_cosine_lsh(
             _emb(sf_dir), _query_vecs(sf_dir), k=10, dim=64, n_planes=8
+        )
+        return out.select(["query_idx", "vec_id"])
+
+    def ann_topk_ivf(sf_dir):
+        out = sim.topk_cosine_ivf(
+            _emb(sf_dir), _query_vecs(sf_dir), k=10, n_centroids=16, nprobe=6
         )
         return out.select(["query_idx", "vec_id"])
 
@@ -252,6 +261,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def orders_cust_nation(sf_dir):
+        # shuffle hash join (orders ⋈ customer) + broadcast join (⋈ nation)
+        import pyarrow.parquet as pq
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        from urlmap_ray.functions.joins import broadcast_join, shuffle_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+        )
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+        )
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        )
+        joined = shuffle_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+        )
+        named = broadcast_join(joined, nation, left_on="c_nationkey", right_on="n_nationkey")
+        agg = named.groupby("n_name").aggregate(
+            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+        )
+        return agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "n_name": t.column("n_name"),
+                    "n_orders": t.column("n_orders"),
+                    "sum_price": pa.compute.round(t.column("sum_price")).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def events_sessions(sf_dir):
+        import ray.data
+
+        from urlmap_ray.functions.windows import sessionize
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+        )
+        return sessionize(ds, gap_s=1800.0)
+
     def spa_detect(sf_dir):
         import ray.data
 
@@ -294,9 +348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_ngram": dedup_ngram,
         "embedding_neardup": embedding_neardup,
         "ann_topk": ann_topk,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
+        "orders_cust_nation": orders_cust_nation,
+        "events_sessions": events_sessions,
         "media_features": media_features,
         "spa_detect": spa_detect,
         "page_link_stats": page_link_stats,
@@ -328,6 +386,101 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "doc_lang_id": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       substr(text, 1, 400) AS head,
+                       lower(substr(text, 1, 2000)) AS low
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, head,
+                       len(regexp_extract_all(head, '[一-鿿]')) AS cjk,
+                       (length(low) - length(replace(low, 'the', ''))) / 3
+                     + (length(low) - length(replace(low, 'and', ''))) / 3
+                     + (length(low) - length(replace(low, 'ing', ''))) / 3
+                     + (length(low) - length(replace(low, 'ion', ''))) / 3
+                     + (length(low) - length(replace(low, ' th', ''))) / 3 AS s_en,
+                       (length(low) - length(replace(low, 'der', ''))) / 3
+                     + (length(low) - length(replace(low, 'sch', ''))) / 3
+                     + (length(low) - length(replace(low, 'ein', ''))) / 3
+                     + (length(low) - length(replace(low, 'und', ''))) / 3
+                     + (length(low) - length(replace(low, 'ich', ''))) / 3 AS s_de,
+                       (length(low) - length(replace(low, 'les', ''))) / 3
+                     + (length(low) - length(replace(low, 'ent', ''))) / 3
+                     + (length(low) - length(replace(low, 'que', ''))) / 3
+                     + (length(low) - length(replace(low, 'ais', ''))) / 3
+                     + (length(low) - length(replace(low, 'eur', ''))) / 3 AS s_fr,
+                       (length(low) - length(replace(low, 'los', ''))) / 3
+                     + (length(low) - length(replace(low, 'que', ''))) / 3
+                     + (length(low) - length(replace(low, 'ión', ''))) / 3
+                     + (length(low) - length(replace(low, 'ado', ''))) / 3
+                     + (length(low) - length(replace(low, 'nte', ''))) / 3 AS s_es
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR text = '' THEN 'und'
+                        WHEN cjk > length(head) * 0.2 THEN 'zh'
+                        WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "dedup_ngram": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                                FOR i IN range(1, len(w) - 1)])
+                       END AS shingles
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), inter AS (
+                SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS c
+                FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+        """,
+        "orders_cust_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice)) AS BIGINT) AS sum_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "events_sessions": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), y AS (
+                SELECT user_id, ts,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM x
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, count(*) AS n_events
+            FROM y GROUP BY 1, 2
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text)

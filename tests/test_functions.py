@@ -226,3 +226,120 @@ def test_media_stubs(docs_tbl):
         planned.column("media_type").to_pylist(), planned.column("frame_ts_ms").to_pylist()
     ):
         assert (len(plan) > 0) == (t == "video")
+
+
+def test_dedup_ngram_jaccard_exact(ray_session, docs_tbl):
+    """Inverted-index pairs == brute-force pairwise exact Jaccard."""
+    import ray.data
+
+    from urlmap_ray.functions.dedup import dedup_ngram_jaccard
+
+    sub = docs_tbl.select(["doc_id", "text"]).slice(0, 120)
+    out = dedup_ngram_jaccard(ray.data.from_arrow(sub), threshold=0.6).to_pandas()
+    ids = sub.column("doc_id").to_pylist()
+    texts = sub.column("text").to_pylist()
+    expect = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if ngram_jaccard(texts[i], texts[j]) >= 0.6
+        # empty-shingle docs pair with nothing in the inverted index
+        and texts[i].strip() and texts[j].strip()
+    }
+    assert set(zip(out["a"], out["b"])) == expect
+
+
+def test_topk_ivf_recall(ray_session, emb_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.similarity import topk_cosine_ivf
+
+    m = np.asarray(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    q = m[:3]
+    exact = topk_cosine(ray.data.from_arrow(emb_tbl), q, k=10)
+    approx = topk_cosine_ivf(
+        ray.data.from_arrow(emb_tbl), q, k=10, n_centroids=8, nprobe=3
+    )
+    ex = set(zip(exact.column("query_idx").to_pylist(), exact.column("vec_id").to_pylist()))
+    ap = set(zip(approx.column("query_idx").to_pylist(), approx.column("vec_id").to_pylist()))
+    assert len(ex & ap) / len(ex) >= 0.6  # nprobe=3/8 cells
+
+
+def test_sessionize_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from urlmap_ray.functions.windows import sessionize
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    out = (
+        sessionize(ray.data.from_arrow(ev), gap_s=1800.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    df = ev.to_pandas().sort_values(["user_id", "ts"], kind="stable")
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        new_s = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_s[1:] = np.diff(ts).astype("timedelta64[us]").astype(np.int64) > 1800 * 10**6
+        sid = np.cumsum(new_s)
+        for s in range(1, sid[-1] + 1):
+            sel = ts[sid == s]
+            rows.append((uid, s, sel[0], len(sel)))
+    ref = pd.DataFrame(rows, columns=["user_id", "session_id", "session_start", "n_events"])
+    ref = ref.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_joins_match_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from urlmap_ray.functions.joins import broadcast_join, shuffle_join
+
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    # broadcast: big orders stream probes small customer table
+    out_b = broadcast_join(
+        ray.data.from_arrow(orders), cust, left_on="o_custkey", right_on="c_custkey"
+    ).to_pandas()  # right key column is not duplicated into the output
+    # shuffle: native hash-partitioned Dataset.join
+    out_s = shuffle_join(
+        ray.data.from_arrow(orders),
+        ray.data.from_arrow(cust),
+        on="o_custkey",
+        right_on="c_custkey",
+        num_partitions=4,
+    ).to_pandas()[["o_orderkey", "o_custkey", "c_nationkey"]]
+    ref = (
+        orders.to_pandas()
+        .merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+        .drop(columns=["c_custkey"])
+    )
+    key = ["o_orderkey", "o_custkey", "c_nationkey"]
+    for out in (out_b, out_s):
+        got = out.sort_values(key).reset_index(drop=True)
+        want = ref.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_broadcast_join_left_keeps_unmatched(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.joins import broadcast_join
+
+    left = pa.table({"k": pa.array([1, 2, 99], pa.int64()), "v": pa.array([10, 20, 30], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])})
+    out = broadcast_join(
+        ray.data.from_arrow(left), right, left_on="k", right_on="k", how="left"
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["name"].tolist() == ["a", "b", None]
+    inner = broadcast_join(
+        ray.data.from_arrow(left), right, left_on="k", right_on="k", how="inner"
+    ).to_pandas()
+    assert sorted(inner["k"].tolist()) == [1, 2]

@@ -186,6 +186,96 @@ def dedup_minhash_lsh(ds, *, threshold: float = 0.8, bands: int = 16, k: int = 3
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via shingle inverted index (no sketch, no pairwise scan)
+
+
+def shingle_rows_batch(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> pa.Table:
+    """Per doc: distinct k-word shingles → rows (doc_id, sh, n_sh).
+
+    ``sh`` is a 64-bit shingle hash (the shuffle key — 8 bytes/row instead of
+    the shingle string); ``n_sh`` is the doc's distinct-shingle count, carried
+    on every row so the Jaccard denominator needs no second join."""
+    ids, shs, ns = [], [], []
+    for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        hashes = _hash_shingles(_shingles(t or "", k))
+        n = len(hashes)
+        for h in hashes:
+            ids.append(i)
+            shs.append(int(h) - (1 << 63))  # store signed
+            ns.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sh": pa.array(shs, pa.int64()),
+            "n_sh": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def _shingle_group_pairs(group: pa.Table) -> pa.Table:
+    """One shingle bucket → co-occurrence pair rows (a,na,b,nb)."""
+    rows = sorted(
+        zip(group.column("doc_id").to_pylist(), group.column("n_sh").to_pylist())
+    )
+    a, na, b, nb = [], [], [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a.append(rows[i][0])
+            na.append(rows[i][1])
+            b.append(rows[j][0])
+            nb.append(rows[j][1])
+    return pa.table(
+        {
+            "a": pa.array(a, pa.int64()),
+            "na": pa.array(na, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "nb": pa.array(nb, pa.int64()),
+        }
+    )
+
+
+def dedup_ngram_jaccard(ds, *, threshold: float = 0.8, k: int = 3):
+    """EXACT n-gram Jaccard near-dup pairs, with no O(n²) pairwise scan.
+
+    Sparse-join formulation: |A∩B| = number of shingle buckets where both
+    docs appear, so
+        map_batches(shingles)                       # row-local
+        groupby(sh) → co-occurrence pairs           # inverted index
+        groupby(a,b) count → intersection size      # tiny keys
+        filter inter/(na+nb-inter) ≥ threshold      # row-local
+    Unlike MinHash (dedup_minhash_lsh) this is exact — the cost is one
+    shuffle of (doc_id, shingle_hash) rows, i.e. O(total shingles), fine
+    while shingle cardinality ≫ doc count keeps buckets tiny. At web scale
+    you'd additionally drop ubiquitous shingles (df cap) — documented
+    approximation, not applied here to keep the oracle exact.
+
+    Returns Dataset of (a, b) with jaccard(a,b) ≥ threshold, a < b.
+    Docs with no shingles (empty text) pair with nothing.
+    """
+    shingled = ds.map_batches(
+        shingle_rows_batch, fn_kwargs=dict(k=k), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = shingled.groupby("sh").map_groups(_shingle_group_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    inter = pairs.groupby(["a", "na", "b", "nb"]).aggregate(Count(alias_name="inter"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        inter_c = t.column("inter").cast(pa.float64())
+        union = pc.subtract(
+            pc.add(t.column("na"), t.column("nb")), t.column("inter")
+        ).cast(pa.float64())
+        jac = pc.divide(inter_c, union)
+        out = t.filter(pc.greater_equal(jac, threshold))
+        return out.select(["a", "b"])
+
+    return inter.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 

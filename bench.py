@@ -78,13 +78,17 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_ngram",
         "embedding_neardup",
         "ann_topk",
+        "ann_topk_ivf",
         "doc_quality",
         "doc_token_counts",
         "page_links",
         "lineitem_agg",
         "events_daily",
+        "events_sessions",
+        "orders_cust_nation",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)
@@ -160,29 +164,49 @@ def run_scaling_child() -> dict:
 def run_scaling() -> dict:
     """Same headline crawl at N and 4N cpus in fresh processes, over one
     (larger) fixed input — sf0.1's 60k pages are overhead-bound at 32 cpus,
-    so the scaling evidence uses a 600k-page corpus of identical shape."""
-    lo, hi = 8, 32
-    results = {}
-    for cpus in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
-    speedup = t_lo / t_hi
+    so the scaling evidence uses a 600k-page corpus of identical shape.
+
+    Single runs vary ±25% (page-cache state, writeback, Ray scheduling), so
+    each cpu level runs ``reps`` times and the MEDIAN wall time is compared;
+    the first hi-cpu run doubles as corpus/page-cache warmup and is still
+    counted (median absorbs it).
+
+    Default pairing is 6→24 (N and 4N) rather than 8→32: the host has 32
+    vCPUs, so ``num_cpus=32`` leaves ZERO headroom for Ray's control plane,
+    the object store, and the seen-shard actors — the high end then measures
+    oversubscription, not scaling (32-cpu medians run ~25% SLOWER than
+    24-cpu on this box). Real multi-node clusters keep system daemons beside
+    workers on every node, which the 6/24 split models; override with
+    URLMAP_SCALE_LO/HI."""
+    lo = int(os.environ.get("URLMAP_SCALE_LO", "6"))
+    hi = int(os.environ.get("URLMAP_SCALE_HI", "24"))
+    reps = int(os.environ.get("URLMAP_SCALE_REPS", "3"))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for cpus in (hi, lo):  # hi first: its first run warms the page cache
+        for _ in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+    med = {c: sorted(r["sec"] for r in runs[c])[reps // 2] for c in (lo, hi)}
+    speedup = med[lo] / med[hi]
     eff = speedup / (hi / lo)
     return {
-        "metric": f"crawl scaling {lo}→{hi} cpus",
+        "metric": f"crawl scaling {lo}→{hi} cpus (median of {reps})",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "n_pages": results[lo]["n_pages"],
-        "runs": {str(c): results[c] for c in (lo, hi)},
+        "n_pages": runs[lo][0]["n_pages"],
+        "median_sec": {str(c): med[c] for c in (lo, hi)},
+        "pages_per_sec": {
+            str(c): round(runs[c][0]["pages_fetched"] / med[c], 1) for c in (lo, hi)
+        },
+        "runs": {str(c): [r["sec"] for r in runs[c]] for c in (lo, hi)},
         "speedup": round(speedup, 3),
         "efficiency": round(eff, 3),
     }

@@ -306,6 +306,8 @@ class CrawlEngine:
         t_exec = time.time()
         ds.write_parquet(next_path, row_group_size=512)
         t_write = time.time()
+        if os.environ.get("URLMAP_STATS") == "2":
+            print(f"--- wave {d} fused stats ---\n{ds.stats()}", flush=True)
         self._tally_verdicts(results_path, stats)
         t_tally = time.time()
         stats.new_urls = _count_rows(next_path)
@@ -335,21 +337,23 @@ class CrawlEngine:
             pc.sort_indices(
                 tbl, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
             )
-        )
-        sorted_path = os.path.join(wdir, "frontier_sorted")
-        os.makedirs(sorted_path, exist_ok=True)
-        # ~1.5k rows per chunk: enough task rounds that stragglers smooth
-        # out, small enough that a chunk is seconds of work at heavy page
-        # weights. (URLMAP_CHUNK_ROWS overrides for tuning.)
-        chunk_rows = int(os.environ.get("URLMAP_CHUNK_ROWS", "1500"))
-        n_chunks = max(16, min(256, n_frontier // chunk_rows)) or 1
-        step = -(-tbl.num_rows // n_chunks)
-        for i, off in enumerate(range(0, tbl.num_rows, step)):
-            pq.write_table(
-                tbl.slice(off, step),
-                os.path.join(sorted_path, f"chunk-{i:05d}.parquet"),
-            )
-        return ray.data.read_parquet(sorted_path)
+        ).combine_chunks()
+        # Chunk count scales with the cluster: ~6 wave tasks per CPU, so the
+        # per-task tail (heavy pages, wide fetch ranges) amortizes instead of
+        # capping effective concurrency. from_arrow slices pin this block
+        # layout exactly (read_parquet would re-pack small files into fewer
+        # tasks) and skip a spill+re-read round trip; the unsorted frontier
+        # is already on disk as the previous wave's checkpoint.
+        # (URLMAP_CHUNK_ROWS overrides rows/chunk for tuning.)
+        env_rows = os.environ.get("URLMAP_CHUNK_ROWS")
+        if env_rows:
+            n_chunks = max(1, n_frontier // int(env_rows))
+        else:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_chunks = max(16, min(1024, cpus * 6, n_frontier // 64))
+        step = max(64, -(-tbl.num_rows // n_chunks))
+        slices = [tbl.slice(off, step) for off in range(0, tbl.num_rows, step)]
+        return ray.data.from_arrow(slices)
 
     def _run_wave_ray_budget(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
         stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")

@@ -214,18 +214,25 @@ def shingle_rows_batch(
     )
 
 
-def _shingle_group_pairs(group: pa.Table) -> pa.Table:
-    """One shingle bucket → co-occurrence pair rows (a,na,b,nb)."""
-    rows = sorted(
-        zip(group.column("doc_id").to_pylist(), group.column("n_sh").to_pylist())
-    )
+def _bucket_pairs(group: pa.Table, max_df: int | None = None) -> pa.Table:
+    """One shingle-hash bucket (many distinct shingles) → co-occurrence
+    pair rows (a,na,b,nb). Vectorized run detection on the sorted shingle
+    column; the inner loop touches only runs with ≥2 docs (and ≤ max_df
+    docs when a document-frequency cap is set)."""
+    sh = group.column("sh").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    nsh = group.column("n_sh").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, sh))
+    sh, doc, nsh = sh[order], doc[order], nsh[order]
+    starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+    lens = np.diff(np.r_[starts, len(sh)])
+    keep = lens > 1 if max_df is None else (lens > 1) & (lens <= max_df)
     a, na, b, nb = [], [], [], []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            a.append(rows[i][0])
-            na.append(rows[i][1])
-            b.append(rows[j][0])
-            nb.append(rows[j][1])
+    for s, ln in zip(starts[keep], lens[keep]):
+        d, n = doc[s : s + ln], nsh[s : s + ln]
+        for i in range(ln):
+            for j in range(i + 1, ln):
+                a.append(d[i]); na.append(n[i]); b.append(d[j]); nb.append(n[j])
     return pa.table(
         {
             "a": pa.array(a, pa.int64()),
@@ -236,20 +243,32 @@ def _shingle_group_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def dedup_ngram_jaccard(ds, *, threshold: float = 0.8, k: int = 3):
+def dedup_ngram_jaccard(
+    ds,
+    *,
+    threshold: float = 0.8,
+    k: int = 3,
+    buckets: int = 4096,
+    max_df: int | None = None,
+):
     """EXACT n-gram Jaccard near-dup pairs, with no O(n²) pairwise scan.
 
-    Sparse-join formulation: |A∩B| = number of shingle buckets where both
-    docs appear, so
+    Sparse-join formulation: |A∩B| = number of shingles both docs share, so
         map_batches(shingles)                       # row-local
-        groupby(sh) → co-occurrence pairs           # inverted index
+        groupby(sh % buckets) → co-occurrence pairs # bucketed inverted index
         groupby(a,b) count → intersection size      # tiny keys
         filter inter/(na+nb-inter) ≥ threshold      # row-local
-    Unlike MinHash (dedup_minhash_lsh) this is exact — the cost is one
-    shuffle of (doc_id, shingle_hash) rows, i.e. O(total shingles), fine
-    while shingle cardinality ≫ doc count keeps buckets tiny. At web scale
-    you'd additionally drop ubiquitous shingles (df cap) — documented
-    approximation, not applied here to keep the oracle exact.
+    The inverted index groups by a BUCKET of the shingle hash, not the raw
+    shingle: millions of 1-row groups make per-group dispatch the
+    bottleneck (and Dataset.join's aggregator actors are worse at this
+    shape), while a few thousand fat buckets keep the shuffle identical and
+    the per-bucket pairing a vectorized run scan. Unlike MinHash
+    (dedup_minhash_lsh) this is exact — the cost is one shuffle of
+    (doc_id, shingle_hash) rows, i.e. O(total shingles). ``max_df`` is the
+    web-scale knob: shingles in more than max_df docs generate no candidate
+    pairs (boilerplate phrases contribute quadratic pair volume and
+    near-zero Jaccard mass). Default None = exact, matching the SQL oracle;
+    at 10^10 docs set e.g. max_df=1000 — the documented approximation.
 
     Returns Dataset of (a, b) with jaccard(a,b) ≥ threshold, a < b.
     Docs with no shingles (empty text) pair with nothing.
@@ -257,8 +276,15 @@ def dedup_ngram_jaccard(ds, *, threshold: float = 0.8, k: int = 3):
     shingled = ds.map_batches(
         shingle_rows_batch, fn_kwargs=dict(k=k), batch_format="pyarrow",
         zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.append_column(
+            "shb", pc.cast(pc.bit_wise_and(t.column("sh"), buckets - 1), pa.int32())
+        ),
+        batch_format="pyarrow",
     )
-    pairs = shingled.groupby("sh").map_groups(_shingle_group_pairs, batch_format="pyarrow")
+    pairs = shingled.groupby("shb").map_groups(
+        lambda g: _bucket_pairs(g, max_df=max_df), batch_format="pyarrow"
+    )
     from ray.data.aggregate import Count
 
     inter = pairs.groupby(["a", "na", "b", "nb"]).aggregate(Count(alias_name="inter"))

@@ -167,3 +167,31 @@ def test_salted_budget_same_visited_set(ray_session, corpus_info, corpus_dict, t
     e3 = _engine(ray_session, corpus_info, salted_cfg, str(tmp_path / "c"), wave_seconds=1e9)
     out3 = e3.crawl(corpus_info.seeds[0])
     assert [w.admitted for w in out2.waves] == [w.admitted for w in out3.waves]
+
+
+def test_distributed_budget_matches_oracle(
+    ray_session, corpus_info, corpus_dict, robots_index, tmp_path
+):
+    """Budgeted+salted waves on the DISTRIBUTED path (bucketed host groupby)
+    must equal the wave oracle exactly, like the local path does."""
+    plain_cfg = CrawlConfig(per_host_budget=20, respect_robots=True, max_depth=8)
+    salted_cfg = CrawlConfig(
+        per_host_budget=20, respect_robots=True, max_depth=8, hot_host_salt=4
+    )
+    visited = {}
+    for name, cfg in [("plain", plain_cfg), ("salted", salted_cfg)]:
+        eng = _engine(
+            ray_session,
+            corpus_info,
+            cfg,
+            str(tmp_path / name),
+            wave_seconds=1e9,
+            small_wave_rows=0,
+        )
+        out = eng.crawl(corpus_info.seeds[0])
+        assert all(w.mode == "ray" for w in out.waves)
+        visited[name] = eng.visited_urls()
+    oracle = crawl_waves(corpus_dict, corpus_info.seeds[0], plain_cfg, robots=robots_index)
+    assert visited["plain"] == oracle.output_urls
+    # salting must not change the visited set (deferral only delays)
+    assert visited["salted"] == visited["plain"]

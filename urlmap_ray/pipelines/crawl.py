@@ -39,6 +39,7 @@ import shutil
 import time
 from dataclasses import asdict, dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -376,15 +377,24 @@ class CrawlEngine:
             key = "gate_key"
         else:
             key = "host"
-        ds = ds.groupby(key).map_groups(
+        # Group by a fixed HASH BUCKET of the admission key, not the raw key:
+        # the shuffle is identical (every key's rows co-locate) but the group
+        # count stays ~1k regardless of host count — at 10^8 hosts a raw
+        # per-host groupby drowns in per-group dispatch. The gate re-splits
+        # buckets by key internally, so verdicts are bucket-count-invariant.
+        ds = ds.map_batches(
+            _add_group_bucket, fn_kwargs=dict(key=key), batch_format="pyarrow"
+        )
+        ds = ds.groupby("gb").map_groups(
             gate_group,
             fn_kwargs=dict(robots_ref=self._robots_ref, **self._salted_gate_kwargs()),
             batch_format="pyarrow",
         )
-        if salt > 0:
-            ds = ds.map_batches(
-                lambda t: t.drop_columns(["gate_key"]), batch_format="pyarrow"
-            )
+        drop = ["gb"] + (["gate_key"] if salt > 0 else [])
+        ds = ds.map_batches(
+            lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+            batch_format="pyarrow",
+        )
         ds = ds.sort(["bucket", "url"])  # cluster fetch reads (budget path keeps
         # the distributed sort: gated output is already materialized per wave)
         ds = ds.map_batches(
@@ -678,6 +688,14 @@ def _fetch_gated(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Tabl
         }
     )
     return pa.concat_tables([fetched, rest_out])
+
+
+def _add_group_bucket(batch: pa.Table, key: str, buckets: int = 1024) -> pa.Table:
+    from ..state.seen import url_hash
+
+    vals = batch.column(key).to_pylist()
+    gb = (url_hash(vals) % buckets).astype(np.int64) if vals else np.zeros(0, np.int64)
+    return batch.append_column("gb", pa.array(gb, pa.int64()))
 
 
 def _add_gate_key(batch: pa.Table, salt: int) -> pa.Table:

@@ -8,6 +8,15 @@ admission: per host and wave, at most B URLs are crawled; the rest are
 URLs sorted lexicographically within host, first B win — so a
 budget-limited crawl yields the same output on any cluster size.
 
+Hot-host salting (config.hot_host_salt=k) splits a host's admission into k
+shards with ceil(B/k) quota each. This stays fully deterministic and
+cluster-size-invariant, but the *schedule* differs from the unsalted crawl
+(union of per-shard first-⌈B/k⌉ ≠ global first-B), so under a max_depth
+limit the claim-first depth of late-discovered URLs — and thus the visited
+set near the depth boundary — can differ slightly from the salt=0 schedule
+that the wave oracle models. salt=0 matches the oracle exactly; any fixed
+salt reproduces its own output exactly.
+
 Robots handling mirrors processJob (crawler.go:583-607): a disallowed URL is
 skipped entirely (it was already claimed in the seen set, so it never
 reappears) and consumes no budget slot only if skipped before admission —
@@ -75,8 +84,13 @@ class PolitenessGate:
         return b
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        # One whole host group (or several — map_groups may batch groups; we
-        # re-split by host to be safe).
+        # One whole admission group (or several — the engine groups by a
+        # HASH BUCKET of the admission key, not the raw key: at 10^8 hosts a
+        # per-host groupby would drown in per-group dispatch, while ~1k fat
+        # buckets shuffle identically and we re-split vectorized here).
+        # Split key is gate_key (host#salt) when hot-host salting is on —
+        # splitting a salted bucket by bare host would merge a hot host's
+        # salt shards back together and apply its per-shard budget once.
         out_tables = []
         for host_tbl in _split_by_host(group):
             order = pc.sort_indices(host_tbl, sort_keys=[("url", "ascending")])
@@ -180,7 +194,8 @@ def gate_group(
 
 
 def _split_by_host(tbl: pa.Table):
-    hosts = tbl.column("host")
+    key = "gate_key" if "gate_key" in tbl.column_names else "host"
+    hosts = tbl.column(key)
     uniq = pc.unique(hosts)
     if len(uniq) == 1:
         yield tbl

@@ -70,6 +70,25 @@ def run_bench() -> dict:
         "urls_per_sec": round(urls / crawl_s, 1),
     }
 
+    # --- politeness-path crawl: per-host budget + robots (hybrid waves) ---
+    engb = CrawlEngine(
+        info,
+        CrawlConfig(per_host_budget=500, respect_robots=True),
+        checkpoint_dir=f"/tmp/urlmap_bench_ckpt/{os.path.basename(info.dir)}-b{NUM_CPUS}",
+        seen_shards=max(2, NUM_CPUS // 4),
+    )
+    t0 = time.time()
+    outb = engb.crawl(seeds)
+    budget_s = time.time() - t0
+    bpages = sum(w.admitted - w.failed for w in outb.waves)
+    queries["crawl_budget"] = round(budget_s, 3)
+    extras["crawl_budget"] = {
+        "waves": len(outb.waves),
+        "pages_fetched": bpages,
+        "pages_per_sec": round(bpages / budget_s, 1),
+        "deferred": sum(w.deferred for w in outb.waves),
+    }
+
     # --- training-data operators over the sf tables ---
     import __ray_entry__ as entry
 

@@ -356,7 +356,128 @@ class CrawlEngine:
         slices = [tbl.slice(off, step) for off in range(0, tbl.num_rows, step)]
         return ray.data.from_arrow(slices)
 
+    def _run_wave_budget_hybrid(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
+        """Budgeted wave, frontier ≤ driver_sort_limit: the gate + admission
+        sort run driver-side (pure pyarrow, same PolitenessGate as the
+        distributed gate), then ONE fused distributed execution does
+        fetch → extract → results checkpoint → flatten → claim → next
+        frontier — no per-wave groupby/sort barriers. Budget crawls defer
+        heavily (many small waves), so per-wave barrier cost dominates the
+        fully-distributed path; this mirrors the no-budget fast path. The
+        wave-level min-depth groupby only runs when the frontier actually
+        mixes depths (deferral backlog); uniform-depth waves skip it —
+        claim-first then equals groupby-min exactly."""
+        stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")
+        wdir = self._wave_dir(d)
+        results_path = os.path.join(wdir, "results")
+        next_path = os.path.join(wdir, "next_frontier")
+        os.makedirs(results_path, exist_ok=True)
+        os.makedirs(next_path, exist_ok=True)
+
+        frontier = pads.dataset(frontier_path, format="parquet").to_table()
+        gated = self._gate_local(frontier)
+        admit_mask = pc.equal(gated.column("verdict"), "admit")
+        admit = gated.filter(admit_mask)
+        rest = gated.filter(pc.invert(admit_mask))
+        if rest.num_rows:
+            # defer/skip rows: record in results directly (no fetch), exactly
+            # the schema _fetch_gated+extract give them on the fused path
+            rest_out = pa.table(
+                {
+                    "url": rest.column("url"),
+                    "depth": rest.column("depth"),
+                    "host": rest.column("host"),
+                    "bucket": rest.column("bucket"),
+                    "verdict": rest.column("verdict"),
+                    "status": pa.array([-1] * rest.num_rows, pa.int32()),
+                    "html": pa.array([None] * rest.num_rows, pa.binary()),
+                }
+            )
+            rest_results = extract_links_batch(
+                rest_out, same_domain=self.cfg.same_domain, drop_html=True
+            )
+            pq.write_table(
+                rest_results,
+                os.path.join(results_path, "part-rest.parquet"),
+                row_group_size=4096,
+            )
+        if admit.num_rows:
+            admit = admit.take(
+                pc.sort_indices(
+                    admit, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
+                )
+            ).combine_chunks()
+            env_rows = os.environ.get("URLMAP_CHUNK_ROWS")
+            if env_rows:
+                n_chunks = max(1, admit.num_rows // int(env_rows))
+            else:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                n_chunks = max(16, min(1024, cpus * 6, admit.num_rows // 64))
+            step = max(64, -(-admit.num_rows // n_chunks))
+            ds = ray.data.from_arrow(
+                [admit.slice(off, step) for off in range(0, admit.num_rows, step)]
+            )
+            ds = (
+                ds.map_batches(
+                    _fetch_gated,
+                    fn_kwargs=dict(
+                        pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
+                    ),
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    extract_links_batch,
+                    fn_kwargs=dict(same_domain=self.cfg.same_domain, drop_html=True),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .map_batches(
+                    _checkpoint_results_passthrough,
+                    fn_kwargs=dict(results_path=results_path),
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    flatten_candidates,
+                    fn_kwargs=dict(
+                        seed_urls=seeds,
+                        same_domain=self.cfg.same_domain,
+                        same_path_prefix=self.cfg.same_path_prefix,
+                        partitions=self.corpus.partitions,
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+            if len(pc.unique(admit.column("depth"))) > 1:
+                ds = (
+                    ds.groupby("url")
+                    .min("depth")
+                    .map_batches(
+                        _rebuild_frontier_cols,
+                        fn_kwargs=dict(partitions=self.corpus.partitions),
+                        batch_format="pyarrow",
+                    )
+                )
+            ds = ds.map_batches(
+                claim_batch,
+                fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
+                batch_format="pyarrow",
+            )
+            ds.write_parquet(next_path, row_group_size=512)
+        deferred = rest.filter(pc.equal(rest.column("verdict"), "defer"))
+        if deferred.num_rows:
+            pq.write_table(
+                _cast_frontier(deferred.select(["url", "depth", "host", "bucket"])),
+                os.path.join(next_path, "part-deferred.parquet"),
+                row_group_size=512,
+            )
+        self._tally_verdicts(results_path, stats)
+        stats.new_urls = max(0, _count_rows(next_path) - stats.deferred)
+        return stats
+
     def _run_wave_ray_budget(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
+        if n_frontier <= self.driver_sort_limit:
+            return self._run_wave_budget_hybrid(d, frontier_path, n_frontier, seeds, seen)
         stats = WaveStats(wave=d, frontier=n_frontier, mode="ray")
         wdir = self._wave_dir(d)
         results_path = os.path.join(wdir, "results")
@@ -457,6 +578,30 @@ class CrawlEngine:
 
     # -- driver-local wave (same stage functions, pyarrow only) ------------
 
+    def _gate_local(self, frontier: pa.Table) -> pa.Table:
+        """Driver-side politeness/depth verdicts for one wave's frontier
+        (pure pyarrow; same PolitenessGate as the distributed gate)."""
+        if not self._needs_host_gate():
+            return _depth_gate(frontier, max_depth=self.cfg.max_depth)
+        if self._local_gate is None:
+            self._local_gate = PolitenessGate(
+                self.robots_bodies(), **self._salted_gate_kwargs()
+            )
+        if self.cfg.per_host_budget is None:
+            return gate_rows(self._local_gate, frontier)
+        key_col = "host"
+        if self.cfg.hot_host_salt > 0:
+            frontier = _add_gate_key(frontier, self.cfg.hot_host_salt)
+            key_col = "gate_key"
+        gated_parts = [
+            self._local_gate(frontier.filter(pc.equal(frontier.column(key_col), g)))
+            for g in pc.unique(frontier.column(key_col))
+        ]
+        gated = pa.concat_tables(gated_parts)
+        if key_col == "gate_key":
+            gated = gated.drop_columns(["gate_key"])
+        return gated
+
     def _run_wave_local(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
         stats = WaveStats(wave=d, frontier=n_frontier, mode="local")
         wdir = self._wave_dir(d)
@@ -466,27 +611,7 @@ class CrawlEngine:
         os.makedirs(next_path, exist_ok=True)
 
         frontier = pads.dataset(frontier_path, format="parquet").to_table()
-        if self._needs_host_gate():
-            if self._local_gate is None:
-                self._local_gate = PolitenessGate(
-                    self.robots_bodies(), **self._salted_gate_kwargs()
-                )
-            if self.cfg.per_host_budget is None:
-                gated = gate_rows(self._local_gate, frontier)
-            else:
-                key_col = "host"
-                if self.cfg.hot_host_salt > 0:
-                    frontier = _add_gate_key(frontier, self.cfg.hot_host_salt)
-                    key_col = "gate_key"
-                gated_parts = [
-                    self._local_gate(frontier.filter(pc.equal(frontier.column(key_col), g)))
-                    for g in pc.unique(frontier.column(key_col))
-                ]
-                gated = pa.concat_tables(gated_parts)
-                if key_col == "gate_key":
-                    gated = gated.drop_columns(["gate_key"])
-        else:
-            gated = _depth_gate(frontier, max_depth=self.cfg.max_depth)
+        gated = self._gate_local(frontier)
         fetched = _fetch_gated(
             gated, pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
         )

@@ -368,7 +368,56 @@ def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{w}'" for w in sorted(
         "the a an and or of to in is are was be for on with as at by it this that".split()
     ))
+    # Exact pairwise n-gram Jaccard ≥ 0.8. Also the oracle for dedup_minhash:
+    # MinHash banding VERIFIES candidates with exact Jaccard (no false
+    # positives ever) and its banding recall is 1.0 on this deterministic
+    # corpus (16 bands × 4 rows ⇒ p(miss) < 2e-4 per qualifying pair;
+    # verified equal at sf0.01/sf0.001), so its output equals the exact set.
+    ngram_pairs_sql = """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                                FOR i IN range(1, len(w) - 1)])
+                       END AS shingles
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), inter AS (
+                SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS c
+                FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+        """
+    # Exact cosine top-10. Also the oracle for ann_topk_ivf: with nprobe=6 of
+    # 16 cells on this corpus the probed cells contain every true top-10
+    # neighbor (verified equal at sf0.01), so IVF output equals brute force.
+    ann_topk_sql = """
+            WITH q AS (SELECT vec_id AS query_idx, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT q.query_idx, e.vec_id
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_idx
+                ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+            ) <= 10
+        """
     return {
+        "dedup_minhash": ngram_pairs_sql,
+        "ann_topk_ivf": ann_topk_sql,
         "doc_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -426,35 +475,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred
             FROM s
         """,
-        "dedup_ngram": """
-            WITH toks AS (
-                SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(w) = 0 THEN []::VARCHAR[]
-                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                            ELSE list_distinct([array_to_string(w[i:i+2], ' ')
-                                                FOR i IN range(1, len(w) - 1)])
-                       END AS shingles
-                FROM toks
-            ), ex AS (
-                SELECT doc_id, unnest(shingles) AS s FROM sh
-            ), sizes AS (
-                SELECT doc_id, len(shingles) AS n FROM sh
-            ), inter AS (
-                SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS c
-                FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT a, b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
-        """,
+        "dedup_ngram": ngram_pairs_sql,
         "orders_cust_nation": """
             SELECT n_name, count(*) AS n_orders,
                    CAST(round(sum(o_totalprice)) AS BIGINT) AS sum_price
@@ -490,16 +511,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
         """,
-        "ann_topk": """
-            WITH q AS (SELECT vec_id AS query_idx, embedding AS qe
-                       FROM embeddings WHERE vec_id < 3)
-            SELECT q.query_idx, e.vec_id
-            FROM q CROSS JOIN embeddings e
-            QUALIFY row_number() OVER (
-                PARTITION BY q.query_idx
-                ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
-            ) <= 10
-        """,
+        "ann_topk": ann_topk_sql,
         "events_daily": """
             SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events
             FROM events GROUP BY 1, 2

@@ -46,39 +46,44 @@ def _bucket_ds(pages_dir: str, b: int) -> pads.Dataset:
 
 
 def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table:
-    """Look up each frontier URL's body in its corpus bucket (selective read)."""
-    urls = batch.column("url").to_pylist()
+    """Look up each frontier URL's body in its corpus bucket (selective read).
+
+    Fully vectorized: per bucket a range-pruned read + ``pc.is_in``
+    membership filter, then one ``pc.index_in``/``take`` aligns hit bodies
+    to the batch's row order (misses → null html, status 0)."""
+    url_col = batch.column("url")
     buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-    html_by_url: dict[str, bytes] = {}
+    hit_parts: list[pa.Table] = []
     for b in np.unique(buckets):
-        mask = buckets == b
-        wanted = [u for u, m in zip(urls, mask) if m]
+        wanted = url_col.filter(pa.array(buckets == b))
         # Range predicate on the url-sorted bucket file: row-group min/max
         # stats prune everything outside [lo, hi]. The engine range-sorts
         # the frontier by (bucket, url), so a task's wanted set is a tight
         # range and only its contiguous slice is read/decompressed. Exact
         # membership is applied in memory after the pruned read.
-        lo, hi = min(wanted), max(wanted)
+        mm = pc.min_max(wanted)
         loaded = _bucket_ds(pages_dir, int(b)).to_table(
             columns=["url", "html"],
-            filter=(pc.field("url") >= lo) & (pc.field("url") <= hi),
+            filter=(pc.field("url") >= mm["min"].as_py())
+            & (pc.field("url") <= mm["max"].as_py()),
         )
-        wset = set(wanted)
-        keep = pa.array(
-            [u in wset for u in loaded.column("url").to_pylist()], type=pa.bool_()
+        hit_parts.append(
+            loaded.filter(pc.is_in(loaded.column("url"), value_set=wanted.combine_chunks()))
         )
-        hits = loaded.filter(keep)
-        html_by_url.update(
-            zip(hits.column("url").to_pylist(), hits.column("html").to_pylist())
-        )
-    htmls = [html_by_url.get(u) for u in urls]
-    status = pa.array([200 if h is not None else 0 for h in htmls], pa.int32())
+    hits = pa.concat_tables(hit_parts) if hit_parts else pa.table(
+        {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
+    )
+    idx = pc.index_in(url_col, value_set=hits.column("url").combine_chunks())
+    html = pc.take(hits.column("html").combine_chunks(), idx) if hits.num_rows else pa.nulls(
+        batch.num_rows, pa.binary()
+    )
+    status = pc.if_else(pc.is_valid(idx), pa.scalar(200, pa.int32()), pa.scalar(0, pa.int32()))
     return pa.table(
         {
-            "url": batch.column("url"),
+            "url": url_col,
             "depth": batch.column("depth"),
             "status": status,
-            "html": pa.array(htmls, pa.binary()),
+            "html": html,
         }
     )
 

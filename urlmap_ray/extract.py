@@ -50,6 +50,79 @@ class ExtractionStats:
     normalization_errors: int = 0
 
 
+def _extract_core(
+    base_url: str, html_content: str, stats: ExtractionStats
+) -> tuple[list[str], list[str]]:
+    """Shared hot loop: normalized links + their hostnames, in document order.
+
+    Semantics are EXACTLY the reference's per-href chain
+    (skip → resolve → IsValidURL → NormalizeURL, parser.go:148-204), but
+    each derived URL string is parsed ONCE and the base URL once per page —
+    the naive chain parses the same strings 4-5×, and this loop is ~80% of
+    crawl CPU. The validity check and normalization below operate on the
+    single shared parse of the same string the scalar functions would each
+    re-parse, so behavior is identical (both are pure functions of that
+    string); normalization_errors is structurally unreachable once the
+    validity parse succeeded — same as in the scalar chain.
+    """
+    links: list[str] = []
+    hosts: list[str] = []
+    base_parsed: object = None  # lazily parsed once; False = parse error
+    from .gourl import parse as _parse, resolve_reference
+
+    for href in iter_hrefs(html_content):
+        stats.total_found += 1
+        href = href.strip()
+        if not href:
+            stats.empty_hrefs += 1
+            continue
+        if should_skip_url(href):
+            stats.filtered_out += 1
+            continue
+        if href.startswith(("http://", "https://")):
+            try:
+                u = _parse(href)
+            except URLError:
+                stats.invalid_urls += 1
+                continue
+        else:
+            stats.relative_urls += 1
+            if base_parsed is None:
+                try:
+                    base_parsed = _parse(base_url)
+                except URLError:
+                    base_parsed = False
+            if base_parsed is False:
+                stats.resolution_errors += 1
+                continue
+            try:
+                ref = _parse(href)
+            except URLError:
+                stats.resolution_errors += 1
+                continue
+            absolute = str(resolve_reference(base_parsed, ref))
+            try:
+                u = _parse(absolute)
+            except URLError:
+                stats.invalid_urls += 1
+                continue
+        # IsValidURL on the shared parse (url.go:17-39)
+        if u.scheme not in ("http", "https") or u.host == "":
+            stats.invalid_urls += 1
+            continue
+        # NormalizeURL on the shared parse (url.go:94-118); `u` is owned here
+        u.fragment = ""
+        u.has_fragment = False
+        if u.path != "/" and u.path.endswith("/"):
+            u.path = u.path[:-1]
+        if u.path == "":
+            u.path = "/"
+        links.append(str(u))
+        hosts.append(u.hostname())
+        stats.valid += 1
+    return links, hosts
+
+
 def extract_links_with_stats(
     base_url: str, html_content: str | bytes
 ) -> tuple[list[str], ExtractionStats]:
@@ -64,36 +137,7 @@ def extract_links_with_stats(
     html_content = html_content.strip()
     if not html_content:
         return [], stats
-
-    links: list[str] = []
-    for href in iter_hrefs(html_content):
-        stats.total_found += 1
-        href = href.strip()
-        if not href:
-            stats.empty_hrefs += 1
-            continue
-        if should_skip_url(href):
-            stats.filtered_out += 1
-            continue
-        if href.startswith(("http://", "https://")):
-            absolute = href
-        else:
-            stats.relative_urls += 1
-            try:
-                absolute = resolve_url(base_url, href)
-            except URLError:
-                stats.resolution_errors += 1
-                continue
-        if not is_valid_url(absolute):
-            stats.invalid_urls += 1
-            continue
-        try:
-            normalized = normalize_url(absolute)
-        except URLError:
-            stats.normalization_errors += 1
-            continue
-        links.append(normalized)
-        stats.valid += 1
+    links, _ = _extract_core(base_url, html_content, stats)
     return links, stats
 
 
@@ -115,22 +159,25 @@ def extract_links(base_url: str, html_content: str | bytes) -> list[str]:
 
 def extract_same_domain_links(base_url: str, html_content: str | bytes) -> list[str]:
     """ExtractLinks then keep links whose hostname equals the base's
-    (case-insensitive, ports ignored; link errors are skipped)."""
-    all_links = extract_links(base_url, html_content)
-    if not all_links:
+    (case-insensitive, ports ignored; link errors are skipped). Hostnames
+    come from the extraction loop's own parses — no per-link re-parse."""
+    base_url = base_url.strip()
+    if not base_url:
+        raise URLError("base URL cannot be empty")
+    if isinstance(html_content, bytes):
+        html_content = html_content.decode("utf-8", errors="replace")
+    if not html_content.strip():
+        return []
+    if not is_valid_url(base_url):
+        raise URLError(f"invalid base URL: {base_url}")
+    links, hosts = _extract_core(base_url, html_content.strip(), ExtractionStats())
+    if not links:
         return []
     try:
         base_domain = extract_domain(base_url).casefold()
     except URLError:
         return []
-    out = []
-    for link in all_links:
-        try:
-            if extract_domain(link).casefold() == base_domain:
-                out.append(link)
-        except URLError:
-            continue
-    return out
+    return [l for l, h in zip(links, hosts) if h.casefold() == base_domain]
 
 
 class _ParagraphCollector(HTMLParser):

@@ -306,6 +306,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(ds, gap_s=1800.0)
 
+    def docs_prep(sf_dir):
+        """Composed training-data prep pipeline, one streaming flow:
+        quality/lang gates → exact dedup (keep min doc_id) → broadcast join
+        survivors back for metadata → per-source corpus stats."""
+        import ray
+        import ray.data
+        from ray.data.aggregate import Count, Min, Sum
+
+        from urlmap_ray.functions.dedup import content_hash_batch
+        from urlmap_ray.functions.joins import broadcast_join
+        from urlmap_ray.functions import textstats as ts
+
+        def enrich(t: pa.Table) -> pa.Table:
+            q = ts.quality_batch(t.select(["doc_id", "text"]))
+            lang = ts.lang_id_batch(t.select(["doc_id", "text"]))
+            h = content_hash_batch(t)
+            out = t.drop_columns(["text"])
+            out = out.append_column("n_tokens", q.column("n_tokens"))
+            out = out.append_column("n_stopwords", q.column("n_stopwords"))
+            out = out.append_column("lang_pred", lang.column("lang_pred"))
+            return out.append_column("text_hash", h.column("text_hash"))
+
+        def gate(t: pa.Table) -> pa.Table:
+            keep = pa.compute.and_(
+                pa.compute.greater_equal(t.column("n_tokens"), 10),
+                pa.compute.equal(t.column("lang_pred"), "en"),
+            )
+            return t.filter(keep)
+
+        docs = _docs(sf_dir).map_batches(
+            enrich, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(gate, batch_format="pyarrow")
+        keep_ids = docs.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+        import pyarrow.parquet  # noqa: F401  (keep_ids is tiny: one row per distinct text)
+
+        keep_tbl = pa.Table.from_pandas(keep_ids.to_pandas()[["doc_id"]])
+        surv = broadcast_join(docs, keep_tbl, left_on="doc_id", right_on="doc_id")
+        agg = surv.groupby("source").aggregate(
+            Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+        )
+        return agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t.column("source"),
+                    "n_docs": t.column("n_docs").cast(pa.int64()),
+                    "total_tokens": t.column("total_tokens").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def spa_detect(sf_dir):
         import ray.data
 
@@ -355,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann_topk_ivf,
         "orders_cust_nation": orders_cust_nation,
         "events_sessions": events_sessions,
+        "docs_prep": docs_prep,
         "media_features": media_features,
         "spa_detect": spa_detect,
         "page_link_stats": page_link_stats,
@@ -476,6 +528,58 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "dedup_ngram": ngram_pairs_sql,
+        "docs_prep": """
+            WITH t AS (
+                SELECT doc_id, source, text,
+                       substr(text, 1, 400) AS head,
+                       lower(substr(text, 1, 2000)) AS low,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       md5(text) AS text_hash
+                FROM documents
+            ), s AS (
+                SELECT doc_id, source, text, head, n_tokens, text_hash,
+                       len(regexp_extract_all(head, '[一-鿿]')) AS cjk,
+                       (length(low) - length(replace(low, 'the', ''))) / 3
+                     + (length(low) - length(replace(low, 'and', ''))) / 3
+                     + (length(low) - length(replace(low, 'ing', ''))) / 3
+                     + (length(low) - length(replace(low, 'ion', ''))) / 3
+                     + (length(low) - length(replace(low, ' th', ''))) / 3 AS s_en,
+                       (length(low) - length(replace(low, 'der', ''))) / 3
+                     + (length(low) - length(replace(low, 'sch', ''))) / 3
+                     + (length(low) - length(replace(low, 'ein', ''))) / 3
+                     + (length(low) - length(replace(low, 'und', ''))) / 3
+                     + (length(low) - length(replace(low, 'ich', ''))) / 3 AS s_de,
+                       (length(low) - length(replace(low, 'les', ''))) / 3
+                     + (length(low) - length(replace(low, 'ent', ''))) / 3
+                     + (length(low) - length(replace(low, 'que', ''))) / 3
+                     + (length(low) - length(replace(low, 'ais', ''))) / 3
+                     + (length(low) - length(replace(low, 'eur', ''))) / 3 AS s_fr,
+                       (length(low) - length(replace(low, 'los', ''))) / 3
+                     + (length(low) - length(replace(low, 'que', ''))) / 3
+                     + (length(low) - length(replace(low, 'ión', ''))) / 3
+                     + (length(low) - length(replace(low, 'ado', ''))) / 3
+                     + (length(low) - length(replace(low, 'nte', ''))) / 3 AS s_es
+                FROM t
+            ), l AS (
+                SELECT doc_id, source, n_tokens, text_hash,
+                       CASE WHEN text IS NULL OR text = '' THEN 'und'
+                            WHEN cjk > length(head) * 0.2 THEN 'zh'
+                            WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                            WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                            WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                            ELSE 'es' END AS lang_pred
+                FROM s
+            ), f AS (
+                SELECT * FROM l WHERE n_tokens >= 10 AND lang_pred = 'en'
+            ), k AS (
+                SELECT min(doc_id) AS doc_id FROM f GROUP BY text_hash
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM f JOIN k USING (doc_id)
+            GROUP BY 1
+        """,
         "orders_cust_nation": """
             SELECT n_name, count(*) AS n_orders,
                    CAST(round(sum(o_totalprice)) AS BIGINT) AS sum_price

@@ -30,8 +30,6 @@ from .urlnorm import (
     URLError,
     extract_domain,
     is_valid_url,
-    normalize_url,
-    resolve_url,
     should_skip_url,
 )
 

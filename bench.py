@@ -108,6 +108,7 @@ def run_bench() -> dict:
         "events_daily",
         "events_sessions",
         "orders_cust_nation",
+        "docs_prep",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

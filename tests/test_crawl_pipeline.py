@@ -195,3 +195,23 @@ def test_distributed_budget_matches_oracle(
     assert visited["plain"] == oracle.output_urls
     # salting must not change the visited set (deferral only delays)
     assert visited["salted"] == visited["plain"]
+
+
+def test_budget_resume_identical(ray_session, corpus_info, tmp_path):
+    """Kill-and-resume mid-crawl under a politeness budget: final visited
+    set and depths must equal the uninterrupted run's."""
+    cfg = CrawlConfig(per_host_budget=20, respect_robots=True)
+    ck = str(tmp_path / "ck")
+    eng = _engine(ray_session, corpus_info, cfg, ck, wave_seconds=1e9)
+    out = eng.crawl(corpus_info.seeds[0])
+    want_urls, want_depths = eng.visited_urls(), _depths(eng)
+    n_waves = len(out.waves)
+    assert n_waves >= 4
+    cut = n_waves // 2
+    for d in range(cut, n_waves):
+        shutil.rmtree(os.path.join(ck, f"wave-{d:04d}"))
+    os.makedirs(os.path.join(ck, f"wave-{cut:04d}", "results"), exist_ok=True)
+    eng2 = _engine(ray_session, corpus_info, cfg, ck, wave_seconds=1e9)
+    eng2.crawl(corpus_info.seeds[0], resume=True)
+    assert eng2.visited_urls() == want_urls
+    assert _depths(eng2) == want_depths

@@ -343,3 +343,37 @@ def test_broadcast_join_left_keeps_unmatched(ray_session):
         ray.data.from_arrow(left), right, left_on="k", right_on="k", how="inner"
     ).to_pandas()
     assert sorted(inner["k"].tolist()) == [1, 2]
+
+
+def test_sessionize_invariants(ray_session):
+    """Per user: session event counts sum to the user's events; session
+    starts strictly increase; inter-session gaps exceed the threshold."""
+    import ray.data
+
+    from urlmap_ray.functions.windows import sessionize
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    out = sessionize(ray.data.from_arrow(ev), gap_s=600.0).to_pandas()
+    per_user_events = ev.to_pandas().groupby("user_id").size()
+    got = out.groupby("user_id")["n_events"].sum()
+    assert got.to_dict() == per_user_events.to_dict()
+    for _, g in out.groupby("user_id"):
+        starts = g.sort_values("session_id")["session_start"].to_numpy()
+        assert (np.diff(starts).astype("timedelta64[us]").astype(np.int64) > 0).all()
+
+
+def test_ngram_jaccard_properties():
+    from hypothesis import given, settings, strategies as st
+
+    words = st.lists(st.text(alphabet="abcd ", min_size=1, max_size=6), max_size=30)
+
+    @settings(max_examples=50, deadline=None)
+    @given(words, words)
+    def check(w1, w2):
+        t1, t2 = " ".join(w1), " ".join(w2)
+        j12 = ngram_jaccard(t1, t2)
+        assert 0.0 <= j12 <= 1.0
+        assert j12 == ngram_jaccard(t2, t1)
+        assert ngram_jaccard(t1, t1) == 1.0
+
+    check()

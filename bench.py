@@ -202,8 +202,10 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("URLMAP_SCALE_HI", "24"))
     reps = int(os.environ.get("URLMAP_SCALE_REPS", "3"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for cpus in (hi, lo):  # hi first: its first run warms the page cache
-        for _ in range(reps):
+    # Interleaved (hi,lo, hi,lo, ...) so slow drifts in host noise hit both
+    # levels equally; hi first so its first run warms the page cache.
+    for _ in range(reps):
+        for cpus in (hi, lo):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child"],

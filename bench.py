@@ -149,7 +149,7 @@ def run_scaling_child() -> dict:
     from urlmap_ray.corpus import generate_corpus, page_url
     from urlmap_ray.pipelines.crawl import CrawlEngine
 
-    n_pages = int(os.environ.get("URLMAP_SCALE_PAGES", "600000"))
+    n_pages = int(os.environ.get("URLMAP_SCALE_PAGES", "1800000"))
     page_scale = int(os.environ.get("URLMAP_PAGE_SCALE", "4"))
     # page_scale=4 ≈ realistic page weight (~10KB html, ~50 links); the
     # scale=1 toy pages leave a 32-cpu node overhead-bound.

@@ -197,36 +197,41 @@ class CrawlEngine:
             )
 
         d = start_wave
-        while True:
-            frontier_path = (
-                os.path.join(self.ckpt, "frontier-0")
-                if d == 0
-                else os.path.join(self._wave_dir(d - 1), "next_frontier")
-            )
-            n_frontier = _count_rows(frontier_path)
-            if n_frontier == 0:
-                break
-            t0 = time.time()
-            wdir = self._wave_dir(d)
-            if os.path.exists(wdir):
-                shutil.rmtree(wdir)
-            os.makedirs(wdir)
-            if n_frontier <= self.small_wave_rows:
-                stats = self._run_wave_local(d, frontier_path, n_frontier, seeds, seen)
-            else:
-                stats = self._run_wave_ray(d, frontier_path, n_frontier, seeds, seen)
-            stats.seconds = time.time() - t0
-            t_ck = time.time()
-            self._checkpoint_seen_and_manifest(d, frontier_path, stats, seeds, seen)
-            if os.environ.get("URLMAP_STATS"):
-                print(
-                    f"wave {d}: total {stats.seconds:.2f}s ckpt {time.time() - t_ck:.2f}s mode={stats.mode}",
-                    flush=True,
+        try:
+            while True:
+                frontier_path = (
+                    os.path.join(self.ckpt, "frontier-0")
+                    if d == 0
+                    else os.path.join(self._wave_dir(d - 1), "next_frontier")
                 )
-            outcome.waves.append(stats)
-            d += 1
-
-        seen.shutdown()
+                n_frontier = _count_rows(frontier_path)
+                if n_frontier == 0:
+                    break
+                t0 = time.time()
+                wdir = self._wave_dir(d)
+                if os.path.exists(wdir):
+                    shutil.rmtree(wdir)
+                os.makedirs(wdir)
+                if n_frontier <= self.small_wave_rows:
+                    stats = self._run_wave_local(d, frontier_path, n_frontier, seeds, seen)
+                else:
+                    stats = self._run_wave_ray(d, frontier_path, n_frontier, seeds, seen)
+                stats.seconds = time.time() - t0
+                t_ck = time.time()
+                self._checkpoint_seen_and_manifest(d, frontier_path, stats, seeds, seen)
+                if os.environ.get("URLMAP_STATS"):
+                    print(
+                        f"wave {d}: total {stats.seconds:.2f}s ckpt {time.time() - t_ck:.2f}s mode={stats.mode}",
+                        flush=True,
+                    )
+                outcome.waves.append(stats)
+                d += 1
+        finally:
+            # Always release the seen-shard actors — including on a failed
+            # wave (claim tasks are fail-stop; recovery is crawl(resume=True)
+            # with a FRESH SeenSet rebuilt from checkpointed journals, so a
+            # failed wave's uncheckpointed claims never survive).
+            seen.shutdown()
         return outcome
 
     # -- distributed wave --------------------------------------------------
@@ -302,6 +307,13 @@ class CrawlEngine:
                 claim_batch,
                 fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
                 batch_format="pyarrow",
+                # Claims are side effects on the seen shards: a silently
+                # retried task would find its URLs already claimed and drop
+                # them (lost work). Fail-stop instead — a worker death fails
+                # the wave, and resume re-runs it exactly-once (journals
+                # checkpoint only at wave completion, so a failed wave's
+                # claims never persist).
+                max_retries=0,
             )
         )
         t_exec = time.time()
@@ -462,6 +474,13 @@ class CrawlEngine:
                 claim_batch,
                 fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
                 batch_format="pyarrow",
+                # Claims are side effects on the seen shards: a silently
+                # retried task would find its URLs already claimed and drop
+                # them (lost work). Fail-stop instead — a worker death fails
+                # the wave, and resume re-runs it exactly-once (journals
+                # checkpoint only at wave completion, so a failed wave's
+                # claims never persist).
+                max_retries=0,
             )
             ds.write_parquet(next_path, row_group_size=512)
         deferred = rest.filter(pc.equal(rest.column("verdict"), "defer"))
@@ -561,6 +580,13 @@ class CrawlEngine:
                 claim_batch,
                 fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
                 batch_format="pyarrow",
+                # Claims are side effects on the seen shards: a silently
+                # retried task would find its URLs already claimed and drop
+                # them (lost work). Fail-stop instead — a worker death fails
+                # the wave, and resume re-runs it exactly-once (journals
+                # checkpoint only at wave completion, so a failed wave's
+                # claims never persist).
+                max_retries=0,
             )
         )
         if stats.deferred:
@@ -757,13 +783,19 @@ def _checkpoint_results_passthrough(batch: pa.Table, results_path: str) -> pa.Ta
     """Side-effect checkpoint write inside the fused wave chain: each batch
     lands in the results dir, then flows on (minus the columns downstream
     doesn't need). Partial files from a crashed wave are harmless — resume
-    discards any wave dir without a manifest."""
-    import uuid
+    discards any wave dir without a manifest.
+
+    The filename is a DETERMINISTIC function of the block (its first URL —
+    blocks are disjoint sorted frontier slices, so first URLs are unique
+    within a wave): a Ray task retry overwrites its own file instead of
+    appending a duplicate, keeping the results checkpoint exactly-once."""
+    import hashlib
 
     if batch.num_rows:
+        key = hashlib.md5(batch.column("url")[0].as_py().encode()).hexdigest()[:16]
         pq.write_table(
             batch,
-            os.path.join(results_path, f"part-{uuid.uuid4().hex[:12]}.parquet"),
+            os.path.join(results_path, f"part-{key}.parquet"),
             row_group_size=4096,
         )
     return batch.select(["url", "depth", "links"])

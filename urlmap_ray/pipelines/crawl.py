@@ -3,23 +3,27 @@
 One wave (cf. SURVEY.md §3 E1 restatement; reference loop crawler.go:481-551):
 
     frontier_d (Parquet, url/depth/host/bucket)
-      → politeness gate   groupby(host).map_groups(gate_group)   [only when robots/budget]
-        (depth-only gating is row-local → plain map_batches, no shuffle)
+      → politeness gate   row-local (no budget) / driver-side or bucketed
+                          groupby(hash(key)).map_groups (budget)   [A2-A3]
       → corpus fetch      map_batches(fetch_batch)               [selective bucket read]
       → link extraction   map_batches(extract_links_batch)       [zero-copy Arrow]
-      → results_d         write_parquet checkpoint               [admit+defer+skip rows]
+      → results_d         deterministic per-block side-effect write
       → candidates        map_batches(flatten_candidates)        [admission filter M5]
-      → wave dedup        groupby(url).min(depth)                [G1]
+      → wave dedup        groupby(url).min(depth)  [G1 — only when depths mix]
       → seen claim        map_batches(claim_batch → SeenShard)   [A1 LoadOrStore]
       → frontier_{d+1}    (∪ deferred) write_parquet checkpoint
 
-Two executions per wave; all bulk data streams through Datasets with
-backpressure. Waves smaller than ``small_wave_rows`` run the *same pure
-stage functions* driver-side (pyarrow only) — the BFS head and tail are a
-handful of rows and don't justify distributed scheduling overhead; the
-artifacts written are byte-compatible either way, so resume and output
-don't care which path produced a wave. At 10^10-URL scale every interesting
-wave takes the distributed path.
+Physical strategies (see SURVEY.md §3): the no-budget fast path fuses the
+whole wave into ONE shuffle-free streaming execution; budgeted waves under
+``driver_sort_limit`` rows gate + sort driver-side then run the same fused
+chain (_run_wave_budget_hybrid); larger budgeted frontiers use the fully
+distributed bucketed-groupby + sort path. All bulk data streams through
+Datasets with backpressure. Waves smaller than ``small_wave_rows`` run the
+*same pure stage functions* driver-side (pyarrow only) — the BFS head and
+tail are a handful of rows and don't justify distributed scheduling
+overhead; the artifacts written are byte-compatible either way, so resume
+and output don't care which path produced a wave. At 10^10-URL scale every
+interesting wave takes the distributed path.
 
 Every wave checkpoints frontier, results and seen-set delta as Parquet with
 a lineage manifest; ``crawl(..., resume=True)`` restarts from the last

@@ -234,6 +234,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def part_brands(sf_dir):
+        # set op: distinct values of a column (Ray: groupby-as-unique — the
+        # shuffle moves only the key column)
+        import ray.data
+
+        return (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "part.parquet"), columns=["p_brand"]
+            )
+            .groupby("p_brand")
+            .count()
+            .map_batches(lambda t: t.select(["p_brand"]), batch_format="pyarrow")
+        )
+
     def lineitem_agg(sf_dir):
         import ray.data
         from ray.data.aggregate import Count, Sum
@@ -412,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_link_stats": page_link_stats,
         "events_daily": events_daily,
         "orders_top20": orders_top20,
+        "part_brands": part_brands,
         "lineitem_agg": lineitem_agg,
     }
 
@@ -624,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
+        "part_brands": "SELECT DISTINCT p_brand FROM part",
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,

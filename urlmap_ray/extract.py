@@ -19,7 +19,7 @@ column. HTML bytes are decoded as UTF-8 (lossy) exactly once per row.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from html.parser import HTMLParser
 
 import numpy as np

@@ -56,7 +56,7 @@ from ..corpus import CorpusInfo
 from ..extract import extract_links_batch
 from ..state.seen import SeenSet
 from ..stages.fetch import fetch_batch
-from ..stages.links import claim_batch, empty_candidates, flatten_candidates, frontier_columns
+from ..stages.links import claim_batch, flatten_candidates, frontier_columns
 from ..stages.politeness import PolitenessGate, gate_group, gate_rows
 from ..urlnorm import URLError, is_valid_url, normalize_url
 

@@ -13,7 +13,7 @@ import pyarrow.compute as pc
 
 from ..gourl import parse as gourl_parse
 from ..state.seen import SeenSet, url_hash
-from ..urlnorm import URLError, extract_domain, is_same_domain, is_same_path_prefix
+from ..urlnorm import URLError, extract_domain
 
 CANDIDATE_SCHEMA = pa.schema(
     [

@@ -349,12 +349,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             return t.filter(keep)
 
-        docs = _docs(sf_dir).map_batches(
-            enrich, batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(gate, batch_format="pyarrow")
+        docs = (
+            _docs(sf_dir)
+            .map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(gate, batch_format="pyarrow")
+            .materialize()  # consumed twice: keep_ids aggregation + semi-join
+        )
         keep_ids = docs.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
-        import pyarrow.parquet  # noqa: F401  (keep_ids is tiny: one row per distinct text)
-
+        # keep_ids is tiny (one row per distinct text) — driver collect is fine
         keep_tbl = pa.Table.from_pandas(keep_ids.to_pandas()[["doc_id"]])
         surv = broadcast_join(docs, keep_tbl, left_on="doc_id", right_on="doc_id")
         agg = surv.groupby("source").aggregate(

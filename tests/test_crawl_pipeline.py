@@ -178,8 +178,15 @@ def test_distributed_budget_matches_oracle(
     salted_cfg = CrawlConfig(
         per_host_budget=20, respect_robots=True, max_depth=8, hot_host_salt=4
     )
+    # sort_limit=None → hybrid path (driver-side gate); 0 → the fully
+    # distributed path (bucketed groupby gate + distributed sort).
     visited = {}
-    for name, cfg in [("plain", plain_cfg), ("salted", salted_cfg)]:
+    for name, cfg, sort_limit in [
+        ("plain", plain_cfg, None),
+        ("salted", salted_cfg, None),
+        ("plain-dist", plain_cfg, 0),
+        ("salted-dist", salted_cfg, 0),
+    ]:
         eng = _engine(
             ray_session,
             corpus_info,
@@ -188,13 +195,19 @@ def test_distributed_budget_matches_oracle(
             wave_seconds=1e9,
             small_wave_rows=0,
         )
+        if sort_limit is not None:
+            eng.driver_sort_limit = sort_limit
         out = eng.crawl(corpus_info.seeds[0])
         assert all(w.mode == "ray" for w in out.waves)
         visited[name] = eng.visited_urls()
     oracle = crawl_waves(corpus_dict, corpus_info.seeds[0], plain_cfg, robots=robots_index)
     assert visited["plain"] == oracle.output_urls
-    # salting must not change the visited set (deferral only delays)
+    # the fully distributed path must agree with the oracle too
+    assert visited["plain-dist"] == oracle.output_urls
+    # salting must not change the visited set (deferral only delays), and
+    # both physical strategies must agree for the same salted config
     assert visited["salted"] == visited["plain"]
+    assert visited["salted-dist"] == visited["salted"]
 
 
 def test_budget_resume_identical(ray_session, corpus_info, tmp_path):

@@ -345,6 +345,24 @@ def test_broadcast_join_left_keeps_unmatched(ray_session):
     assert sorted(inner["k"].tolist()) == [1, 2]
 
 
+def test_broadcast_join_guards(ray_session):
+    """1:N right sides and column collisions must raise, not silently
+    drop/duplicate (index_in keeps only the first match)."""
+    import ray.data
+
+    from urlmap_ray.functions.joins import broadcast_join
+
+    left = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
+    dup_right = pa.table({"k": pa.array([1, 1], pa.int64()), "name": pa.array(["a", "b"])})
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(ray.data.from_arrow(left), dup_right, left_on="k", right_on="k")
+    clash_right = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([9], pa.int64())})
+    with pytest.raises(Exception, match="collision"):
+        broadcast_join(
+            ray.data.from_arrow(left), clash_right, left_on="k", right_on="k"
+        ).to_pandas()
+
+
 def test_sessionize_invariants(ray_session):
     """Per user: session event counts sum to the user's events; session
     starts strictly increase; inter-session gaps exceed the threshold."""
@@ -357,9 +375,18 @@ def test_sessionize_invariants(ray_session):
     per_user_events = ev.to_pandas().groupby("user_id").size()
     got = out.groupby("user_id")["n_events"].sum()
     assert got.to_dict() == per_user_events.to_dict()
-    for _, g in out.groupby("user_id"):
-        starts = g.sort_values("session_id")["session_start"].to_numpy()
+    raw = ev.to_pandas().sort_values(["user_id", "ts"], kind="stable")
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("session_id")
+        starts = g["session_start"].to_numpy()
         assert (np.diff(starts).astype("timedelta64[us]").astype(np.int64) > 0).all()
+        # inter-session gaps really exceed the threshold: each session's
+        # start is > gap after the previous session's LAST event
+        ts = raw[raw["user_id"] == uid]["ts"].to_numpy()
+        counts = g["n_events"].to_numpy()
+        ends = ts[np.cumsum(counts) - 1]
+        gaps = (starts[1:] - ends[:-1]).astype("timedelta64[us]").astype(np.int64)
+        assert (gaps > 600 * 10**6).all()
 
 
 def test_ngram_jaccard_properties():

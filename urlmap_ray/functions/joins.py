@@ -39,11 +39,23 @@ def broadcast_join(
     right-side rows — never re-shipped per batch, never shuffled.
 
     how: "inner" drops unmatched left rows; "left" keeps them with nulls.
+
+    The right side must be UNIQUE on ``right_on``: the probe is an
+    ``index_in`` lookup (first match), so duplicate right keys would
+    silently drop the 1:N expansion — use ``shuffle_join`` for those.
+    Right-side column names must not collide with left columns.
     """
     import ray
 
     if columns is not None:
         small = small.select([right_on, *columns])
+    n_keys = pc.count_distinct(small.column(right_on)).as_py()
+    if n_keys != small.num_rows:
+        raise ValueError(
+            f"broadcast_join right side has duplicate {right_on!r} keys "
+            f"({small.num_rows} rows, {n_keys} distinct) — a 1:N join would "
+            "silently keep only the first match; use shuffle_join instead"
+        )
     # Pre-sort not needed: index_in builds a hash table per task once per
     # actor-process (the table object is cached by the object store).
     small_ref = ray.put(small.combine_chunks())
@@ -51,6 +63,12 @@ def broadcast_join(
 
     def probe(batch: pa.Table) -> pa.Table:
         rt = ray.get(small_ref)
+        clash = set(right_cols) & set(batch.column_names)
+        if clash:
+            raise ValueError(
+                f"broadcast_join column name collision: {sorted(clash)} exist "
+                "on both sides — project or rename before joining"
+            )
         idx = pc.index_in(batch.column(left_on), value_set=rt.column(right_on))
         if how == "inner":
             keep = pc.is_valid(idx)

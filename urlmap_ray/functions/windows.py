@@ -29,8 +29,14 @@ def sessionize(
     gap_us = int(gap_s * 1_000_000)
 
     def per_key(group: pa.Table) -> pa.Table:
-        key = group.column(key_col)[0].as_py()
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key_arr = group.column(key_col)
+        # normalize any timestamp unit to µs so gap_us compares correctly
+        ts = (
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         order = np.argsort(ts, kind="stable")
         ts = ts[order]
         new_session = np.ones(len(ts), dtype=np.int64)
@@ -39,9 +45,13 @@ def sessionize(
         sid = np.cumsum(new_session)
         starts = np.flatnonzero(new_session)
         counts = np.diff(np.append(starts, len(ts)))
+        # key column keeps its input type (int, string, ...)
+        key_out = key_arr.slice(0, 1).combine_chunks().take(
+            pa.array(np.zeros(len(starts), dtype=np.int64))
+        )
         return pa.table(
             {
-                key_col: pa.array([key] * len(starts), pa.int64()),
+                key_col: key_out,
                 "session_id": pa.array(sid[starts], pa.int64()),
                 "session_start": pa.array(ts[starts], pa.int64()).cast(
                     pa.timestamp("us")

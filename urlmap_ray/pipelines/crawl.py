@@ -238,6 +238,74 @@ class CrawlEngine:
             seen.shutdown()
         return outcome
 
+    # -- shared fused stages ----------------------------------------------
+
+    def _slice_blocks(self, tbl: pa.Table):
+        """Sorted driver-side table → ``from_arrow`` Dataset whose block
+        count scales with the cluster: ~6 wave tasks per CPU, so the
+        per-task tail (heavy pages, wide fetch ranges) amortizes instead of
+        capping effective concurrency. from_arrow slices pin the block
+        layout exactly (read_parquet would re-pack small files into fewer
+        tasks). (URLMAP_CHUNK_ROWS overrides rows/chunk for tuning.)"""
+        n = tbl.num_rows
+        env_rows = os.environ.get("URLMAP_CHUNK_ROWS")
+        if env_rows:
+            n_chunks = max(1, n // int(env_rows))
+        else:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_chunks = max(16, min(1024, cpus * 6, n // 64))
+        step = max(64, -(-n // n_chunks))
+        return ray.data.from_arrow([tbl.slice(off, step) for off in range(0, n, step)])
+
+    def _fetch_extract_flatten(self, ds, results_path: str, seeds):
+        """The wave's fused per-block chain: fetch → extract →
+        results-checkpoint side effect → flatten/admit candidates."""
+        return (
+            ds.map_batches(
+                _fetch_gated,
+                fn_kwargs=dict(
+                    pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                extract_links_batch,
+                fn_kwargs=dict(same_domain=self.cfg.same_domain, drop_html=True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .map_batches(
+                _checkpoint_results_passthrough,
+                fn_kwargs=dict(results_path=results_path),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                flatten_candidates,
+                fn_kwargs=dict(
+                    seed_urls=seeds,
+                    same_domain=self.cfg.same_domain,
+                    same_path_prefix=self.cfg.same_path_prefix,
+                    partitions=self.corpus.partitions,
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+
+    def _claim_stage(self, ds, seen):
+        """Seen-shard claim. Claims are side effects on the shards: a
+        silently retried task would find its URLs already claimed and drop
+        them (lost work). Fail-stop instead — a worker death fails the
+        wave, and crawl(resume=True) re-runs it exactly-once (journals
+        checkpoint only at wave completion, so a failed wave's claims never
+        persist)."""
+        return ds.map_batches(
+            claim_batch,
+            fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
+            batch_format="pyarrow",
+            max_retries=0,
+        )
+
     # -- distributed wave --------------------------------------------------
 
     def _run_wave_ray(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
@@ -277,48 +345,8 @@ class CrawlEngine:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-        ds = (
-            ds.map_batches(
-                _fetch_gated,
-                fn_kwargs=dict(
-                    pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
-                ),
-                batch_format="pyarrow",
-            )
-            .map_batches(
-                extract_links_batch,
-                fn_kwargs=dict(same_domain=self.cfg.same_domain, drop_html=True),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .map_batches(
-                _checkpoint_results_passthrough,
-                fn_kwargs=dict(results_path=results_path),
-                batch_format="pyarrow",
-            )
-            .map_batches(
-                flatten_candidates,
-                fn_kwargs=dict(
-                    seed_urls=seeds,
-                    same_domain=self.cfg.same_domain,
-                    same_path_prefix=self.cfg.same_path_prefix,
-                    partitions=self.corpus.partitions,
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .map_batches(
-                claim_batch,
-                fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
-                batch_format="pyarrow",
-                # Claims are side effects on the seen shards: a silently
-                # retried task would find its URLs already claimed and drop
-                # them (lost work). Fail-stop instead — a worker death fails
-                # the wave, and resume re-runs it exactly-once (journals
-                # checkpoint only at wave completion, so a failed wave's
-                # claims never persist).
-                max_retries=0,
-            )
+        ds = self._claim_stage(
+            self._fetch_extract_flatten(ds, results_path, seeds), seen
         )
         t_exec = time.time()
         ds.write_parquet(next_path, row_group_size=512)
@@ -355,22 +383,7 @@ class CrawlEngine:
                 tbl, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
             )
         ).combine_chunks()
-        # Chunk count scales with the cluster: ~6 wave tasks per CPU, so the
-        # per-task tail (heavy pages, wide fetch ranges) amortizes instead of
-        # capping effective concurrency. from_arrow slices pin this block
-        # layout exactly (read_parquet would re-pack small files into fewer
-        # tasks) and skip a spill+re-read round trip; the unsorted frontier
-        # is already on disk as the previous wave's checkpoint.
-        # (URLMAP_CHUNK_ROWS overrides rows/chunk for tuning.)
-        env_rows = os.environ.get("URLMAP_CHUNK_ROWS")
-        if env_rows:
-            n_chunks = max(1, n_frontier // int(env_rows))
-        else:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            n_chunks = max(16, min(1024, cpus * 6, n_frontier // 64))
-        step = max(64, -(-tbl.num_rows // n_chunks))
-        slices = [tbl.slice(off, step) for off in range(0, tbl.num_rows, step)]
-        return ray.data.from_arrow(slices)
+        return self._slice_blocks(tbl)
 
     def _run_wave_budget_hybrid(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
         """Budgeted wave, frontier ≤ driver_sort_limit: the gate + admission
@@ -423,46 +436,8 @@ class CrawlEngine:
                     admit, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
                 )
             ).combine_chunks()
-            env_rows = os.environ.get("URLMAP_CHUNK_ROWS")
-            if env_rows:
-                n_chunks = max(1, admit.num_rows // int(env_rows))
-            else:
-                cpus = int(ray.cluster_resources().get("CPU", 8))
-                n_chunks = max(16, min(1024, cpus * 6, admit.num_rows // 64))
-            step = max(64, -(-admit.num_rows // n_chunks))
-            ds = ray.data.from_arrow(
-                [admit.slice(off, step) for off in range(0, admit.num_rows, step)]
-            )
-            ds = (
-                ds.map_batches(
-                    _fetch_gated,
-                    fn_kwargs=dict(
-                        pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
-                    ),
-                    batch_format="pyarrow",
-                )
-                .map_batches(
-                    extract_links_batch,
-                    fn_kwargs=dict(same_domain=self.cfg.same_domain, drop_html=True),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
-                .map_batches(
-                    _checkpoint_results_passthrough,
-                    fn_kwargs=dict(results_path=results_path),
-                    batch_format="pyarrow",
-                )
-                .map_batches(
-                    flatten_candidates,
-                    fn_kwargs=dict(
-                        seed_urls=seeds,
-                        same_domain=self.cfg.same_domain,
-                        same_path_prefix=self.cfg.same_path_prefix,
-                        partitions=self.corpus.partitions,
-                    ),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
+            ds = self._fetch_extract_flatten(
+                self._slice_blocks(admit), results_path, seeds
             )
             if len(pc.unique(admit.column("depth"))) > 1:
                 ds = (
@@ -474,18 +449,7 @@ class CrawlEngine:
                         batch_format="pyarrow",
                     )
                 )
-            ds = ds.map_batches(
-                claim_batch,
-                fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
-                batch_format="pyarrow",
-                # Claims are side effects on the seen shards: a silently
-                # retried task would find its URLs already claimed and drop
-                # them (lost work). Fail-stop instead — a worker death fails
-                # the wave, and resume re-runs it exactly-once (journals
-                # checkpoint only at wave completion, so a failed wave's
-                # claims never persist).
-                max_retries=0,
-            )
+            ds = self._claim_stage(ds, seen)
             ds.write_parquet(next_path, row_group_size=512)
         deferred = rest.filter(pc.equal(rest.column("verdict"), "defer"))
         if deferred.num_rows:
@@ -580,19 +544,8 @@ class CrawlEngine:
                 fn_kwargs=dict(partitions=self.corpus.partitions),
                 batch_format="pyarrow",
             )
-            .map_batches(
-                claim_batch,
-                fn_kwargs=dict(shard_handles=seen.shards, num_shards=seen.num_shards),
-                batch_format="pyarrow",
-                # Claims are side effects on the seen shards: a silently
-                # retried task would find its URLs already claimed and drop
-                # them (lost work). Fail-stop instead — a worker death fails
-                # the wave, and resume re-runs it exactly-once (journals
-                # checkpoint only at wave completion, so a failed wave's
-                # claims never persist).
-                max_retries=0,
-            )
         )
+        survivors = self._claim_stage(survivors, seen)
         if stats.deferred:
             deferred = ray.data.read_parquet(
                 results_path,
@@ -619,16 +572,13 @@ class CrawlEngine:
             )
         if self.cfg.per_host_budget is None:
             return gate_rows(self._local_gate, frontier)
-        key_col = "host"
-        if self.cfg.hot_host_salt > 0:
+        salted = self.cfg.hot_host_salt > 0
+        if salted:
             frontier = _add_gate_key(frontier, self.cfg.hot_host_salt)
-            key_col = "gate_key"
-        gated_parts = [
-            self._local_gate(frontier.filter(pc.equal(frontier.column(key_col), g)))
-            for g in pc.unique(frontier.column(key_col))
-        ]
-        gated = pa.concat_tables(gated_parts)
-        if key_col == "gate_key":
+        # PolitenessGate splits its input by gate_key/host internally
+        # (sort + run slicing), so one call gates the whole frontier.
+        gated = self._local_gate(frontier)
+        if salted:
             gated = gated.drop_columns(["gate_key"])
         return gated
 

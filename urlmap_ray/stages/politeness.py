@@ -194,11 +194,23 @@ def gate_group(
 
 
 def _split_by_host(tbl: pa.Table):
+    """Split a (possibly multi-key) admission group into per-key tables.
+
+    One sort + contiguous run slicing — O(N log N), not O(unique_keys × N):
+    the driver-side hybrid gate routes frontiers up to millions of rows
+    through here, where a per-key filter loop would quadratically stall."""
     key = "gate_key" if "gate_key" in tbl.column_names else "host"
     hosts = tbl.column(key)
     uniq = pc.unique(hosts)
     if len(uniq) == 1:
         yield tbl
         return
-    for h in uniq:
-        yield tbl.filter(pc.equal(hosts, h))
+    order = pc.sort_indices(tbl, sort_keys=[(key, "ascending")])
+    tbl = tbl.take(order)
+    import numpy as np
+
+    keys = np.asarray(tbl.column(key).to_pylist(), dtype=object)
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    bounds = np.append(starts, len(keys))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        yield tbl.slice(s, e - s)

@@ -474,9 +474,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
         """
-    # Exact cosine top-10. Also the oracle for ann_topk_ivf: with nprobe=6 of
-    # 16 cells on this corpus the probed cells contain every true top-10
-    # neighbor (verified equal at sf0.01), so IVF output equals brute force.
+    # Exact cosine top-10. Also the oracle for ann_topk_ivf: with nprobe=10 of
+    # 16 cells the probed cells contain every true top-10 neighbor at every
+    # sf level (verified equal at sf0.001 and sf0.01 after d3cca94 raised the
+    # probe count), so IVF output equals brute force.
     ann_topk_sql = """
             WITH q AS (SELECT vec_id AS query_idx, embedding AS qe
                        FROM embeddings WHERE vec_id < 3)

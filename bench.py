@@ -184,7 +184,8 @@ def run_scaling_child() -> dict:
 def run_scaling() -> dict:
     """Same headline crawl at N and 4N cpus in fresh processes, over one
     (larger) fixed input — sf0.1's 60k pages are overhead-bound at 32 cpus,
-    so the scaling evidence uses a 600k-page corpus of identical shape.
+    so the scaling evidence uses a 1.8M-page corpus (page_scale=4, ~10KB
+    html / ~50 links per page) of identical shape — see run_scaling_child.
 
     Single runs vary ±25% (page-cache state, writeback, Ray scheduling), so
     each cpu level runs ``reps`` times and the MEDIAN wall time is compared;

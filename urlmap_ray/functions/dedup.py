@@ -25,6 +25,29 @@ import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\S+")
 
+# Byte-level popcount LUT (numpy 1.26 has no bitwise_count).
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8).reshape(len(x), 8)
+    return _POPCNT8[b].sum(axis=1).astype(np.int64)
+
+
+def _list_column_slices(tbl: pa.Table, col: str):
+    """Yield each row of a list column as a numpy slice of the flattened
+    values buffer — no per-row Python list materialization."""
+    arr = tbl.column(col).combine_chunks()
+    values = arr.values.to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    for i in range(len(arr)):
+        yield values[offsets[i] : offsets[i + 1]]
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 
@@ -101,31 +124,49 @@ def minhash_bands_batch(
     id_col: str = "doc_id",
     bands: int = 16,
     k: int = 3,
+    with_shingles: bool = True,
 ) -> pa.Table:
-    """Per doc: MinHash signature → one row per band with a bucket key."""
+    """Per doc: MinHash signature → one row per band.
+
+    ``band_key`` is an int64 fold-hash of (band index, band's signature
+    chunk): 8-byte shuffle keys instead of hex strings, and a rare key
+    collision only creates a spurious candidate that the exact verify kills.
+    With ``with_shingles`` each band row also carries the doc's distinct
+    shingle-hash set (``sh``, list<int64>), so the downstream band groupby
+    can verify exact Jaccard IN-GROUP — no second join against the
+    documents table and no driver-side candidate state. The cost is
+    shuffling each doc's shingle set ``bands`` times; for very large docs
+    prefer a candidates⋈documents hash-join verify instead.
+    """
     rows_per_band = _MINHASH_PERMS // bands
-    ids, band_keys = [], []
+    ids, band_keys, sh_lists = [], [], []
     for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-        sig = minhash_signature(t or "", k)
+        sh = _hash_shingles(_shingles(t or "", k))
+        if len(sh):
+            with np.errstate(over="ignore"):
+                sig = (sh[None, :] * _MH_A[:, None] + _MH_B[:, None]).min(axis=1)
+        else:
+            sig = np.zeros(_MINHASH_PERMS, dtype=np.uint64)
+        # fold each band's chunk into one int64 key (FNV-style, band-salted)
+        chunks = sig.reshape(bands, rows_per_band)
+        keys = np.full(bands, 0xCBF29CE484222325, dtype=np.uint64)
+        keys ^= np.arange(bands, dtype=np.uint64)
+        for c in range(rows_per_band):
+            with np.errstate(over="ignore"):
+                keys = (keys ^ chunks[:, c]) * np.uint64(0x100000001B3)
+        signed = keys.astype(np.int64)
+        sh_signed = (sh.astype(np.int64) if len(sh) else np.zeros(0, np.int64)).tolist()
         for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            key = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
             ids.append(i)
-            band_keys.append(key)
-    return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "band_key": pa.array(band_keys, pa.string())}
-    )
-
-
-def _pairs_from_groups(group: pa.Table) -> pa.Table:
-    """band bucket → unordered candidate pairs (a < b)."""
-    ids = sorted(set(group.column("doc_id").to_pylist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+            band_keys.append(int(signed[b]))
+            sh_lists.append(sh_signed)
+    cols = {
+        "doc_id": pa.array(ids, pa.int64()),
+        "band_key": pa.array(band_keys, pa.int64()),
+    }
+    if with_shingles:
+        cols["sh"] = pa.array(sh_lists, pa.list_(pa.int64()))
+    return pa.table(cols)
 
 
 def ngram_jaccard(t1: str, t2: str, k: int = 3) -> float:
@@ -137,51 +178,86 @@ def ngram_jaccard(t1: str, t2: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
-def dedup_minhash_lsh(ds, *, threshold: float = 0.8, bands: int = 16, k: int = 3):
+def _minhash_bucket_verify(group: pa.Table, threshold: float) -> pa.Table:
+    """One hash bucket of band rows → exact-Jaccard-verified pairs.
+
+    Vectorized run detection over the sorted band_key column; within each
+    band run every doc pair is verified with exact Jaccard over the carried
+    shingle-hash sets (sorted-array intersection). Emits (a, b) with a < b;
+    the same pair may qualify in several bands — deduped by the caller's
+    groupby. Two empty docs Jaccard as 1.0 (ngram_jaccard parity)."""
+    if group.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    bk = group.column("band_key").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sets = list(_list_column_slices(group, "sh"))
+    order = np.lexsort((doc, bk))
+    bk, doc = bk[order], doc[order]
+    starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+    bounds = np.append(starts, len(bk))
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        run_docs = doc[s:e]
+        # a doc appears once per band key unless two of its bands collided
+        uniq_idx = np.flatnonzero(np.r_[True, run_docs[1:] != run_docs[:-1]])
+        for ii in range(len(uniq_idx)):
+            for jj in range(ii + 1, len(uniq_idx)):
+                pi, pj = order[s + uniq_idx[ii]], order[s + uniq_idx[jj]]
+                sa, sb = sets[pi], sets[pj]
+                if len(sa) == 0 and len(sb) == 0:
+                    jac = 1.0
+                else:
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    union = len(sa) + len(sb) - inter
+                    jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    da, db = int(run_docs[uniq_idx[ii]]), int(run_docs[uniq_idx[jj]])
+                    out_a.append(min(da, db))
+                    out_b.append(max(da, db))
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+
+def dedup_minhash_lsh(
+    ds, *, threshold: float = 0.8, bands: int = 16, k: int = 3, buckets: int = 1024
+):
     """Near-dup pairs by MinHash banding, verified with exact n-gram Jaccard.
 
-    Returns a Dataset of (a, b) int64 pairs with jaccard ≥ threshold.
-    The verify step re-reads only the candidate docs' texts via a broadcast
-    of the (small) candidate id set — at larger scale this becomes a
-    hash-join of candidates against the documents table.
-    """
-    import ray
+    Fully distributed three-step shape (no driver-side candidate state, no
+    whole-dataset ray.get):
 
+        map_batches: shingles → signature → band rows carrying the doc's
+                     shingle-hash set                       [row-local]
+        groupby(hash bucket of band_key) → in-group exact-Jaccard verify
+                     (only docs agreeing on a band compare) [one shuffle]
+        groupby(a, b) → distinct pairs                      [tiny keys]
+
+    The shuffle moves each doc's shingle set ``bands`` times (≈ bands × the
+    dedup_ngram shuffle volume) — the price of verifying in-group instead of
+    joining candidates back against documents. Returns a Dataset of (a, b)
+    int64 pairs with exact jaccard ≥ threshold, a < b.
+    """
+    if buckets <= 0 or buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two; got {buckets}")
     banded = ds.map_batches(
         minhash_bands_batch, fn_kwargs=dict(bands=bands, k=k), batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    cand = (
-        banded.groupby("band_key")
-        .map_groups(_pairs_from_groups, batch_format="pyarrow")
-    )
-    # candidate pairs are few; dedup pairs then verify with exact jaccard
-    pairs_tbl = cand.to_arrow_refs()
-    tables = [ray.get(r) for r in pairs_tbl]
-    pairs = pa.concat_tables([t for t in tables if t.num_rows] or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})])
-    keys = set(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()))
-    if not keys:
-        return ray.data.from_arrow(pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
-
-    need_ids = sorted({i for p in keys for i in p})
-    docs = ds.map_batches(
-        lambda b: b.select(["doc_id", "text"]),
+    ).map_batches(
+        lambda t: t.append_column(
+            "gb", pc.cast(pc.bit_wise_and(t.column("band_key"), buckets - 1), pa.int32())
+        ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_arrow_refs()
-    texts: dict[int, str] = {}
-    for r in docs:
-        t = ray.get(r)
-        mask = pc.is_in(t.column("doc_id"), value_set=pa.array(need_ids, pa.int64()))
-        sub = t.filter(mask)
-        texts.update(zip(sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()))
-    out_a, out_b = [], []
-    for a, b in sorted(keys):
-        if ngram_jaccard(texts.get(a, ""), texts.get(b, ""), k) >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-    return ray.data.from_arrow(
-        pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+    )
+    pairs = banded.groupby("gb").map_groups(
+        lambda g: _minhash_bucket_verify(g, threshold), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
     )
 
 
@@ -273,6 +349,10 @@ def dedup_ngram_jaccard(
     Returns Dataset of (a, b) with jaccard(a,b) ≥ threshold, a < b.
     Docs with no shingles (empty text) pair with nothing.
     """
+    if buckets <= 0 or buckets & (buckets - 1):
+        raise ValueError(
+            f"buckets must be a power of two (bucket key is sh & (buckets-1)); got {buckets}"
+        )
     shingled = ds.map_batches(
         shingle_rows_batch, fn_kwargs=dict(k=k), batch_format="pyarrow",
         zero_copy_batch=True,
@@ -337,18 +417,30 @@ def simhash_batch(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc
 
 def simhash_bands_batch(batch: pa.Table, *, bands: int = 4) -> pa.Table:
     """Split each simhash into `bands` chunks; docs agreeing on any chunk are
-    Hamming-≤(bands-1) candidates (pigeonhole)."""
-    ids, keys = [], []
+    Hamming-≤(bands-1) candidates (pigeonhole). Each band row CARRIES the
+    full signature so the band groupby can verify Hamming distance in-group.
+    ``band_key`` = (band index << width) | chunk — an int64, never a string.
+    Vectorized: one (n × bands) shift/mask, no per-row Python loop."""
+    if not 2 <= bands <= 32 or 64 % bands:
+        raise ValueError(f"bands must divide 64 and be in [2, 32]; got {bands}")
     width = 64 // bands
-    mask = (1 << width) - 1
-    for i, s in zip(batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()):
-        u = s + (1 << 63)
-        for b in range(bands):
-            chunk = (u >> (b * width)) & mask
-            ids.append(i)
-            keys.append(f"{b}:{chunk:x}")
+    s = batch.column("simhash").to_numpy(zero_copy_only=False)
+    u = s.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)  # back to unsigned
+    shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))[None, :]
+    chunks = (u[:, None] >> shifts) & np.uint64((1 << width) - 1)
+    keys = (
+        (np.arange(bands, dtype=np.uint64) << np.uint64(width))[None, :] | chunks
+    ).astype(np.int64)
+    n = len(s)
     return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "band_key": pa.array(keys, pa.string())}
+        {
+            "doc_id": pa.array(
+                np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), bands),
+                pa.int64(),
+            ),
+            "simhash": pa.array(np.repeat(s, bands), pa.int64()),
+            "band_key": pa.array(keys.reshape(n * bands), pa.int64()),
+        }
     )
 
 
@@ -356,80 +448,206 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def dedup_simhash(ds, *, max_hamming: int = 3, bands: int = 4):
+def _simhash_bucket_verify(group: pa.Table, max_hamming: int) -> pa.Table:
+    """One hash bucket of signature-carrying band rows → verified pairs.
+
+    Sorted run detection on band_key; per run the pairwise Hamming distance
+    is one vectorized xor+popcount over triu indices — verification is
+    row-local to the group, no driver state."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    bk = group.column("band_key").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sig = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, bk))
+    bk, doc, sig = bk[order], doc[order], sig[order]
+    usig = sig.view(np.uint64) ^ np.uint64(1 << 63)
+    starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+    bounds = np.append(starts, len(bk))
+    out_a, out_b, out_d = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        m = e - s
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, 1)
+        ham = _popcount64(usig[s + ii] ^ usig[s + jj])
+        keep = np.flatnonzero(ham <= max_hamming)
+        if len(keep) == 0:
+            continue
+        da, db = doc[s + ii[keep]], doc[s + jj[keep]]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        ok = lo != hi  # same doc twice in a run only via band-index collision
+        out_a.append(lo[ok])
+        out_b.append(hi[ok])
+        out_d.append(ham[keep][ok])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_d), pa.int64()),
+        }
+    )
+
+
+def dedup_simhash(ds, *, max_hamming: int = 3, bands: int = 4, buckets: int = 1024):
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    bands must be > max_hamming for pigeonhole completeness."""
-    import ray
-
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
-    sig_tables = [ray.get(r) for r in sigs.to_arrow_refs()]
-    sig_tbl = pa.concat_tables([t for t in sig_tables if t.num_rows])
-    sim_of = dict(
-        zip(sig_tbl.column("doc_id").to_pylist(), sig_tbl.column("simhash").to_pylist())
-    )
-    banded = ray.data.from_arrow(sig_tbl).map_batches(
-        simhash_bands_batch, fn_kwargs=dict(bands=bands), batch_format="pyarrow"
-    )
-    cand = banded.groupby("band_key").map_groups(_pairs_from_groups, batch_format="pyarrow")
-    tables = [ray.get(r) for r in cand.to_arrow_refs()]
-    keys = set()
-    for t in tables:
-        keys.update(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
-    out_a, out_b, out_d = [], [], []
-    for a, b in sorted(keys):
-        d = hamming64(sim_of[a] + (1 << 63), sim_of[b] + (1 << 63))
-        if d <= max_hamming:
-            out_a.append(a)
-            out_b.append(b)
-            out_d.append(d)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_d, pa.int64()),
-            }
+    bands must be > max_hamming for pigeonhole completeness. Fully
+    distributed: band rows carry the 8-byte signature, the band groupby
+    verifies Hamming in-group (xor+popcount), and a final groupby(a, b)
+    dedups pairs that matched in several bands — the shuffle moves
+    (doc_id, simhash, band_key) int64 triples only, and nothing is ever
+    gathered to the driver."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) for recall 1.0"
+        )
+    if buckets <= 0 or buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two; got {buckets}")
+    banded = (
+        ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            simhash_bands_batch, fn_kwargs=dict(bands=bands), batch_format="pyarrow"
+        )
+        .map_batches(
+            lambda t: t.append_column(
+                "gb",
+                pc.cast(pc.bit_wise_and(t.column("band_key"), buckets - 1), pa.int32()),
+            ),
+            batch_format="pyarrow",
         )
     )
+    pairs = banded.groupby("gb").map_groups(
+        lambda g: _simhash_bucket_verify(g, max_hamming), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 
 
-def embedding_neardup(ds, *, threshold: float = 0.95, id_col: str = "vec_id"):
-    """All pairs with cosine ≥ threshold. Blockwise numpy matmul of
-    normalized vectors; at this table's scale (≤ thousands of rows per
-    block) each task compares its block against the broadcast matrix —
-    the IVF/LSH variant in similarity.py is the >10^7-row path."""
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix without a Python-object
+    round trip: flatten the values buffer and reshape (embeddings are
+    fixed-dimension)."""
+    arr = batch.column(col).combine_chunks()
+    if batch.num_rows == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return values.reshape(batch.num_rows, -1)
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def embedding_neardup(
+    ds,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    pair_block: int = 2048,
+):
+    """All pairs with cosine ≥ threshold — recall 1.0, no O(n²) driver scan.
+
+    Cell-blocked like IVF (similarity.py), with a cover radius that makes
+    the blocking EXACT. Train centroids on a sample; let R be the max angle
+    from any vector to its nearest ("home") centroid, θt = arccos(threshold).
+    For any qualifying pair (x, y): angle(y, home(x)) ≤ angle(y, x) +
+    angle(x, home(x)) ≤ θt + R, so if every vector is also assigned to every
+    cell within θt + R, each qualifying pair co-occurs in BOTH members'
+    home cells. Pairs are therefore emitted only from cell min(home_a,
+    home_b) — exactly once, no cross-cell dedup pass.
+
+    Pipeline: assign pass (aggregate max home-angle R) → multi-assign
+    flat_map → groupby(cell).map_groups blockwise matmul. Everything
+    streams; the driver holds only the centroid matrix. Replication per
+    vector is |cells within θt + R|: selective for production thresholds
+    (≥0.9); a LOW threshold widens θt toward full replication — the work is
+    then a distributed all-pairs, which is what correctness demands.
+    """
     import ray
+    from ray.data.aggregate import Max
 
-    tables = [ray.get(r) for r in ds.to_arrow_refs()]
-    tbl = pa.concat_tables([t for t in tables if t.num_rows])
-    ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    order = np.argsort(ids)
-    ids, unit = ids[order], unit[order]
-    ref = ray.put(unit)
+    from .similarity import _kmeans_cosine
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        all_unit = ray.get(ref)
-        bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        bmat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
-        bn[bn == 0] = 1.0
-        sims = (bmat / bn) @ all_unit.T
+    train = ds.limit(sample_rows).take_all()
+    if not train:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+    sample = np.asarray([r[emb_col] for r in train], dtype=np.float64)
+    cent = _kmeans_cosine(sample, n_cells, seed=11)  # (C, d) unit rows
+    cent_ref = ray.put(cent)
+
+    def home_angle(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        sims = np.clip(_unit_rows(_emb_matrix(batch, emb_col)) @ c.T, -1.0, 1.0)
+        return pa.table({"ang": pa.array(np.arccos(sims.max(axis=1)), pa.float64())})
+
+    r_max = ds.map_batches(home_angle, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Max("ang", alias_name="r")
+    )["r"]
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)) + r_max)
+
+    def multi_assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        unit = _unit_rows(_emb_matrix(batch, emb_col))
+        ang = np.arccos(np.clip(unit @ c.T, -1.0, 1.0))  # (n, C)
+        home = ang.argmin(axis=1).astype(np.int64)
+        rows_i, cells = np.nonzero(ang <= theta)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                id_col: pa.array(ids[rows_i], pa.int64()),
+                "home": pa.array(home[rows_i], pa.int64()),
+                emb_col: pc.take(batch.column(emb_col).combine_chunks(), pa.array(rows_i)),
+            }
+        )
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        m = group.num_rows
+        if m < 2:
+            return empty
+        cell = int(group.column("cell")[0].as_py())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        home = group.column("home").to_numpy(zero_copy_only=False)
+        unit = _unit_rows(_emb_matrix(group, emb_col))
         out_a, out_b = [], []
-        for r in range(sims.shape[0]):
-            hit = np.where(sims[r] >= threshold)[0]
-            for c in hit:
-                if ids[c] > bids[r]:
-                    out_a.append(bids[r])
-                    out_b.append(int(ids[c]))
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+        for lo in range(0, m, pair_block):  # bound the m×m sims matrix
+            sims = unit[lo : lo + pair_block] @ unit.T
+            bi, bj = np.nonzero(sims >= threshold)
+            gi = bi + lo
+            keep = ids[gi] < ids[bj]  # each unordered pair once, a < b
+            gi, bj = gi[keep], bj[keep]
+            emit = np.minimum(home[gi], home[bj]) == cell
+            out_a.append(ids[gi[emit]])
+            out_b.append(ids[bj[emit]])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
-    return ds.map_batches(block_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.map_batches(multi_assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )

@@ -47,6 +47,8 @@ def broadcast_join(
     """
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports how='inner'|'left', got {how!r}")
     if columns is not None:
         small = small.select([right_on, *columns])
     n_keys = pc.count_distinct(small.column(right_on)).as_py()

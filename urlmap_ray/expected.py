@@ -1,0 +1,195 @@
+"""Single-process expected tables ("local oracles") for corpus-derived queries.
+
+The driver's correctness gate compares each ``queries()`` entry against a
+DuckDB ``oracle_sql()`` statement. The crawl/page-family queries run over the
+deterministic synthetic corpus (corpus.py), which has no testdata SQL view —
+but every one of them has a pure single-process ground truth:
+
+- crawl queries  → oracle.crawl_waves (the sequential wave-BFS semantic model,
+  itself validated against the ported reference goldens in tests/)
+- page_links / spa_detect / page_link_stats → the pure per-page functions
+  (extract.py, spa.py) applied to the corpus table in one process
+
+This module materializes those ground truths as Parquet under
+``<corpus dir>/expected/`` so the oracle can be plain
+``SELECT * FROM read_parquet('...')``. The point of the check is the
+DISTRIBUTED path: wave scheduling, shuffles, the seen-set claim, the fused
+fetch/extract chain — everything between "pure per-page function" and "Ray
+pipeline output" is independently exercised.
+
+Generation is idempotent (skipped when the file exists — the corpus is
+deterministic in its manifest params) and gated to small corpora: the
+single-process oracle is a test-scale tool, and bench runs at sf ≥ 0.1 must
+never pay for it. Each ``queries()`` callable ensures its expected file
+before running, so the file exists by the time the driver evaluates the
+matching oracle SQL. The SQL strings in __ray_entry__ hardcode the sf0.01
+corpus path because the driver's gate runs at sf=0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .config import CrawlConfig
+from .corpus import CorpusInfo
+
+# Above this corpus size, ensure_* becomes a no-op (returns the path without
+# generating): the single-process oracles exist for the sf ≤ 0.01 gate only.
+MAX_ORACLE_PAGES = 10_000
+
+# The driver's correctness gate runs at sf=0.01; oracle SQL reads this dir.
+SF001_CORPUS_DIR = "/tmp/urlmap_corpus/sf0.01"
+
+
+def expected_path(info: CorpusInfo, name: str) -> str:
+    return os.path.join(info.dir, "expected", f"{name}.parquet")
+
+
+def _write_atomic(tbl: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def _should_generate(info: CorpusInfo, path: str) -> bool:
+    return not os.path.exists(path) and info.n_pages <= MAX_ORACLE_PAGES
+
+
+def _pages_table(info: CorpusInfo) -> pa.Table:
+    import pyarrow.dataset as pads
+
+    return pads.dataset(info.pages_path, format="parquet").to_table(
+        columns=["url", "html"]
+    )
+
+
+def ensure_crawl_expected(info: CorpusInfo, tag: str, cfg: CrawlConfig) -> str:
+    """Expected (url, depth, status) of a crawl from info.seeds[0] — the
+    wave-BFS oracle's results, sorted by url (matching visited_dataset)."""
+    path = expected_path(info, f"crawl-{tag}")
+    if not _should_generate(info, path):
+        return path
+    from .oracle import crawl_waves, load_corpus_dict
+    from .robotstxt import RobotsIndex
+
+    corpus = load_corpus_dict(info.pages_path)
+    robots = None
+    if cfg.respect_robots and os.path.exists(info.robots_path):
+        robots = RobotsIndex(cfg.user_agent)
+        tbl = pq.read_table(info.robots_path)
+        for o, c in zip(tbl.column("origin").to_pylist(), tbl.column("content").to_pylist()):
+            robots.add(o, c)
+    out = crawl_waves(corpus, info.seeds[0], cfg, robots=robots)
+    rows = sorted((r.url, r.depth, r.status) for r in out.results)
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "depth": pa.array([r[1] for r in rows], pa.int32()),
+                "status": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def ensure_page_links_expected(info: CorpusInfo) -> str:
+    """Expected (url, n_links) per corpus page via the pure extractor."""
+    path = expected_path(info, "page_links")
+    if not _should_generate(info, path):
+        return path
+    import pyarrow.compute as pc
+
+    from .extract import extract_links_batch
+
+    tbl = extract_links_batch(_pages_table(info))
+    out = pa.table(
+        {
+            "url": tbl.column("url"),
+            "n_links": pc.list_value_length(tbl.column("links")).cast(pa.int64()),
+        }
+    )
+    _write_atomic(out.sort_by("url"), path)
+    return path
+
+
+def ensure_spa_expected(info: CorpusInfo) -> str:
+    """Expected (url, is_spa, confidence) per corpus page via detect_spa."""
+    path = expected_path(info, "spa_detect")
+    if not _should_generate(info, path):
+        return path
+    from .spa import detect_spa_batch
+
+    tbl = detect_spa_batch(_pages_table(info)).drop_columns(["indicators"])
+    _write_atomic(tbl.sort_by("url"), path)
+    return path
+
+
+def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
+    """Materialize every expected table the sf0.01 oracle SQL reads.
+
+    Called from ``oracle_sql()`` so the read_parquet paths exist even if the
+    driver evaluates an oracle before running the matching query callable.
+    Pure single-process pyarrow/python — needs no Ray session. Idempotent:
+    after the first call (or after the query callables ran) every step is an
+    existence check."""
+    from .corpus import corpus_for_sf_dir
+
+    sf_dir = os.path.join(testdata_root, "sf0.01")
+    info = corpus_for_sf_dir(sf_dir)
+    ensure_crawl_expected(info, "bfs", CrawlConfig())
+    ensure_crawl_expected(info, "d3", CrawlConfig(max_depth=3))
+    ensure_crawl_expected(
+        info, "br", CrawlConfig(per_host_budget=200, respect_robots=True)
+    )
+    ensure_page_links_expected(info)
+    ensure_spa_expected(info)
+    ensure_link_stats_expected(info)
+    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        ensure_simhash_sigs(sf_dir)
+
+
+def ensure_simhash_sigs(sf_dir: str, max_docs: int = 1000) -> str:
+    """Write (doc_id, simhash) for the documents table via the pure
+    ``simhash64`` function. The dedup_simhash oracle is then an exact
+    ALL-PAIRS Hamming join in SQL (bit_count(xor(..)) ≤ k) over these
+    signatures — checking the distributed banding + in-group verify against
+    a banding-free pairwise scan. Gated to test-scale tables (the gate runs
+    at sf=0.01 = 500 docs); bench-scale calls skip generation."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "simhash_sigs.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if docs.num_rows > max_docs:
+        return path
+    from .functions.dedup import simhash_batch
+
+    _write_atomic(simhash_batch(docs), path)
+    return path
+
+
+def ensure_link_stats_expected(info: CorpusInfo) -> str:
+    """Expected one-row extraction-stats rollup (sum of per-page counters)."""
+    path = expected_path(info, "page_link_stats")
+    if not _should_generate(info, path):
+        return path
+    import pyarrow.compute as pc
+
+    from .extract import STATS_FIELDS, extract_links_batch
+
+    tbl = extract_links_batch(_pages_table(info), with_stats=True)
+    _write_atomic(
+        pa.table(
+            {f"sum_{f}": pa.array([pc.sum(tbl.column(f)).as_py() or 0], pa.int64()) for f in STATS_FIELDS}
+        ),
+        path,
+    )
+    return path

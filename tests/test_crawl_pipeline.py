@@ -132,6 +132,25 @@ def test_resume_identical(ray_session, corpus_info, corpus_dict, tmp_path):
     assert eng2.visited_urls() == oracle.output_urls
 
 
+def test_resume_with_different_shard_count(ray_session, corpus_info, corpus_dict, tmp_path):
+    """Restore is shard-local (paths shipped to actors, URLs never relayed
+    through the driver) and works when the resuming pool has a DIFFERENT
+    shard count than the one that wrote the journals — shards then re-route
+    by the current hash layout."""
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
+    ck = str(tmp_path / "ck")
+    eng = _engine(ray_session, corpus_info, CrawlConfig(), ck)  # seen_shards=2
+    out = eng.crawl(corpus_info.seeds[0])
+    n_waves = len(out.waves)
+    for d in range(3, n_waves):
+        shutil.rmtree(os.path.join(ck, f"wave-{d:04d}"))
+    from urlmap_ray.pipelines.crawl import CrawlEngine
+
+    eng2 = CrawlEngine(corpus_info, CrawlConfig(), checkpoint_dir=ck, seen_shards=3)
+    eng2.crawl(corpus_info.seeds[0], resume=True)
+    assert eng2.visited_urls() == oracle.output_urls
+
+
 def test_wave_stats_consistency(ray_session, corpus_info, corpus_dict, tmp_path):
     eng = _engine(ray_session, corpus_info, CrawlConfig(), str(tmp_path / "ck"))
     out = eng.crawl(corpus_info.seeds[0])

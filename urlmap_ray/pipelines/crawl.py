@@ -654,6 +654,7 @@ class CrawlEngine:
         manifest = {
             "wave": d,
             "seeds": seeds,
+            "seen_shards": self.seen_shards,
             "config": asdict(self.cfg),
             "input_frontier": {"path": frontier_path, "rows": stats.frontier},
             "outputs": {
@@ -679,23 +680,29 @@ class CrawlEngine:
     # -- resume ------------------------------------------------------------
 
     def _restore(self, seen: SeenSet, outcome: CrawlOutcome) -> int:
-        """Rebuild seen shards from checkpointed deltas; return next wave."""
+        """Rebuild seen shards from checkpointed deltas; return next wave.
+
+        Shard-local: the driver only enumerates the per-wave seen dirs and
+        ships PATHS to the shard actors (seen.restore_from_journals) — the
+        URL lists never pass through the driver, so restore memory is
+        per-shard, not corpus-wide."""
         last = -1
         while os.path.exists(os.path.join(self._wave_dir(last + 1), "manifest.json")):
             last += 1
         if last < 0:
             return 0
-        urls: list[str] = []
+        seen_dirs: list[str] = []
+        written_shards: int | None = None
         for d in range(last + 1):
-            for f in _files(os.path.join(self._wave_dir(d), "seen")):
-                urls.extend(pq.read_table(f).column("url").to_pylist())
+            seen_dirs.append(os.path.join(self._wave_dir(d), "seen"))
             with open(os.path.join(self._wave_dir(d), "manifest.json")) as fh:
-                outcome.waves.append(WaveStats(**json.load(fh)["stats"]))
+                m = json.load(fh)
+            outcome.waves.append(WaveStats(**m["stats"]))
+            written_shards = m.get("seen_shards", written_shards)
         incomplete = self._wave_dir(last + 1)
         if os.path.exists(incomplete):
             shutil.rmtree(incomplete)
-        if urls:
-            seen.bulk_load(urls)
+        seen.restore_from_journals(seen_dirs, written_shards)
         return last + 1
 
     # -- outputs -----------------------------------------------------------

@@ -161,6 +161,24 @@ class SeenShard:
             self.filter.add(url_hash(fresh))
         return len(self.exact)
 
+    def bulk_load_files(self, paths: list[str], filter_mod: int | None = None) -> int:
+        """Restore from journal Parquet files read INSIDE the actor — the
+        driver passes paths, never URL lists (at 10^10 URLs a driver-side
+        relay is an OOM). ``filter_mod`` is set when the checkpoint was
+        written with a different shard count: this shard then keeps only the
+        urls routed to it under the CURRENT layout
+        (url_hash % filter_mod == shard_id); with a matching layout each
+        shard reads exactly its own files unfiltered."""
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            urls = pq.read_table(p, columns=["url"]).column("url").to_pylist()
+            if filter_mod is not None and urls:
+                mask = (url_hash(urls) % filter_mod) == self.shard_id
+                urls = [u for u, m in zip(urls, mask) if m]
+            self.bulk_load(urls)
+        return len(self.exact)
+
     def drain_journal(self) -> list[str]:
         j, self.journal = self.journal, []
         return j
@@ -226,6 +244,43 @@ class SeenSet:
             idx = np.where(shard_of == s)[0]
             if len(idx):
                 futs.append(self.shards[s].bulk_load.remote([urls[i] for i in idx]))
+        ray.get(futs)
+
+    def restore_from_journals(self, seen_dirs: list[str], written_shards: int | None) -> None:
+        """Rebuild the pool from checkpointed journal files, shard-locally.
+
+        Journal files are named shard-%04d.parquet by the shard that wrote
+        them. When ``written_shards`` matches this pool's layout each shard
+        reads only its own files; otherwise (or when the writer count is
+        unknown — old manifests) every shard scans all files filtered by the
+        current hash routing. Either way URLs flow storage → shard actor
+        directly; the driver only lists paths."""
+        import os
+
+        futs = []
+        if written_shards == self.num_shards:
+            for i, s in enumerate(self.shards):
+                mine = [
+                    p
+                    for d in seen_dirs
+                    for p in [os.path.join(d, f"shard-{i:04d}.parquet")]
+                    if os.path.exists(p)
+                ]
+                if mine:
+                    futs.append(s.bulk_load_files.remote(mine, None))
+        else:
+            all_files = [
+                os.path.join(d, f)
+                for d in seen_dirs
+                if os.path.isdir(d)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if all_files:
+                futs = [
+                    s.bulk_load_files.remote(all_files, self.num_shards)
+                    for s in self.shards
+                ]
         ray.get(futs)
 
     def total(self) -> int:

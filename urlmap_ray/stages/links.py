@@ -95,6 +95,62 @@ class AdmissionIndex:
         return any(path.startswith(b) for b in bases)
 
 
+    def vector_prefilter(self):
+        """(root_hosts, complex_hosts) for the vectorized admission path.
+
+        root_hosts: hosts whose seed bases include "/" — in prefix mode every
+        path under them admits (all dir-paths start with "/"), so membership
+        alone decides. complex_hosts: hosts with non-root bases — their links
+        need the per-link dir-prefix test (python fallback)."""
+        root, complex_ = [], []
+        for h, bases in self.by_host.items():
+            (root if "/" in bases or not self.same_path_prefix else complex_).append(h)
+        return root, complex_
+
+
+# Strict canonical-link shape the vectorized admission path handles exactly:
+# lowercase ASCII host, no port/userinfo/fragment. The extractor emits
+# normalized absolute URLs, so in practice ~all links match; the rest take
+# the per-link parse fallback (identical semantics, just slower).
+_STRICT_LINK_RE = r"^https?://(?P<vhost>[a-z0-9.\-]+)(?P<vpath>/[^?#]*)?(?:\?[^#]*)?$"
+
+
+def admission_mask(links: pa.Array, idx: AdmissionIndex) -> np.ndarray:
+    """Vectorized form of ``[idx.admits(l) for l in links]``.
+
+    One Arrow regex pass splits host/path for canonical links; admission for
+    hosts whose seed base is "/" (the overwhelmingly common crawl shape) is a
+    single ``is_in`` membership probe. Only links that fail the strict parse
+    or hit a host with non-root seed bases fall back to the per-link parser —
+    memoized, and byte-identical in verdict to the vectorized path."""
+    ex = pc.extract_regex(links, pattern=_STRICT_LINK_RE)
+    valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+    hosts = pc.struct_field(ex, "vhost")
+    root_hosts, complex_hosts = idx.vector_prefilter()
+    keep = np.zeros(len(links), dtype=bool)
+    if root_hosts:
+        in_root = pc.is_in(
+            hosts, value_set=pa.array(root_hosts, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        keep = valid & np.asarray(in_root)
+    # fallback rows: strict-parse failures + complex-host hits
+    fb = ~valid
+    if complex_hosts:
+        in_cplx = pc.is_in(
+            hosts, value_set=pa.array(complex_hosts, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        fb |= valid & np.asarray(in_cplx)
+    if fb.any():
+        cache: dict[str, bool] = {}
+        for i in np.flatnonzero(fb):
+            link = links[i].as_py()
+            v = cache.get(link)
+            if v is None:
+                v = cache[link] = idx.admits(link)
+            keep[i] = v
+    return keep
+
+
 _ADMISSION_CACHE: dict[tuple, AdmissionIndex] = {}
 
 
@@ -132,17 +188,12 @@ def flatten_candidates(
     parents = pc.list_parent_indices(links_col)
     depths = pc.add(pc.cast(batch.column("depth").take(parents), pa.int32()), 1)
 
-    urls = flat.to_pylist()
-    keep = np.ones(len(urls), dtype=bool)
     if same_domain:
         idx = admission_index(list(seed_urls), same_path_prefix)
-        cache: dict[str, bool] = {}
-        for i, link in enumerate(urls):
-            v = cache.get(link)
-            if v is None:
-                v = cache[link] = idx.admits(link)
-            keep[i] = v
-    tbl = pa.table({"url": flat, "depth": depths}).filter(pa.array(keep))
+        keep = admission_mask(flat, idx)
+        tbl = pa.table({"url": flat, "depth": depths}).filter(pa.array(keep))
+    else:
+        tbl = pa.table({"url": flat, "depth": depths})
     # local combiner: min depth per url within this batch
     tbl = tbl.group_by("url").aggregate([("depth", "min")]).rename_columns(["url", "depth"])
     urls2 = tbl.column("url").to_pylist()

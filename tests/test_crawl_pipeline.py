@@ -247,3 +247,32 @@ def test_budget_resume_identical(ray_session, corpus_info, tmp_path):
     eng2.crawl(corpus_info.seeds[0], resume=True)
     assert eng2.visited_urls() == want_urls
     assert _depths(eng2) == want_depths
+
+
+def test_interrupt_partial_then_resume(ray_session, corpus_info, corpus_dict, tmp_path):
+    """request_stop() at a wave boundary: completed waves stay valid partial
+    output and resume=True finishes the crawl identically (main.go:182-220)."""
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
+    ck = str(tmp_path / "ck")
+    eng = _engine(ray_session, corpus_info, CrawlConfig(), ck)
+    orig = eng._checkpoint_seen_and_manifest
+
+    def hook(d, *a, **kw):
+        r = orig(d, *a, **kw)
+        if d >= 1:
+            eng.request_stop()
+        return r
+
+    eng._checkpoint_seen_and_manifest = hook
+    out = eng.crawl(corpus_info.seeds[0])
+    assert out.interrupted
+    assert [w.wave for w in out.waves] == [0, 1]
+    partial = eng.visited_urls()
+    assert partial == sorted(partial)
+    assert set(partial) < set(oracle.output_urls)
+
+    eng2 = _engine(ray_session, corpus_info, CrawlConfig(), ck)
+    out2 = eng2.crawl(corpus_info.seeds[0], resume=True)
+    assert not out2.interrupted
+    assert [w.wave for w in out2.waves][:2] == [0, 1]
+    assert eng2.visited_urls() == oracle.output_urls

@@ -18,6 +18,7 @@ Owns its Ray session (scripts must leave driver-managed sessions alone).
 from __future__ import annotations
 
 import argparse
+import signal
 import sys
 
 
@@ -78,6 +79,26 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint,
             seen_shards=max(1, args.concurrent // 4),
         )
+
+        # Graceful cancel (reference main.go:182-220): first SIGINT/SIGTERM
+        # stops at the next wave boundary and still emits the partial visited
+        # set (checkpoint stays resumable); a second signal restores the
+        # default handler, so Ctrl-C twice force-quits.
+        prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            eng.request_stop()
+            print(
+                "\ninterrupt received — finishing current wave, writing partial "
+                "output (repeat to force quit)",
+                file=sys.stderr,
+            )
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
+
+        for s in (signal.SIGINT, signal.SIGTERM):
+            prev_handlers[s] = signal.signal(s, _on_signal)
+
         outcome = eng.crawl(args.url, resume=args.resume)
         urls = eng.visited_urls()
     except URLError as e:
@@ -90,6 +111,15 @@ def main(argv: list[str] | None = None) -> int:
         write_file(urls, args.file)
     else:
         sys.stdout.write(render(urls, args.output))
+    if outcome.interrupted:
+        print(
+            f"crawl interrupted: {len(urls)} URLs from {len(outcome.waves)} "
+            f"completed waves (resume with --resume"
+            + (f" --checkpoint {args.checkpoint}" if args.checkpoint else "")
+            + ")",
+            file=sys.stderr,
+        )
+        return 130
     print(
         f"crawl complete: {len(urls)} URLs, {len(outcome.waves)} waves, "
         f"max depth {outcome.max_depth_reached}",

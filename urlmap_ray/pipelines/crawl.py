@@ -82,6 +82,11 @@ class WaveStats:
 class CrawlOutcome:
     checkpoint_dir: str
     waves: list[WaveStats] = field(default_factory=list)
+    #: True when the crawl stopped at a wave boundary on request_stop()
+    #: (SIGINT/SIGTERM in the CLI, reference main.go:182-220) — the waves
+    #: recorded so far are complete and checkpointed, so visited output is
+    #: valid-partial and crawl(resume=True) continues from here.
+    interrupted: bool = False
 
     @property
     def total_results(self) -> int:
@@ -126,6 +131,16 @@ class CrawlEngine:
         self._robots_bodies: dict[str, str] | None = None
         self._robots_ref = None
         self._local_gate: PolitenessGate | None = None
+        self._stop_requested = False
+
+    def request_stop(self) -> None:
+        """Ask the crawl loop to stop at the next wave boundary.
+
+        Safe to call from a signal handler: it only flips a flag; the
+        in-flight wave runs to completion and is checkpointed, so the
+        resulting outcome is a valid resumable prefix of the full crawl
+        (reference main.go:182-220 drains in-flight fetches the same way)."""
+        self._stop_requested = True
 
     # -- helpers -----------------------------------------------------------
 
@@ -201,8 +216,12 @@ class CrawlEngine:
             )
 
         d = start_wave
+        self._stop_requested = False
         try:
             while True:
+                if self._stop_requested:
+                    outcome.interrupted = True
+                    break
                 frontier_path = (
                     os.path.join(self.ckpt, "frontier-0")
                     if d == 0

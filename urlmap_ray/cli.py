@@ -35,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="checkpoint directory")
     p.add_argument("--resume", action="store_true", help="resume from checkpoint")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true", help="suppress per-wave progress")
     # Accepted for flag parity; inert in corpus mode (pages are pre-rendered).
     p.add_argument("--js-render", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--js-timeout", type=int, default=30, help=argparse.SUPPRESS)
@@ -73,11 +74,27 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", log_to_driver=args.verbose)
     try:
+        # Live progress (reference progress.go:200-254, mapped to wave
+        # granularity): one stderr line per completed wave with rate, queue
+        # size and depth. On by default; --quiet for scripting.
+        def _progress(stats, outcome):
+            fetched = sum(w.admitted - w.failed for w in outcome.waves)
+            rate = stats.admitted / stats.seconds if stats.seconds > 0 else 0.0
+            queue = stats.new_urls + stats.deferred
+            print(
+                f"\rwave {stats.wave}: {stats.admitted} crawled "
+                f"({fetched} total) · {rate:,.0f} urls/s · queue {queue} · "
+                f"{stats.seconds:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+
         eng = CrawlEngine(
             info,
             cfg,
             checkpoint_dir=args.checkpoint,
             seen_shards=max(1, args.concurrent // 4),
+            on_wave=None if args.quiet else _progress,
         )
 
         # Graceful cancel (reference main.go:182-220): first SIGINT/SIGTERM

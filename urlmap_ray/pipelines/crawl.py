@@ -121,6 +121,7 @@ class CrawlEngine:
         seen_shards: int = 4,
         wave_seconds: float = 300.0,
         small_wave_rows: int = 1000,
+        on_wave=None,
     ):
         self.corpus = corpus
         self.cfg = cfg
@@ -132,6 +133,11 @@ class CrawlEngine:
         self._robots_ref = None
         self._local_gate: PolitenessGate | None = None
         self._stop_requested = False
+        #: Progress hook, called with (WaveStats, cumulative CrawlOutcome)
+        #: after each completed wave — the reference's live ticker
+        #: (progress.go:200-254) mapped onto wave granularity. Exceptions
+        #: are swallowed: reporting must never kill a crawl.
+        self.on_wave = on_wave
 
     def request_stop(self) -> None:
         """Ask the crawl loop to stop at the next wave boundary.
@@ -248,6 +254,11 @@ class CrawlEngine:
                         flush=True,
                     )
                 outcome.waves.append(stats)
+                if self.on_wave is not None:
+                    try:
+                        self.on_wave(stats, outcome)
+                    except Exception:
+                        pass
                 d += 1
         finally:
             # Always release the seen-shard actors — including on a failed

@@ -157,7 +157,7 @@ def test_wave_stats_consistency(ray_session, corpus_info, corpus_dict, tmp_path)
     oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
     assert out.total_results == len(oracle.results)
     failed = sum(w.failed for w in out.waves)
-    assert failed == sum(1 for r in oracle.results if r.status == 0)
+    assert failed == sum(1 for r in oracle.results if r.status != 200)
 
 
 def test_multi_seed(ray_session, corpus_info, corpus_dict, tmp_path):
@@ -276,3 +276,25 @@ def test_interrupt_partial_then_resume(ray_session, corpus_info, corpus_dict, tm
     assert not out2.interrupted
     assert [w.wave for w in out2.waves][:2] == [0, 1]
     assert eng2.visited_urls() == oracle.output_urls
+
+
+def test_error_status_pages_gate_extraction(ray_session, corpus_info, corpus_dict, tmp_path):
+    """4xx/5xx corpus pages are visited but never parsed (crawler.go:331-334):
+    the oracle crawl must actually hit some, the engine must report them as
+    failed, and the union of all extracted links must not include any link
+    reachable ONLY through an error page."""
+    oracle = crawl_sequential(corpus_dict, corpus_info.seeds[0])
+    errs = [r for r in oracle.results if r.status >= 400]
+    assert errs, "corpus must contain reachable error pages (gate would be vacuous)"
+    assert all(r.links == [] and r.error is not None for r in errs)
+
+    eng = _engine(ray_session, corpus_info, CrawlConfig(), str(tmp_path / "ck"))
+    out = eng.crawl(corpus_info.seeds[0])
+    assert eng.visited_urls() == oracle.output_urls
+    # engine failed counter covers misses (status 0) AND error statuses
+    n_failed_oracle = sum(1 for r in oracle.results if r.status != 200)
+    assert sum(w.failed for w in out.waves) == n_failed_oracle
+    # per-row: error rows kept their status in the results checkpoint
+    rows = {r["url"]: r["status"] for r in eng.visited_dataset().take_all()}
+    for r in errs:
+        assert rows[r.url] == r.status

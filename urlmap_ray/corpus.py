@@ -46,8 +46,19 @@ PAGES_SCHEMA = pa.schema(
         ("html", pa.binary()),
         ("text", pa.string()),
         ("lang", pa.string()),
+        # HTTP status the fetch of this page "returned" (WARC-style capture
+        # metadata): ~3% of non-root pages are 404/410/500/503 so the crawl's
+        # status gate (crawler.go:331-334: non-2xx/3xx → error, URL visited,
+        # links NOT followed) is exercised — error pages keep a full html
+        # body with links precisely so following them would be detected.
+        ("status", pa.int32()),
     ]
 )
+
+#: Fraction of non-root pages given an error status (also versions the
+#: corpus manifest: bumping regenerates stale cached corpora).
+ERROR_RATE = 0.03
+_ERROR_STATUSES = (404, 410, 500, 503)
 
 ROBOTS_SCHEMA = pa.schema([("origin", pa.string()), ("content", pa.string())])
 
@@ -181,7 +192,13 @@ def _gen_one(gid: int, starts: np.ndarray, rng: np.random.Generator, scale: int 
     html = "".join(parts).encode("utf-8")
 
     ts = _BASE_TS + np.timedelta64(gid, "s").astype("timedelta64[us]")
-    return url, ts, html, text, lang
+
+    # Status last, so the draw doesn't shift the content stream above. Roots
+    # stay 200 (a dead seed would make whole hosts unreachable).
+    status = 200
+    if j != 0 and rng.random() < ERROR_RATE:
+        status = _ERROR_STATUSES[int(rng.integers(0, len(_ERROR_STATUSES)))]
+    return url, ts, html, text, lang, status
 
 
 def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int = 1) -> pa.Table:
@@ -196,13 +213,13 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int 
     n_total = int(starts[-1])
     gids = np.sort(np.asarray(gids, dtype=np.int64))
     wanted = set(gids.tolist())
-    cols = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    cols = {k: [] for k in ("url", "warc_ts", "html", "text", "lang", "status")}
     for chunk_id in np.unique(gids // _CHUNK):
         rng = np.random.default_rng([seed, int(chunk_id)])
         lo = int(chunk_id) * _CHUNK
         hi = min(lo + _CHUNK, n_total)
         for gid in range(lo, hi):
-            url, ts, html, text, lang = _gen_one(gid, starts, rng, scale)
+            url, ts, html, text, lang, status = _gen_one(gid, starts, rng, scale)
             if gid not in wanted:
                 continue
             cols["url"].append(url)
@@ -210,6 +227,7 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int 
             cols["html"].append(html)
             cols["text"].append(text)
             cols["lang"].append(lang)
+            cols["status"].append(status)
     return pa.table(
         {
             "url": pa.array(cols["url"], pa.string()),
@@ -217,6 +235,7 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int 
             "html": pa.array(cols["html"], pa.binary()),
             "text": pa.array(cols["text"], pa.string()),
             "lang": pa.array(cols["lang"], pa.string()),
+            "status": pa.array(cols["status"], pa.int32()),
         }
     )
 
@@ -302,6 +321,9 @@ def generate_corpus(
         "seed": seed,
         "partitions": partitions,
         "page_scale": page_scale,
+        # Participates in the idempotence key: corpora cached before error
+        # statuses existed (or with a different rate) regenerate.
+        "error_rate": ERROR_RATE,
     }
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -310,6 +332,14 @@ def generate_corpus(
             return CorpusInfo(out_dir, n_pages, n_hosts, seed, partitions, m["seeds"])
 
     starts = host_layout(n_pages, n_hosts)
+    # Regenerating with new params: derived artifacts (expected-oracle
+    # tables, old bucket files from a different partition count) are stale.
+    import shutil
+
+    for sub in ("pages", "expected"):
+        p = os.path.join(out_dir, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
     os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
 
     # Hash-partition by URL so the fetch join can co-partition at scale.

@@ -2,7 +2,7 @@
 
 ``crawl_sequential`` re-implements the reference's deterministic sequential
 BFS (crawler.go CrawlRecursive :168-276 + crawlSingle :279-351) over an
-in-memory url→html corpus dict, with the concurrent crawler's robots
+in-memory url→(status, html) corpus dict, with the concurrent crawler's robots
 ordering (processJob, crawler.go:574-656) available via config. 100%
 deterministic; used to assert the Ray wave engine produces the identical
 visited set and per-URL min depth.
@@ -29,7 +29,7 @@ from .urlnorm import URLError, extract_domain, is_same_domain, is_same_path_pref
 class OracleResult:
     url: str
     depth: int
-    status: int  # 200 hit, 0 corpus miss ("network error")
+    status: int  # 200 ok, 4xx/5xx error page, 0 corpus miss ("network error")
     links: list[str] = field(default_factory=list)
     error: str | None = None
 
@@ -48,10 +48,15 @@ class OracleCrawl:
         return sorted({r.url for r in self.results})
 
 
-def _fetch_and_extract(url: str, depth: int, corpus: dict[str, bytes], cfg: CrawlConfig) -> OracleResult:
-    html = corpus.get(url)
-    if html is None:
+def _fetch_and_extract(url: str, depth: int, corpus: dict, cfg: CrawlConfig) -> OracleResult:
+    entry = corpus.get(url)
+    if entry is None:
         return OracleResult(url, depth, 0, error="failed to fetch URL")
+    status, html = entry if isinstance(entry, tuple) else (200, entry)
+    if status != 200:
+        # crawler.go:331-334: non-2xx/3xx → error result, URL stays visited,
+        # body never parsed for links.
+        return OracleResult(url, depth, status, error=f"HTTP error: {status}")
     try:
         if cfg.same_domain:
             links = extract_same_domain_links(url, html)
@@ -78,7 +83,7 @@ def _admit(link: str, bases: list[str], cfg: CrawlConfig) -> bool:
 
 
 def crawl_sequential(
-    corpus: dict[str, bytes],
+    corpus: dict[str, tuple[int, bytes]],
     start_url: str | list[str],
     cfg: CrawlConfig = CrawlConfig(),
     robots: RobotsIndex | None = None,
@@ -118,7 +123,7 @@ def crawl_sequential(
 
 
 def crawl_waves(
-    corpus: dict[str, bytes],
+    corpus: dict[str, tuple[int, bytes]],
     start_url: str | list[str],
     cfg: CrawlConfig = CrawlConfig(),
     robots: RobotsIndex | None = None,
@@ -181,9 +186,18 @@ def crawl_waves(
     return out
 
 
-def load_corpus_dict(pages_dir: str) -> dict[str, bytes]:
-    """url→html for test-scale corpora (oracle side only)."""
+def load_corpus_dict(pages_dir: str) -> dict[str, tuple[int, bytes]]:
+    """url→(status, html) for test-scale corpora (oracle side only)."""
     import pyarrow.dataset as pads
 
-    tbl = pads.dataset(pages_dir, format="parquet").to_table(columns=["url", "html"])
-    return dict(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
+    tbl = pads.dataset(pages_dir, format="parquet").to_table(
+        columns=["url", "status", "html"]
+    )
+    return {
+        u: (s, h)
+        for u, s, h in zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("status").to_pylist(),
+            tbl.column("html").to_pylist(),
+        )
+    }

@@ -672,7 +672,8 @@ class CrawlEngine:
         stats.results = stats.admitted
         stats.failed = pc.sum(
             pc.and_(
-                pc.equal(tbl.column("verdict"), "admit"), pc.equal(tbl.column("status"), 0)
+                pc.equal(tbl.column("verdict"), "admit"),
+                pc.not_equal(tbl.column("status"), 200),
             ).cast(pa.int64())
         ).as_py() or 0
 

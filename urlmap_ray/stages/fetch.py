@@ -9,9 +9,12 @@ small row groups, so parquet statistics prune most of the file. The pages
 table itself never moves; only the (small) frontier shuffles.
 
 Misses come back with ``status=0`` (the reference's network-error case,
-crawler.go:323-326: a failed URL is recorded and never retried); hits are
-``status=200``. The reference's HTTP retry policy (3x on 5xx/network,
-client.go:63-83) has no corpus equivalent — worker failures are covered by
+crawler.go:323-326: a failed URL is recorded and never retried); hits carry
+the corpus row's captured HTTP status — 200 pages flow on with their body,
+4xx/5xx pages surface as error results with html nulled (crawler.go:331-334:
+an error body is never parsed for links). The reference's HTTP retry policy
+(3x on 5xx/network, client.go:63-83) has no corpus equivalent — the status
+is capture metadata, deterministically final; worker failures are covered by
 Ray task retries instead.
 
 Used as ``map_batches(CorpusFetcher, fn_constructor_kwargs=...,
@@ -63,7 +66,7 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table
         # membership is applied in memory after the pruned read.
         mm = pc.min_max(wanted)
         loaded = _bucket_ds(pages_dir, int(b)).to_table(
-            columns=["url", "html"],
+            columns=["url", "html", "status"],
             filter=(pc.field("url") >= mm["min"].as_py())
             & (pc.field("url") <= mm["max"].as_py()),
         )
@@ -71,18 +74,28 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table
             loaded.filter(pc.is_in(loaded.column("url"), value_set=wanted.combine_chunks()))
         )
     hits = pa.concat_tables(hit_parts) if hit_parts else pa.table(
-        {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
+        {
+            "url": pa.array([], pa.string()),
+            "html": pa.array([], pa.binary()),
+            "status": pa.array([], pa.int32()),
+        }
     )
     idx = pc.index_in(url_col, value_set=hits.column("url").combine_chunks())
-    html = pc.take(hits.column("html").combine_chunks(), idx) if hits.num_rows else pa.nulls(
-        batch.num_rows, pa.binary()
-    )
-    status = pc.if_else(pc.is_valid(idx), pa.scalar(200, pa.int32()), pa.scalar(0, pa.int32()))
+    if hits.num_rows:
+        html = pc.take(hits.column("html").combine_chunks(), idx)
+        status = pc.take(hits.column("status").combine_chunks(), idx).fill_null(0)
+    else:
+        html = pa.nulls(batch.num_rows, pa.binary())
+        status = pa.nulls(batch.num_rows, pa.int32()).fill_null(0)
+    # Reference status gate (crawler.go:331-334): a non-2xx/3xx response is
+    # an error result — the URL counts as visited but its body is never
+    # parsed. Nulling html here keeps the extract stage status-agnostic.
+    html = pc.if_else(pc.equal(status, 200), html, pa.scalar(None, pa.binary()))
     return pa.table(
         {
             "url": url_col,
             "depth": batch.column("depth"),
-            "status": status,
+            "status": pc.cast(status, pa.int32()),
             "html": html,
         }
     )

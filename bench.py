@@ -119,6 +119,57 @@ def run_bench() -> dict:
             n = len(res)
         queries[name] = round(time.time() - t0, 3)
 
+    # --- ANN production-selectivity demo (VERDICT r1 #9): the registered
+    # ann_topk_ivf/lsh queries over-probe so their exact-top-k oracle holds;
+    # here we run IVF at a production probe count and report recall vs the
+    # exact result plus the speedup, so the index's actual selectivity is on
+    # record. Not part of the correctness gate — a measured tradeoff.
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from urlmap_ray.functions import similarity as _sim
+
+    _etbl = _pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    _sub = _etbl.filter(_pa.compute.less(_etbl.column("vec_id"), 3))
+    _order = _pa.compute.sort_indices(_sub, sort_keys=[("vec_id", "ascending")])
+    qv = np.asarray(_sub.take(_order).column("embedding").to_pylist(), dtype=np.float64)
+
+    def _pairs(t):
+        return {
+            (r["query_idx"], r["vec_id"]) for r in t.select(["query_idx", "vec_id"]).to_pylist()
+        }
+
+    def _emb_ds():
+        import ray.data
+
+        return ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    t0 = time.time()
+    exact = _sim.topk_cosine(_emb_ds(), qv, k=10)
+    t_exact = time.time() - t0
+    nprobe = 3
+    ivf_stats: dict = {}
+    t0 = time.time()
+    fast = _sim.topk_cosine_ivf(
+        _emb_ds(), qv, k=10, n_centroids=16, nprobe=nprobe, stats=ivf_stats
+    )
+    t_ivf = time.time() - t0
+    hits = len(_pairs(fast) & _pairs(exact))
+    queries["ann_topk_ivf_fast"] = round(t_ivf, 3)
+    extras["ann_ivf_fast"] = {
+        "nprobe": nprobe,
+        "per_query_cell_frac": round(nprobe / 16, 4),
+        **ivf_stats,
+        "recall_at_10": round(hits / max(1, len(_pairs(exact))), 3),
+        # At bench sf levels the exact scan is tiny, so wall-clock speedup
+        # mostly reflects fixed overhead; probed_cell_frac is the scale
+        # signal (per-query scan cost ∝ probed fraction of the corpus).
+        "speedup_vs_exact": round(t_exact / t_ivf, 2) if t_ivf > 0 else None,
+    }
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "crawl (full corpus, all-host seeds) + training-data operator wall time",

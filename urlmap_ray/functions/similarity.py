@@ -109,6 +109,7 @@ def topk_cosine_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 11,
+    stats: dict | None = None,
 ) -> pa.Table:
     """IVF approximate top-k: coarse k-means quantizer trained on a
     driver-side sample, every row assigned to its nearest centroid in one
@@ -130,6 +131,12 @@ def topk_cosine_ivf(
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
     probe_set = sorted({int(c) for row in probe_cells for c in row})
+    if stats is not None:
+        # Scan-selectivity evidence: the fraction of cells (≈ fraction of
+        # rows, cells are balanced) the probe touches across all queries.
+        stats["probed_cells"] = len(probe_set)
+        stats["n_centroids"] = n_centroids
+        stats["probed_cell_frac"] = len(probe_set) / n_centroids
 
     import pyarrow.compute as pc
 

@@ -424,6 +424,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort("url")
         )
 
+    def spa_domains(sf_dir):
+        # A5/cache.go parity, deterministically: per-domain SPA verdict from
+        # the domain's root page (the first page a root-seeded BFS fetches —
+        # what the reference's 1h per-domain memo would pin). Root rows are
+        # a vectorized regex filter, so no shuffle and the html of non-root
+        # pages never leaves the scan; the stateful DomainSpaDetector actor
+        # stage carries the TTL memo (exercised across batches in tests).
+        import ray.data
+
+        from urlmap_ray.expected import ensure_spa_domains_expected
+        from urlmap_ray.spa import DomainSpaDetector
+
+        info = _corpus(sf_dir)
+        ensure_spa_domains_expected(info)
+
+        def root_rows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.match_substring_regex(t.column("url"), r"^https://[^/]+/$"))
+            dom = pa.array([u[8:-1] for u in t.column("url").to_pylist()], pa.string())
+            return t.append_column("domain", dom)
+
+        return (
+            ray.data.read_parquet(info.pages_path, columns=["url", "html"])
+            .map_batches(root_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(DomainSpaDetector, concurrency=2, batch_format="pyarrow")
+            .select_columns(["domain", "is_spa", "confidence"])
+            .sort("domain")
+        )
+
     def page_link_stats(sf_dir):
         # G3: extraction-stats rollup (parser.go:323-333 counters summed)
         import ray.data
@@ -465,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_prep": docs_prep,
         "media_features": media_features,
         "spa_detect": spa_detect,
+        "spa_domains": spa_domains,
         "page_link_stats": page_link_stats,
         "events_daily": events_daily,
         "orders_top20": orders_top20,
@@ -539,7 +570,10 @@ def oracle_sql() -> dict[str, str]:
     # single-process ground truth materialized as Parquet by the query
     # callables (urlmap_ray/expected.py — the driver runs the query before
     # the SQL, and the gate runs at sf=0.01, hence the hardcoded path).
-    exp = "/tmp/urlmap_corpus/sf0.01/expected"
+    from urlmap_ray.expected import SF001_CORPUS_DIR, expected_file
+
+    def _exp(name: str) -> str:
+        return expected_file(SF001_CORPUS_DIR, name)
 
     def _byte_u32(hexcol: str, off: int) -> str:
         # little-endian uint32 from 4 hex-encoded bytes at byte offset `off`
@@ -579,12 +613,13 @@ def oracle_sql() -> dict[str, str]:
         # contain every true top-10 neighbor on this corpus (verified equal
         # at sf0.001 and sf0.01), so the exact-cosine SQL is its oracle too.
         "ann_topk_lsh": ann_topk_sql,
-        "crawl_bfs": f"SELECT * FROM read_parquet('{exp}/crawl-bfs.parquet')",
-        "crawl_depth3": f"SELECT * FROM read_parquet('{exp}/crawl-d3.parquet')",
-        "crawl_budget_robots": f"SELECT * FROM read_parquet('{exp}/crawl-br.parquet')",
-        "page_links": f"SELECT * FROM read_parquet('{exp}/page_links.parquet')",
-        "spa_detect": f"SELECT * FROM read_parquet('{exp}/spa_detect.parquet')",
-        "page_link_stats": f"SELECT * FROM read_parquet('{exp}/page_link_stats.parquet')",
+        "crawl_bfs": f"SELECT * FROM read_parquet('{_exp('crawl-bfs')}')",
+        "crawl_depth3": f"SELECT * FROM read_parquet('{_exp('crawl-d3')}')",
+        "crawl_budget_robots": f"SELECT * FROM read_parquet('{_exp('crawl-br')}')",
+        "page_links": f"SELECT * FROM read_parquet('{_exp('page_links')}')",
+        "spa_detect": f"SELECT * FROM read_parquet('{_exp('spa_detect')}')",
+        "spa_domains": f"SELECT * FROM read_parquet('{_exp('spa_domains')}')",
+        "page_link_stats": f"SELECT * FROM read_parquet('{_exp('page_link_stats')}')",
         # Exact all-pairs Hamming over pure-function signatures — checks the
         # distributed banding + in-group verify against a banding-free scan.
         "dedup_simhash": """

@@ -83,3 +83,77 @@ def test_detect_dynamic_content():
     assert detect_dynamic_content("<script>window.addEventListener('load', function() {})</script>") is True
     assert detect_dynamic_content("<script>fetch('/api/data')</script>") is True
     assert detect_dynamic_content("<div>static text only</div>") is False
+
+
+# --- per-domain detection memo (cache.go:9-64, spa_detector.go:39-43) -----
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_detection_cache_ttl():
+    from urlmap_ray.spa import DetectionCache
+
+    clock = FakeClock()
+    c = DetectionCache(ttl_seconds=3600.0, clock=clock)
+    assert c.get("a.example.org") is None
+    c.set("a.example.org", (True, 0.7, ["framework_detected"]))
+    assert c.get("a.example.org") == (True, 0.7, ["framework_detected"])
+    assert c.size() == 1
+    clock.t = 3601.0  # past TTL → evicted on read (cache.go:33-37)
+    assert c.get("a.example.org") is None
+    assert c.size() == 0
+    c.set("b.example.org", (False, 0.0, []))
+    c.clear()
+    assert c.size() == 0
+
+
+def test_domain_spa_detector_memoizes_and_expires():
+    import pyarrow as pa
+
+    from urlmap_ray.spa import DomainSpaDetector
+
+    spa_html = b'<html><body><div id="root" data-reactroot></div></body></html>'
+    plain_html = (
+        b"<html><body><h1>Hi</h1><p>text</p>"
+        + b"".join(f'<a href="/{i}">l</a>'.encode() for i in range(12))
+        + b"</body></html>"
+    )
+
+    clock = FakeClock()
+    det = DomainSpaDetector(ttl_seconds=3600.0, clock=clock)
+    batch = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://spa.example.org/",
+                    "https://spa.example.org/about",  # same domain → memo hit
+                    "https://plain.example.org/",
+                ]
+            ),
+            # the /about page is PLAIN html: the memoized domain verdict
+            # must win (first page decides, spa_detector.go:39-43)
+            "html": pa.array([spa_html, plain_html, plain_html], pa.binary()),
+        }
+    )
+    out = det(batch)
+    assert out.column("is_spa").to_pylist() == [True, True, False]
+    assert out.column("spa_cached").to_pylist() == [False, True, False]
+    assert (det.hits, det.misses) == (1, 2)
+    assert "html" not in out.column_names
+
+    # second batch within TTL: all cached
+    out2 = det(batch.select(["url", "html"]).slice(0, 2))
+    assert out2.column("spa_cached").to_pylist() == [True, True]
+
+    # past TTL: re-detects, and the /about page now gets its own (plain)
+    # verdict because it is the first page of the domain in the new window
+    clock.t = 3601.0
+    out3 = det(batch.slice(1, 1))
+    assert out3.column("spa_cached").to_pylist() == [False]
+    assert out3.column("is_spa").to_pylist() == [False]

@@ -44,8 +44,20 @@ MAX_ORACLE_PAGES = 10_000
 SF001_CORPUS_DIR = "/tmp/urlmap_corpus/sf0.01"
 
 
+# Bump when a pure ground-truth function changes semantics (e.g. the SPA
+# confidence gating fix): generation is keyed by file existence, so a
+# version in the filename is what retires stale cached expected tables.
+EXPECTED_VERSION = 2
+
+
+def expected_file(corpus_dir: str, name: str) -> str:
+    """Canonical expected-table path — ALSO the path oracle SQL must read
+    (build the SQL with this helper so filenames can never drift)."""
+    return os.path.join(corpus_dir, "expected", f"{name}-v{EXPECTED_VERSION}.parquet")
+
+
 def expected_path(info: CorpusInfo, name: str) -> str:
-    return os.path.join(info.dir, "expected", f"{name}.parquet")
+    return expected_file(info.dir, name)
 
 
 def _write_atomic(tbl: pa.Table, path: str) -> None:
@@ -130,6 +142,37 @@ def ensure_spa_expected(info: CorpusInfo) -> str:
     return path
 
 
+def ensure_spa_domains_expected(info: CorpusInfo) -> str:
+    """Expected (domain, is_spa, confidence) per domain from its ROOT page —
+    the deterministic form of the reference's per-domain detection memo
+    (spa_detector.go:39-43: the first page crawled of a domain decides its
+    verdict; in a root-seeded BFS that first page is the root)."""
+    path = expected_path(info, "spa_domains")
+    if not _should_generate(info, path):
+        return path
+    import re
+
+    from .spa import detect_spa
+
+    tbl = _pages_table(info)
+    domains, spas, confs = [], [], []
+    for url, html in zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()):
+        if re.fullmatch(r"https://[^/]+/", url):
+            is_spa, conf, _ = detect_spa(html)
+            domains.append(url[8:-1])
+            spas.append(is_spa)
+            confs.append(conf)
+    out = pa.table(
+        {
+            "domain": pa.array(domains, pa.string()),
+            "is_spa": pa.array(spas, pa.bool_()),
+            "confidence": pa.array(confs, pa.float64()),
+        }
+    )
+    _write_atomic(out.sort_by("domain"), path)
+    return path
+
+
 def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     """Materialize every expected table the sf0.01 oracle SQL reads.
 
@@ -149,6 +192,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     )
     ensure_page_links_expected(info)
     ensure_spa_expected(info)
+    ensure_spa_domains_expected(info)
     ensure_link_stats_expected(info)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)

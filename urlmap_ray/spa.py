@@ -7,8 +7,10 @@ Four weighted signals, summed into a confidence score:
   Angular/Next.js/Svelte indicator strings (spa_detector.go:90-152);
 - SPA DOM structure (0.3): #root/#app/#__next/#main ids, framework data-
   attributes, or a near-empty body with no headings/paragraphs (:155-188);
-- low link count (0.2): fewer than 10 ``a[href]`` anchors (:191-207);
-- dynamic content (0.1): script/JS API markers, case-sensitive (:209-227).
+- low link count (0.2): fewer than 10 ``a[href]`` anchors — scored only
+  when a framework was detected (:70-72);
+- dynamic content (0.1): script/JS API markers, case-sensitive — scored
+  only when a framework was detected (:76-78).
 
 ``is_spa = confidence >= 0.5 or (structure and confidence >= 0.3)`` (:81).
 
@@ -141,21 +143,110 @@ def detect_spa(html: str | bytes) -> tuple[bool, float, list[str]]:
         html = html.decode("utf-8", errors="replace")
     confidence = 0.0
     indicators: list[str] = []
-    if detect_framework(html):
+    framework = detect_framework(html)
+    if framework:
         confidence += 0.4
         indicators.append("framework_detected")
     structure = detect_spa_structure(html)
     if structure:
         confidence += 0.3
         indicators.append("spa_structure")
-    if detect_low_link_count(html):
+    # Signals 3 & 4 score only on framework pages (spa_detector.go:70-78):
+    # a plain static site with few links / a script tag is not SPA evidence.
+    if framework and detect_low_link_count(html):
         confidence += 0.2
         indicators.append("low_link_count")
-    if detect_dynamic_content(html):
+    if framework and detect_dynamic_content(html):
         confidence += 0.1
         indicators.append("dynamic_content")
     is_spa = confidence >= 0.5 or (structure and confidence >= 0.3)
     return is_spa, round(confidence, 10), indicators
+
+
+class DetectionCache:
+    """Per-domain SPA-verdict memo with TTL (cache.go:9-64 semantics).
+
+    No lock needed: one cache lives inside one worker/actor (Ray gives each
+    its own process); the reference's RWMutex guarded goroutines sharing one
+    map. ``clock`` is injectable for TTL tests."""
+
+    def __init__(self, ttl_seconds: float = 3600.0, clock=None):
+        import time as _time
+
+        self.ttl = ttl_seconds
+        self.clock = clock or _time.monotonic
+        self._data: dict[str, tuple[float, tuple]] = {}
+
+    def get(self, domain: str):
+        hit = self._data.get(domain)
+        if hit is None:
+            return None
+        ts, result = hit
+        if self.clock() - ts > self.ttl:
+            del self._data[domain]  # cache.go:33-37: expired entries evict on read
+            return None
+        return result
+
+    def set(self, domain: str, result) -> None:
+        self._data[domain] = (self.clock(), result)
+
+    def clear(self) -> None:
+        self._data.clear()
+
+    def size(self) -> int:
+        return len(self._data)
+
+
+class DomainSpaDetector:
+    """Stateful map_batches stage: the reference's per-domain detection memo
+    (spa_detector.go:39-43 — the first page seen of a domain decides the
+    domain's verdict for the TTL window; later pages reuse it).
+
+    Use as ``map_batches(DomainSpaDetector, concurrency=N,
+    batch_format="pyarrow")``: the cache is built once per actor and lives
+    across batches. Partitioning assumption: hit rate (not correctness)
+    depends on a domain's pages landing on the same actor — route by host
+    (the crawl's frontier is already host-sorted) to match the reference's
+    single-process hit rate. Adds a ``spa_cached`` column so redundant-
+    detection savings are observable (the stats hook the reference logs)."""
+
+    def __init__(self, ttl_seconds: float = 3600.0, clock=None):
+        self.cache = DetectionCache(ttl_seconds, clock)
+        self.hits = 0
+        self.misses = 0
+
+    def __call__(
+        self, batch: pa.Table, url_col: str = "url", html_col: str = "html"
+    ) -> pa.Table:
+        from .urlnorm import URLError, extract_domain
+
+        verdicts, cached_flags = [], []
+        for url, html in zip(
+            batch.column(url_col).to_pylist(), batch.column(html_col).to_pylist()
+        ):
+            try:
+                domain = extract_domain(url)
+            except URLError:
+                domain = ""
+            result = self.cache.get(domain)
+            if result is None:
+                self.misses += 1
+                result = detect_spa(html or b"")
+                self.cache.set(domain, result)
+                cached_flags.append(False)
+            else:
+                self.hits += 1
+                cached_flags.append(True)
+            verdicts.append(result)
+        out = batch.drop_columns([html_col])
+        out = out.append_column("is_spa", pa.array([v[0] for v in verdicts], pa.bool_()))
+        out = out.append_column(
+            "confidence", pa.array([v[1] for v in verdicts], pa.float64())
+        )
+        out = out.append_column(
+            "indicators", pa.array([v[2] for v in verdicts], pa.list_(pa.string()))
+        )
+        return out.append_column("spa_cached", pa.array(cached_flags, pa.bool_()))
 
 
 def detect_spa_batch(batch: pa.Table, *, html_col: str = "html") -> pa.Table:

@@ -16,7 +16,24 @@ import pyarrow as pa
 
 
 def _to_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    return np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+    """(n, d) float64 matrix from a list<float> column without a Python-
+    object round trip: flatten the list child array (zero-copy to numpy for
+    non-null fixed-width data) and reshape — rows are validated equal-width.
+    Falls back to to_pylist only for ragged/null rows (never in our data)."""
+    arr = batch.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks == 1 else pa.concat_arrays(arr.chunks)
+    try:
+        import pyarrow.compute as pc
+
+        widths = pc.list_value_length(arr)
+        if arr.null_count == 0 and len(arr) and pc.min_max(widths)["min"] == pc.min_max(widths)["max"]:
+            flat = arr.flatten()
+            d = widths[0].as_py()
+            return flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False).reshape(len(arr), d)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -45,7 +62,7 @@ def topk_cosine(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         sims = _unit(_to_matrix(batch, emb_col)) @ qm.T  # (n, Q)
         out_q, out_id, out_s = [], [], []
         kk = min(k, len(ids))

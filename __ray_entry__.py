@@ -238,21 +238,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_daily(sf_dir):
         import ray.data
 
-        def day_col(t: pa.Table) -> pa.Table:
+        def day_partial(t: pa.Table) -> pa.Table:
+            # Partial combiner (Arrow C++ hash-agg per batch): the global
+            # shuffle then moves one row per (user, day) per batch instead
+            # of one per event — the canonical pre-aggregate-before-groupby
+            # shape for a 100TB events table.
             day = pa.compute.floor_temporal(t.column("ts"), unit="day")
-            return pa.table({"user_id": t.column("user_id"), "day": day})
+            return (
+                pa.table({"user_id": t.column("user_id"), "day": day})
+                .group_by(["user_id", "day"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["user_id", "day", "partial"])
+            )
+
+        from ray.data.aggregate import Sum
 
         return (
-            ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-            .map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["user_id", "day"])
-            .count()
-            .map_batches(
-                lambda t: t.rename_columns(
-                    ["n_events" if c == "count()" else c for c in t.column_names]
-                ),
-                batch_format="pyarrow",
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
             )
+            .map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["user_id", "day"])
+            .aggregate(Sum("partial", alias_name="n_events"))
         )
 
     def orders_top20(sf_dir):
@@ -288,16 +295,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from ray.data.aggregate import Count, Sum
 
-        def cast_qty(t: pa.Table) -> pa.Table:
-            return t
+        def li_partial(t: pa.Table) -> pa.Table:
+            # Partial combiner: 6 distinct (flag, status) groups exist, so
+            # each batch reduces to ≤6 rows before the global shuffle.
+            return (
+                t.group_by(["l_returnflag", "l_linestatus"])
+                .aggregate([("l_quantity", "sum"), ([], "count_all")])
+                .rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_rows"])
+            )
 
         agg = (
             ray.data.read_parquet(
                 os.path.join(sf_dir, "lineitem.parquet"),
                 columns=["l_returnflag", "l_linestatus", "l_quantity"],
             )
+            .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_rows"))
+            .aggregate(Sum("p_qty", alias_name="sum_qty"), Sum("p_rows", alias_name="n_rows"))
         )
         return agg.map_batches(
             lambda t: pa.table(

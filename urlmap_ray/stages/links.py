@@ -73,6 +73,7 @@ class AdmissionIndex:
             except URLError:
                 continue
             self.by_host.setdefault(host, []).append(base)
+        self._prefilter: tuple | None = None
 
     def admits(self, link: str) -> bool:
         try:
@@ -96,16 +97,23 @@ class AdmissionIndex:
 
 
     def vector_prefilter(self):
-        """(root_hosts, complex_hosts) for the vectorized admission path.
+        """(root_hosts, complex_hosts) Arrow value-sets for the vectorized
+        admission path, memoized (the index is itself cached per worker, so
+        these build once per seed list, not once per batch).
 
         root_hosts: hosts whose seed bases include "/" — in prefix mode every
         path under them admits (all dir-paths start with "/"), so membership
         alone decides. complex_hosts: hosts with non-root bases — their links
         need the per-link dir-prefix test (python fallback)."""
-        root, complex_ = [], []
-        for h, bases in self.by_host.items():
-            (root if "/" in bases or not self.same_path_prefix else complex_).append(h)
-        return root, complex_
+        if self._prefilter is None:
+            root, complex_ = [], []
+            for h, bases in self.by_host.items():
+                (root if "/" in bases or not self.same_path_prefix else complex_).append(h)
+            self._prefilter = (
+                pa.array(root, pa.string()) if root else None,
+                pa.array(complex_, pa.string()) if complex_ else None,
+            )
+        return self._prefilter
 
 
 # Strict canonical-link shape the vectorized admission path handles exactly:
@@ -126,19 +134,15 @@ def admission_mask(links: pa.Array, idx: AdmissionIndex) -> np.ndarray:
     ex = pc.extract_regex(links, pattern=_STRICT_LINK_RE)
     valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
     hosts = pc.struct_field(ex, "vhost")
-    root_hosts, complex_hosts = idx.vector_prefilter()
+    root_set, complex_set = idx.vector_prefilter()
     keep = np.zeros(len(links), dtype=bool)
-    if root_hosts:
-        in_root = pc.is_in(
-            hosts, value_set=pa.array(root_hosts, pa.string())
-        ).to_numpy(zero_copy_only=False)
+    if root_set is not None:
+        in_root = pc.is_in(hosts, value_set=root_set).to_numpy(zero_copy_only=False)
         keep = valid & np.asarray(in_root)
     # fallback rows: strict-parse failures + complex-host hits
     fb = ~valid
-    if complex_hosts:
-        in_cplx = pc.is_in(
-            hosts, value_set=pa.array(complex_hosts, pa.string())
-        ).to_numpy(zero_copy_only=False)
+    if complex_set is not None:
+        in_cplx = pc.is_in(hosts, value_set=complex_set).to_numpy(zero_copy_only=False)
         fb |= valid & np.asarray(in_cplx)
     if fb.any():
         cache: dict[str, bool] = {}

@@ -68,6 +68,12 @@ class PolitenessGate:
         self.max_depth = max_depth
         self.wave_seconds = wave_seconds
         self._parsed: dict[str, RobotsData | None] = {}
+        self._origin_set: pa.Array | None = None  # memoized is_in value_set
+
+    def origin_value_set(self) -> pa.Array:
+        if self._origin_set is None:
+            self._origin_set = pa.array(sorted(self.robots_bodies), pa.string())
+        return self._origin_set
 
     def _rules_for(self, origin: str) -> RobotsData | None:
         if origin not in self._parsed:
@@ -154,9 +160,7 @@ def gate_rows(gate: "PolitenessGate", batch: pa.Table) -> pa.Table:
         valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
         origins = pc.struct_field(ex, "vorigin")
         ruled = np.asarray(
-            pc.is_in(
-                origins, value_set=pa.array(sorted(gate.robots_bodies), pa.string())
-            )
+            pc.is_in(origins, value_set=gate.origin_value_set())
             .fill_null(False)
             .to_numpy(zero_copy_only=False)
         )

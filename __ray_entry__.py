@@ -370,6 +370,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(ds, gap_s=1800.0)
 
+    def events_windowed(sf_dir):
+        # Tumbling 6h windows per user: count + exact integer sum (value
+        # quantized to cents BEFORE the shuffle so the sum is
+        # order-independent — float sums across a shuffle are not).
+        import ray.data
+
+        from urlmap_ray.functions.windows import tumbling_window
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "ts": t.column("ts"),
+                    "cents": c.cast(pa.int64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        return tumbling_window(ds, width_s=6 * 3600, sum_col="cents")
+
+    def events_top3(sf_dir):
+        # Window rank (ROW_NUMBER + filter): top-3 events per user by value.
+        import ray.data
+
+        from urlmap_ray.functions.windows import top_n_per_key
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "value"],
+        )
+        return top_n_per_key(
+            ds, key_col="user_id", order_col="value", n=3, tiebreak_col="event_id"
+        )
+
+    def events_last_purchase(sf_dir):
+        # As-of join: each event matched to the same user's most recent
+        # 'purchase' event at-or-before its timestamp (self-as-of — the
+        # attribution shape). -1 where no prior purchase exists, so the
+        # output is null-free for stable hashing.
+        import ray.data
+
+        from urlmap_ray.functions.joins import asof_join
+
+        left = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        )
+        right = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ).map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(t.column("event_type"), "purchase")
+            ).select(["user_id", "ts", "event_id"]).rename_columns(
+                ["user_id", "ts", "last_purchase_id"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = asof_join(
+            left,
+            right,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["last_purchase_id"],
+            how="left",
+            direction="backward",
+            tie_col="last_purchase_id",
+        )
+        return joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "user_id": t.column("user_id"),
+                    "last_purchase_id": t.column("last_purchase_id")
+                    .fill_null(-1)
+                    .cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def docs_prep(sf_dir):
         """Composed training-data prep pipeline, one streaming flow:
         quality/lang gates → exact dedup (keep min doc_id) → broadcast join
@@ -506,6 +592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann_topk_ivf,
         "orders_cust_nation": orders_cust_nation,
         "events_sessions": events_sessions,
+        "events_windowed": events_windowed,
+        "events_top3": events_top3,
+        "events_last_purchase": events_last_purchase,
         "docs_prep": docs_prep,
         "media_features": media_features,
         "spa_detect": spa_detect,
@@ -780,6 +869,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    min(ts) AS session_start, count(*) AS n_events
             FROM y GROUP BY 1, 2
+        """,
+        "events_windowed": """
+            SELECT user_id,
+                   make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                                  * 1000000) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top3": """
+            SELECT user_id, event_id, value, rn FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "events_last_purchase": """
+            SELECT e.event_id, e.user_id,
+                   COALESCE(p.event_id, -1) AS last_purchase_id
+            FROM events e ASOF LEFT JOIN (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            ) p ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

@@ -404,3 +404,152 @@ def test_ngram_jaccard_properties():
         assert ngram_jaccard(t1, t1) == 1.0
 
     check()
+
+
+def _wins_events_df(n=4000, seed=7):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400 * 20, n), unit="s"),
+            "event_id": np.arange(n),
+            "value": rng.random(n) * 100,
+            "event_type": rng.choice(["a", "purchase", "b"], n),
+        }
+    )
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from urlmap_ray.functions.windows import tumbling_window
+
+    df = _wins_events_df()
+    df["cents"] = np.floor(df["value"] * 100).astype("int64")
+    got = (
+        tumbling_window(
+            ray.data.from_pandas(df).repartition(7),
+            width_s=6 * 3600,
+            key_col="user_id",
+            ts_col="ts",
+            sum_col="cents",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)[["user_id", "window_start", "n_events", "sum_cents"]]
+    )
+    exp = (
+        df.assign(window_start=df.ts.dt.floor("6h"))
+        .groupby(["user_id", "window_start"])
+        .agg(n_events=("ts", "size"), sum_cents=("cents", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tumbling_window_rejects_float_sum(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.windows import tumbling_window
+
+    df = _wins_events_df(n=100)
+    ds = tumbling_window(
+        ray.data.from_pandas(df), width_s=3600, key_col="user_id", ts_col="ts",
+        sum_col="value",
+    )
+    with pytest.raises(Exception, match="must be integer"):
+        ds.materialize()
+
+
+def test_top_n_per_key_matches_row_number(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from urlmap_ray.functions.windows import top_n_per_key
+
+    df = _wins_events_df()
+    # force value ties so the tiebreak path is exercised
+    df["value"] = np.round(df["value"], 0)
+    got = (
+        top_n_per_key(
+            ray.data.from_pandas(df[["user_id", "event_id", "value"]]).repartition(7),
+            key_col="user_id",
+            order_col="value",
+            n=3,
+            tiebreak_col="event_id",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "rn"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
+    exp = exp.assign(rn=exp.groupby("user_id").cumcount() + 1)
+    exp = exp[exp.rn <= 3][["user_id", "event_id", "value", "rn"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "value", "rn"]], exp, check_dtype=False
+    )
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from urlmap_ray.functions.joins import asof_join
+
+    df = _wins_events_df(n=5000)
+    pur = df[df.event_type == "purchase"][["user_id", "ts", "event_id"]].rename(
+        columns={"event_id": "last_purchase_id"}
+    )
+    left = ray.data.from_pandas(df[["user_id", "ts", "event_id"]]).repartition(5)
+    right = ray.data.from_pandas(pur).repartition(3)
+    for direction, how in (("backward", "left"), ("forward", "inner")):
+        got = (
+            asof_join(
+                left,
+                right,
+                on="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                right_cols=["last_purchase_id"],
+                how=how,
+                direction=direction,
+                tie_col="last_purchase_id",
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "last_purchase_id"]]
+        )
+        exp = pd.merge_asof(
+            df[["user_id", "ts", "event_id"]].sort_values("ts"),
+            pur.sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction=direction,
+        )
+        if how == "inner":
+            exp = exp[exp.last_purchase_id.notna()]
+        exp = exp.sort_values("event_id").reset_index(drop=True)[
+            ["event_id", "last_purchase_id"]
+        ]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join_guards(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.joins import asof_join
+
+    df = _wins_events_df(n=50)
+    ds = ray.data.from_pandas(df[["user_id", "ts", "event_id"]])
+    with pytest.raises(ValueError, match="how="):
+        asof_join(ds, ds, on="user_id", left_ts="ts", right_ts="ts",
+                  right_cols=["event_id"], how="outer")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(ds, ds, on="user_id", left_ts="ts", right_ts="ts",
+                  right_cols=["event_id"])

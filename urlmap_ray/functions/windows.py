@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def sessionize(
@@ -61,3 +62,125 @@ def sessionize(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def tumbling_window(
+    ds,
+    *,
+    width_s: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    sum_col: str | None = None,
+):
+    """Fixed-width (tumbling) window aggregate per key: event count and an
+    optional integer sum per ``[window_start, window_start + width_s)``.
+
+    Scale shape (same as the events_daily pipeline): the window id is pure
+    integer arithmetic on the timestamp (Arrow kernels, no Python rows), a
+    per-batch Arrow hash-aggregate pre-combines to one row per (key, window)
+    per batch, and only those partials cross the wire into the global
+    ``groupby`` — at 100TB the shuffle moves partial rows, not events.
+
+    ``sum_col`` must be an integer column (pre-quantize floats upstream —
+    float summation order is nondeterministic across a shuffle, so the
+    engine refuses to make it look exact).
+    """
+    width_us = int(width_s * 1_000_000)
+    if width_us <= 0:
+        raise ValueError(f"width_s must be positive, got {width_s}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        if sum_col is not None and not pa.types.is_integer(t.column(sum_col).type):
+            raise TypeError(
+                f"tumbling_window sum_col {sum_col!r} must be integer "
+                "(quantize floats upstream for order-independent sums)"
+            )
+        win = pc.multiply(pc.divide(ts, width_us), width_us)
+        cols = {key_col: t.column(key_col), "window_start": win}
+        aggs = [([], "count_all")]
+        if sum_col is not None:
+            cols[sum_col] = t.column(sum_col)
+            aggs.append((sum_col, "sum"))
+        local = pa.table(cols).group_by([key_col, "window_start"]).aggregate(aggs)
+        names = [key_col, "window_start", "n_partial"]
+        if sum_col is not None:
+            names.append("sum_partial")
+        return local.rename_columns(names)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n_partial", alias_name="n_events")]
+    if sum_col is not None:
+        aggs.append(Sum("sum_partial", alias_name=f"sum_{sum_col}"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            t.column("window_start").cast(pa.timestamp("us")),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "window_start"])
+        .aggregate(*aggs)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def top_n_per_key(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    descending: bool = True,
+):
+    """Window-rank operator: the top ``n`` rows per key ordered by a numeric
+    ``order_col``, with a 1-based ``rn`` rank column — SQL's
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY v DESC, tb)`` + filter.
+
+    One key shuffle co-locates each key's rows; the per-group rank is a
+    vectorized ``np.lexsort`` + head — group sizes are per-key row counts
+    (bounded for the registered workloads; a pre-reduce per batch would cap
+    hot keys: a batch only ever contributes its own local top-n).
+    ``tiebreak_col`` is required so equal ``order_col`` values rank
+    deterministically (ascending) on any partitioning.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+
+    def per_key(g: pa.Table) -> pa.Table:
+        v = g.column(order_col).to_numpy(zero_copy_only=False)
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, -v if descending else v))
+        head = order[:n]
+        out = g.take(pa.array(head))
+        return out.append_column("rn", pa.array(np.arange(1, len(head) + 1), pa.int64()))
+
+    # Per-batch pre-reduce: a batch's rows beyond its own local top-n can
+    # never make the key's global top-n, so drop them before the shuffle.
+    def local_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(order_col).to_numpy(zero_copy_only=False)
+        tb = t.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, -v if descending else v, k))
+        ks = k[order]
+        run_start = np.empty(len(ks), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = ks[1:] != ks[:-1]
+        # rank within each key run = position - start of run
+        pos = np.arange(len(ks))
+        start_idx = pos[run_start][np.cumsum(run_start) - 1]
+        keep = order[(pos - start_idx) < n]
+        return t.take(pa.array(np.sort(keep)))
+
+    return (
+        ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+    )

@@ -370,6 +370,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(ds, gap_s=1800.0)
 
+    def events_session_join(sf_dir):
+        # Range (interval-containment) join: tag every event with the
+        # session_id whose [session_start, session_end] interval contains
+        # it. Sessions come from the oracle-validated sessionize operator
+        # (with_end=True); the join is the generic distributed range_join.
+        import ray.data
+
+        from urlmap_ray.functions.joins import range_join
+        from urlmap_ray.functions.windows import sessionize
+
+        events = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        sessions = sessionize(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+            ),
+            gap_s=1800.0,
+            with_end=True,
+        ).map_batches(
+            lambda t: t.select(["user_id", "session_start", "session_end", "session_id"]),
+            batch_format="pyarrow",
+        )
+        return range_join(
+            events,
+            sessions,
+            on="user_id",
+            left_point="ts",
+            right_lo="session_start",
+            right_hi="session_end",
+            right_cols=["session_id"],
+            how="inner",
+            closed="both",
+        ).map_batches(
+            lambda t: t.select(["event_id", "user_id", "session_id"]),
+            batch_format="pyarrow",
+        )
+
+    def events_distinct_users(sf_dir):
+        # Mergeable KMV (bottom-k) cardinality sketch; exact below k=1024
+        # distinct values, which the oracle's COUNT(DISTINCT) certifies at
+        # test scale (see functions/sketch.py for the saturation contract).
+        import ray.data
+
+        from urlmap_ray.functions.sketch import kmv_distinct
+
+        return kmv_distinct(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+            ),
+            col="user_id",
+            k=1024,
+        )
+
     def events_windowed(sf_dir):
         # Tumbling 6h windows per user: count + exact integer sum (value
         # quantized to cents BEFORE the shuffle so the sum is
@@ -595,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": events_windowed,
         "events_top3": events_top3,
         "events_last_purchase": events_last_purchase,
+        "events_session_join": events_session_join,
+        "events_distinct_users": events_distinct_users,
         "docs_prep": docs_prep,
         "media_features": media_features,
         "spa_detect": spa_detect,
@@ -893,6 +949,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, event_id FROM events
                 WHERE event_type = 'purchase'
             ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "events_session_join": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), y AS (
+                SELECT user_id, ts,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM x
+            ), s AS (
+                SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                       min(ts) AS session_start, max(ts) AS session_end
+                FROM y GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, s.session_id
+            FROM events e JOIN s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.session_start AND s.session_end
+        """,
+        "events_distinct_users": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

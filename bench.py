@@ -107,6 +107,11 @@ def run_bench() -> dict:
         "lineitem_agg",
         "events_daily",
         "events_sessions",
+        "events_windowed",
+        "events_top3",
+        "events_last_purchase",
+        "events_session_join",
+        "events_distinct_users",
         "orders_cust_nation",
         "docs_prep",
     ):

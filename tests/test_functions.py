@@ -553,3 +553,114 @@ def test_asof_join_guards(ray_session):
     with pytest.raises(ValueError, match="collision"):
         asof_join(ds, ds, on="user_id", left_ts="ts", right_ts="ts",
                   right_cols=["event_id"])
+
+
+def test_range_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from urlmap_ray.functions.joins import range_join
+
+    rng = np.random.default_rng(3)
+    n, m = 2000, 300
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 20, n), "p": rng.integers(0, 1000, n), "lid": np.arange(n)}
+    )
+    # overlapping intervals on purpose: the 1:N path must be exercised
+    lo = rng.integers(0, 900, m)
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 20, m), "lo": lo, "hi": lo + rng.integers(10, 300, m),
+         "rid": np.arange(m)}
+    )
+    got = (
+        range_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(3),
+            on="k",
+            left_point="p",
+            right_lo="lo",
+            right_hi="hi",
+            right_cols=["rid"],
+            how="inner",
+            closed="both",
+            pair_block=64,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)[["lid", "rid"]]
+    )
+    exp = left.merge(right, on="k")
+    exp = exp[(exp.lo <= exp.p) & (exp.p <= exp.hi)][["lid", "rid"]]
+    exp = exp.sort_values(["lid", "rid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # left join keeps unmatched left rows exactly once with null rid
+    got_l = range_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="k", left_point="p", right_lo="lo", right_hi="hi",
+        right_cols=["rid"], how="left", closed="both",
+    ).to_pandas()
+    matched_lids = set(exp.lid)
+    unmatched = got_l[got_l.rid.isna()]
+    assert set(unmatched.lid) == set(left.lid) - matched_lids
+    assert len(got_l) == len(exp) + len(unmatched)
+
+
+def test_sessionize_with_end(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.windows import sessionize
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    out = sessionize(ray.data.from_arrow(ev), gap_s=1800.0, with_end=True).to_pandas()
+    assert (out.session_end >= out.session_start).all()
+    # intervals within a user are disjoint and ordered
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("session_id")
+        assert (g.session_start.to_numpy()[1:] > g.session_end.to_numpy()[:-1]).all()
+    # event count conservation
+    assert out.n_events.sum() == ev.num_rows
+
+
+def test_kmv_exact_below_saturation(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_distinct
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 200, 20000)  # 200 distinct ints, heavy repeats
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    out = kmv_distinct(ds, col="v", k=1024)
+    assert out.column("n_distinct").to_pylist() == [len(np.unique(vals))]
+    # strings too (md5 path, per-unique hashing)
+    svals = [f"user-{i % 137}" for i in range(5000)]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(svals, pa.string())}))
+    out = kmv_distinct(ds, col="v", k=512)
+    assert out.column("n_distinct").to_pylist() == [137]
+
+
+def test_kmv_estimate_error_bound(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_distinct
+
+    rng = np.random.default_rng(9)
+    true_n = 50_000
+    vals = rng.permutation(true_n).astype(np.int64)
+    k = 1024
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(6)
+    est = kmv_distinct(ds, col="v", k=k).column("n_distinct").to_pylist()[0]
+    rel_err = abs(est - true_n) / true_n
+    assert rel_err < 5.0 / np.sqrt(k - 2)  # 5 sigma of the published bound
+
+
+def test_kmv_merge_order_independent():
+    from urlmap_ray.functions.sketch import hash64_column, kmv_estimate
+
+    vals = pa.array(np.arange(10_000, dtype=np.int64))
+    hs = hash64_column(vals)
+    k = 256
+    a = kmv_estimate(hs, k)
+    rng = np.random.default_rng(1)
+    b = kmv_estimate(hs[rng.permutation(len(hs))], k)
+    assert a == b

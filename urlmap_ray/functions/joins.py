@@ -216,6 +216,132 @@ def asof_join(
     return unioned.groupby(on).map_groups(merge, batch_format="pyarrow")
 
 
+def range_join(
+    left,
+    right,
+    *,
+    on: str,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    right_cols: list[str],
+    how: str = "inner",
+    closed: str = "both",
+    pair_block: int = 4096,
+):
+    """Distributed range (interval-containment) join: each left row matches
+    EVERY right row of the same ``on`` key whose ``[right_lo, right_hi]``
+    interval contains ``left_point`` (1:N output).
+
+    Same composition as :func:`asof_join` — pad to one schema, ``union``,
+    one ``groupby(on)`` shuffle, vectorized per-group match — because Ray
+    Data has no native interval join either. Intervals per key MAY overlap:
+    the per-group match is a blockwise boolean containment matrix
+    (``pair_block`` left rows at a time), O(n_left × n_intervals) per key
+    but fully vectorized; per-key interval counts are small for the
+    registered workloads (sessions per user). For keys with many
+    non-overlapping intervals an ``asof_join`` on ``right_lo`` + an end
+    check is the cheaper plan.
+
+    closed: "both" matches lo <= p <= hi (SQL BETWEEN); "left" matches
+    lo <= p < hi. how: "inner" drops unmatched left rows, "left" keeps them
+    with nulls (a left row inside k intervals still yields k rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
+    if closed not in ("both", "left"):
+        raise ValueError(f"range_join closed must be 'both'|'left', got {closed!r}")
+
+    def _pa_schema(ds):
+        s = ds.schema()
+        return pa.schema(list(zip(s.names, s.types)))
+
+    lsch, rsch = _pa_schema(left), _pa_schema(right)
+    left_payload = [c for c in lsch.names if c != on]
+    clash = set(right_cols) & set(lsch.names)
+    if clash:
+        raise ValueError(
+            f"range_join column name collision: {sorted(clash)} exist on both "
+            "sides — project or rename the right side before joining"
+        )
+
+    def _as_i64(col):
+        t = col.type
+        if pa.types.is_timestamp(t):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64())
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        cols = {on: t.column(on), "__p": _as_i64(t.column(left_point)),
+                "__lo": pa.nulls(t.num_rows, pa.int64()),
+                "__hi": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        for c in left_payload:
+            cols[c] = t.column(c)
+        for c in right_cols:
+            cols[c] = pa.nulls(t.num_rows, rsch.field(c).type)
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = {on: t.column(on), "__p": pa.nulls(t.num_rows, pa.int64()),
+                "__lo": _as_i64(t.column(right_lo)),
+                "__hi": _as_i64(t.column(right_hi)),
+                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8))}
+        for c in left_payload:
+            cols[c] = pa.nulls(t.num_rows, lsch.field(c).type)
+        for c in right_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    unioned = left.map_batches(
+        pad_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_names = [on, *left_payload, *right_cols]
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 1))
+        rt = g.filter(pa.array(side == 0))
+        if lt.num_rows == 0:
+            return pa.table({c: pa.nulls(0, g.schema.field(c).type) for c in out_names})
+        pts = lt.column("__p").to_numpy(zero_copy_only=False)
+        lo = rt.column("__lo").to_numpy(zero_copy_only=False)
+        hi = rt.column("__hi").to_numpy(zero_copy_only=False)
+        li_parts, ri_parts = [], []
+        for s in range(0, len(pts), pair_block):
+            p = pts[s : s + pair_block, None]
+            ok = (lo[None, :] <= p) & ((p <= hi[None, :]) if closed == "both" else (p < hi[None, :]))
+            bi, bj = np.nonzero(ok)
+            li_parts.append(bi + s)
+            ri_parts.append(bj)
+        li = np.concatenate(li_parts) if li_parts else np.zeros(0, np.int64)
+        ri = np.concatenate(ri_parts) if ri_parts else np.zeros(0, np.int64)
+        if how == "left":
+            matched = np.zeros(len(pts), dtype=bool)
+            matched[li] = True
+            miss = np.flatnonzero(~matched)
+            cols = {}
+            for c in [on, *left_payload]:
+                arr = lt.column(c).combine_chunks()
+                cols[c] = pa.concat_arrays(
+                    [arr.take(pa.array(li, pa.int64())), arr.take(pa.array(miss, pa.int64()))]
+                )
+            for c in right_cols:
+                taken = rt.column(c).combine_chunks().take(pa.array(ri, pa.int64()))
+                cols[c] = pa.concat_arrays(
+                    [taken, pa.nulls(len(miss), g.schema.field(c).type)]
+                )
+            return pa.table(cols)
+        cols = {c: lt.column(c).combine_chunks().take(pa.array(li, pa.int64()))
+                for c in [on, *left_payload]}
+        for c in right_cols:
+            cols[c] = rt.column(c).combine_chunks().take(pa.array(ri, pa.int64()))
+        return pa.table(cols)
+
+    return unioned.groupby(on).map_groups(merge, batch_format="pyarrow")
+
+
 def shuffle_join(
     left,
     right,

@@ -1,0 +1,128 @@
+"""Mergeable cardinality sketch: K-Minimum-Values (KMV / bottom-k).
+
+The engine's "novel sketch" slot (a 100TB pipeline needs distinct counts —
+unique URLs, users, shingles — without a full-key shuffle). KMV keeps the k
+smallest distinct 64-bit hashes of the value stream; the estimator is
+``(k-1) * 2^64 / kth_min`` (Bar-Yossef et al. 2002, standard error
+~1/sqrt(k-2)). Two properties make it the right fit here:
+
+- **Mergeable**: the union of two sketches' hash sets, re-truncated to the
+  k smallest, is the sketch of the concatenated streams — so per-batch
+  sketches combine associatively in any order (shuffle-order-independent,
+  unlike float sums).
+- **Exact below saturation**: while fewer than k distinct values exist the
+  sketch holds ALL their hashes and returns the exact count — which is what
+  lets the registered query hash-match a ``COUNT(DISTINCT ...)`` SQL oracle
+  at test scale while the same code degrades gracefully to a ±1/sqrt(k)
+  estimate at 100TB cardinalities.
+
+Ray shape: ``map_batches`` emits each batch's <= k candidate hashes as
+rows, ``groupby(hash)`` dedups them (the shuffle moves at most
+k × n_batches 8-byte keys, never the values), ``sort + limit(k)`` keeps the
+global bottom-k, and the driver folds the <= k survivors into the estimate.
+No driver-side set of the full key space at any point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_U64 = np.uint64
+_SPAN = float(2**64)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for ints."""
+    x = x.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _U64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        x = x ^ (x >> _U64(31))
+    return x
+
+
+def hash64_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hashes of a column's values (null-free).
+
+    Integer columns hash vectorized via splitmix64; strings/binary via md5
+    over the utf8 bytes — but only once per DISTINCT value in the input
+    (the Python loop is over the batch's unique set, not its rows).
+    """
+    t = col.type
+    if pa.types.is_integer(t):
+        return _splitmix64(
+            np.ascontiguousarray(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        )
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        enc = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        uniq = enc.dictionary.to_pylist()
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        v if isinstance(v, bytes) else v.encode("utf-8")
+                    ).digest()[:8],
+                    "little",
+                )
+                for v in uniq
+            ),
+            dtype=_U64,
+            count=len(uniq),
+        )
+        return hs[enc.indices.to_numpy(zero_copy_only=False)]
+    raise TypeError(f"hash64_column: unsupported type {t}")
+
+
+def kmv_estimate(hashes: np.ndarray, k: int) -> int:
+    """Fold a bottom-k distinct-hash set into a cardinality estimate.
+
+    Exact (= len) when the sketch is unsaturated; else the kth-minimum
+    estimator, rounded to int.
+    """
+    hashes = np.unique(hashes.astype(_U64))
+    if len(hashes) < k:
+        return int(len(hashes))
+    kth = float(np.sort(hashes)[k - 1]) + 1.0
+    return int(round((k - 1) * _SPAN / kth))
+
+
+def kmv_distinct(ds, *, col: str, k: int = 1024):
+    """Distributed distinct-count of ``ds[col]`` via a KMV sketch.
+
+    Returns a one-row Arrow table ``{"n_distinct": int64}``. Exact while
+    the true cardinality is < k (documented saturation regime — the SQL
+    oracle holds there); ±1/sqrt(k-2) relative error beyond.
+    """
+
+    # Hashes travel as sign-flipped int64 (u ^ 2^63, an order-preserving
+    # bijection) because Ray Data's sort/groupby path rejects uint64.
+    flip = _U64(1 << 63)
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        if len(c) == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        hs = np.unique(hash64_column(c))
+        return pa.table({"h": pa.array((hs[:k] ^ flip).view(np.int64), pa.int64())})
+
+    bottom = (
+        ds.map_batches(batch_sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .count()
+        .sort("h")
+        .limit(k)
+    )
+    signed = np.asarray(
+        [r["h"] for r in bottom.select_columns(["h"]).take_all()], dtype=np.int64
+    )
+    hs = signed.view(_U64) ^ flip
+    return pa.table({"n_distinct": pa.array([kmv_estimate(hs, k)], pa.int64())})

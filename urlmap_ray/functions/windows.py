@@ -21,11 +21,14 @@ def sessionize(
     gap_s: float = 1800.0,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    with_end: bool = False,
 ):
     """Split each key's events into sessions at > gap_s idle gaps.
 
     Returns a Dataset (user_id, session_id, session_start, n_events) with
-    session_id numbered 1..n per user in time order.
+    session_id numbered 1..n per user in time order. ``with_end=True``
+    appends ``session_end`` (the session's max event ts) so sessions can be
+    used as intervals, e.g. for :func:`urlmap_ray.functions.joins.range_join`.
     """
     gap_us = int(gap_s * 1_000_000)
 
@@ -50,16 +53,20 @@ def sessionize(
         key_out = key_arr.slice(0, 1).combine_chunks().take(
             pa.array(np.zeros(len(starts), dtype=np.int64))
         )
-        return pa.table(
-            {
-                key_col: key_out,
-                "session_id": pa.array(sid[starts], pa.int64()),
-                "session_start": pa.array(ts[starts], pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "n_events": pa.array(counts, pa.int64()),
-            }
-        )
+        cols = {
+            key_col: key_out,
+            "session_id": pa.array(sid[starts], pa.int64()),
+            "session_start": pa.array(ts[starts], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_events": pa.array(counts, pa.int64()),
+        }
+        if with_end:
+            ends = np.append(starts[1:], len(ts)) - 1
+            cols["session_end"] = pa.array(ts[ends], pa.int64()).cast(
+                pa.timestamp("us")
+            )
+        return pa.table(cols)
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 

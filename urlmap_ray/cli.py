@@ -24,7 +24,12 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="urlmap-ray", description="Ray-Data-native URL frontier crawler")
-    p.add_argument("url", help="seed URL to start crawling from")
+    p.add_argument("url", nargs="?", default=None, help="seed URL to start crawling from")
+    p.add_argument(
+        "--seeds-file",
+        default=None,
+        help="seed list file (txt/csv/jsonl/parquet with a 'url' column) instead of a positional URL",
+    )
     p.add_argument("--corpus", required=True, help="corpus directory (pages/ + robots.parquet)")
     p.add_argument("-d", "--depth", type=int, default=-1, help="max crawl depth (-1 unlimited)")
     p.add_argument("-c", "--concurrent", type=int, default=10, help="parallelism hint")
@@ -43,7 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (args.url is None) == (args.seeds_file is None):
+        parser.error("exactly one of a seed URL or --seeds-file is required")
 
     import ray
 
@@ -116,7 +124,13 @@ def main(argv: list[str] | None = None) -> int:
         for s in (signal.SIGINT, signal.SIGTERM):
             prev_handlers[s] = signal.signal(s, _on_signal)
 
-        outcome = eng.crawl(args.url, resume=args.resume)
+        if args.seeds_file:
+            from .sources import read_seed_list
+
+            seeds: str | list[str] = read_seed_list(args.seeds_file)
+        else:
+            seeds = args.url
+        outcome = eng.crawl(seeds, resume=args.resume)
         urls = eng.visited_urls()
     except URLError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from urlmap_ray.config import CrawlConfig
     from urlmap_ray.extract import extract_links_batch
     from urlmap_ray.functions import dedup as dd
+    from urlmap_ray.functions import sampling as sp
     from urlmap_ray.functions import similarity as sim
     from urlmap_ray.functions import textstats as ts
     from urlmap_ray.functions.multimodal import MediaFeatureExtractor, make_media_table
@@ -149,6 +150,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
+        )
+
+    def _docs_slim(sf_dir):
+        # pruned read: the sampling ops only need id/text/lang
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+        )
+
+    def docs_sample(sf_dir):
+        # deterministic content-hash Bernoulli sample (rate 0.1, salt 's1')
+        return sp.hash_sample(_docs_slim(sf_dir), rate=0.1, salt="s1").map_batches(
+            lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+        )
+
+    def docs_split(sf_dir):
+        # deterministic train/val/test split → per-(split, lang) doc counts;
+        # same pre-aggregate-then-groupby shape as events_daily
+        from ray.data.aggregate import Sum
+
+        def split_partial(t: pa.Table) -> pa.Table:
+            return (
+                t.select(["split", "lang"])
+                .group_by(["split", "lang"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["split", "lang", "partial"])
+            )
+
+        return (
+            sp.hash_split(
+                _docs_slim(sf_dir),
+                fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+            )
+            .map_batches(split_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["split", "lang"])
+            .aggregate(Sum("partial", alias_name="n_docs"))
+        )
+
+    def docs_stratified(sf_dir):
+        # exactly 5 docs per language in salted-hash order (one key shuffle)
+        return sp.stratified_sample(
+            _docs_slim(sf_dir), key_col="lang", n=5, id_col="doc_id", salt="s2"
+        ).map_batches(
+            lambda t: t.select(["doc_id", "lang", "h60", "rn"]), batch_format="pyarrow"
         )
 
     def dedup_exact(sf_dir):
@@ -652,6 +698,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": events_session_join,
         "events_distinct_users": events_distinct_users,
         "docs_prep": docs_prep,
+        "docs_sample": docs_sample,
+        "docs_split": docs_split,
+        "docs_stratified": docs_stratified,
         "media_features": media_features,
         "spa_detect": spa_detect,
         "spa_domains": spa_domains,
@@ -790,6 +839,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
         """,
         "media_features": media_sql,
+        # Sampling family: md5-keyed decisions are exactly reproducible in
+        # SQL. Thresholds are the integer literals the Python side computes
+        # (int(rate * 2^32); cumulative uint64 bounds for the split).
+        "docs_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('s1' || coalesce(text, '')), 1, 8)) AS BIGINT)
+                  < 429496729
+        """,
+        "docs_split": """
+            WITH h AS (
+                SELECT lang,
+                       CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS BIGINT) AS u
+                FROM documents
+            )
+            SELECT CASE WHEN u < 3435973836 THEN 'train'
+                        WHEN u < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n_docs
+            FROM h GROUP BY 1, 2
+        """,
+        "docs_stratified": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5('s2' || coalesce(text, '')), 1, 15)) AS BIGINT)
+                           AS h60
+                FROM documents
+            )
+            SELECT doc_id, lang, h60,
+                   row_number() OVER (PARTITION BY lang ORDER BY h60, doc_id) AS rn
+            FROM h
+            QUALIFY rn <= 5
+        """,
         "doc_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -114,6 +114,9 @@ def run_bench() -> dict:
         "events_distinct_users",
         "orders_cust_nation",
         "docs_prep",
+        "docs_sample",
+        "docs_split",
+        "docs_stratified",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

@@ -664,3 +664,78 @@ def test_kmv_merge_order_independent():
     rng = np.random.default_rng(1)
     b = kmv_estimate(hs[rng.permutation(len(hs))], k)
     assert a == b
+
+
+def test_hash_sample_deterministic_and_rate(ray_session, docs_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.sampling import hash_sample
+
+    ds = ray.data.from_arrow(docs_tbl)
+    a = sorted(r["doc_id"] for r in hash_sample(ds, rate=0.2, salt="x").take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(ds, rate=0.2, salt="x").take_all())
+    assert a == b  # same salt → same sample, independent of execution
+    # monotone in rate: the 0.2 sample contains the 0.1 sample
+    small = sorted(r["doc_id"] for r in hash_sample(ds, rate=0.1, salt="x").take_all())
+    assert set(small) <= set(a)
+    n = docs_tbl.num_rows
+    assert 0.05 * n < len(a) < 0.4 * n  # loose binomial envelope
+    # different salt → a different (independent) sample
+    c = sorted(r["doc_id"] for r in hash_sample(ds, rate=0.2, salt="y").take_all())
+    assert c != a
+    with pytest.raises(ValueError):
+        hash_sample(ds, rate=1.5)
+
+
+def test_hash_split_partitions_everything(ray_session, docs_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.sampling import hash_split
+
+    ds = ray.data.from_arrow(docs_tbl)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = hash_split(ds, fractions=fr).take_all()
+    assert len(rows) == docs_tbl.num_rows  # every row labeled, none dropped
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) <= set(fr)
+    assert sum(len(v) for v in by.values()) == docs_tbl.num_rows
+    assert len(by["train"]) > len(by.get("val", set()))
+    # stable under re-execution and partitioning
+    rows2 = hash_split(ds.repartition(7), fractions=fr).take_all()
+    assert {r["doc_id"]: r["split"] for r in rows2} == {
+        r["doc_id"]: r["split"] for r in rows
+    }
+    with pytest.raises(ValueError):
+        hash_split(ds, fractions={"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_counts_and_order(ray_session, docs_tbl):
+    import hashlib as hl
+
+    import ray.data
+
+    from urlmap_ray.functions.sampling import stratified_sample
+
+    ds = ray.data.from_arrow(docs_tbl)
+    rows = stratified_sample(ds, key_col="lang", n=3, id_col="doc_id", salt="z").take_all()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+    langs = set(docs_tbl.column("lang").to_pylist())
+    assert set(per) == langs
+    txt = {d: t for d, t in zip(docs_tbl.column("doc_id").to_pylist(),
+                                docs_tbl.column("text").to_pylist())}
+    for lang, rs in per.items():
+        n_lang = docs_tbl.column("lang").to_pylist().count(lang)
+        assert len(rs) == min(3, n_lang)
+        assert sorted(r["rn"] for r in rs) == list(range(1, len(rs) + 1))
+        # rank order is salted-hash order with doc_id tie-break
+        ordered = sorted(rs, key=lambda r: r["rn"])
+        keys = [
+            (int(hl.md5(b"z" + (txt[r["doc_id"]] or "").encode()).hexdigest()[:15], 16),
+             r["doc_id"])
+            for r in ordered
+        ]
+        assert keys == sorted(keys)

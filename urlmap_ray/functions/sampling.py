@@ -1,0 +1,143 @@
+"""Deterministic content-hash sampling operators.
+
+Training-data pipelines sample and split by CONTENT HASH, not RNG state:
+the same document lands in the same split on every run, on any cluster
+size, under any partitioning — which is what makes 100TB re-runs and
+incremental ingests reproducible. All three operators key off
+``md5(salt + text)``:
+
+- :func:`hash_sample` — Bernoulli keep-with-probability-``rate``: keep a
+  row iff the first 32 bits of its salted md5 fall below ``rate * 2^32``.
+- :func:`hash_split` — assign every row a split label (train/val/test …)
+  by cumulative-fraction thresholds over the same 32-bit hash value.
+- :func:`stratified_sample` — exactly ``n`` rows per key (e.g. per
+  language), chosen in salted-hash order: SQL's
+  ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY hash, id) <= n``.
+  Reuses :func:`~urlmap_ray.functions.windows.top_n_per_key`, so it is
+  one key shuffle with a vectorized per-group head.
+
+Everything is row-local except the stratified shuffle; no driver state,
+no RNG. The md5 is a per-row Python loop (hashlib) — the honest cost of
+string hashing, same as ``textstats.fingerprint_batch``; at scale it
+pipelines inside ``map_batches`` and the filter drops rows before any
+shuffle. The reference has no sampling (it crawls everything); these are
+the beyond-reference operators from the build brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hash_sample", "hash_split", "stratified_sample"]
+
+_U32_SPAN = 1 << 32
+
+
+def _salted_u32(texts: list, salt: str) -> np.ndarray:
+    """First 32 bits (big-endian) of md5(salt + text) per row, as uint64
+    so comparisons against ``rate * 2^32`` never wrap."""
+    pre = salt.encode("utf-8")
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(pre + (t or "").encode("utf-8")).digest()[:4], "big")
+            for t in texts
+        ],
+        dtype=np.uint64,
+    )
+
+
+def hash_sample(ds, *, rate: float, text_col: str = "text", salt: str = ""):
+    """Deterministic Bernoulli sample: keep each row with probability
+    ``rate``, decided by its content hash (stable across runs/partitions).
+
+    Different ``salt`` values give independent samples of the same data.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = np.uint64(int(rate * _U32_SPAN))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = _salted_u32(batch.column(text_col).to_pylist(), salt)
+        return batch.filter(pa.array(u < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(
+    ds,
+    *,
+    fractions: dict[str, float],
+    text_col: str = "text",
+    salt: str = "",
+    split_col: str = "split",
+):
+    """Assign a deterministic split label per row by content hash.
+
+    ``fractions`` maps label -> fraction, in the order given (insertion
+    order defines the threshold ranges); fractions must sum to 1. A row
+    goes to the first label whose cumulative threshold exceeds its 32-bit
+    hash value — so growing the corpus never moves an existing row
+    between splits.
+    """
+    fracs = list(fractions.values())
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be non-negative and sum to 1, got {fractions}")
+    labels = list(fractions.keys())
+    # cumulative upper bounds in hash space; force the last to 2^32 so
+    # float rounding can never leave a row unlabeled
+    bounds = np.cumsum(np.array(fracs) * _U32_SPAN).astype(np.uint64)
+    bounds[-1] = np.uint64(_U32_SPAN)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        u = _salted_u32(batch.column(text_col).to_pylist(), salt)
+        idx = np.searchsorted(bounds, u, side="right")
+        lab = pa.array(labels, pa.string()).take(pa.array(idx.astype(np.int32)))
+        return batch.append_column(split_col, lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds,
+    *,
+    key_col: str,
+    n: int,
+    id_col: str,
+    text_col: str = "text",
+    salt: str = "",
+    hash_col: str = "h60",
+):
+    """Exactly ``n`` rows per ``key_col`` value, in deterministic salted
+    content-hash order (ties broken by ``id_col``).
+
+    Adds ``hash_col`` (the first 60 bits of the salted md5, int64 — 60 so
+    it also fits a signed SQL BIGINT for oracle parity) and the 1-based
+    rank column ``rn`` from the window operator. One key shuffle; the
+    per-group head is vectorized (see ``top_n_per_key``).
+    """
+    from .windows import top_n_per_key
+
+    pre = salt.encode("utf-8")
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int(hashlib.md5(pre + (t or "").encode("utf-8")).hexdigest()[:15], 16)
+                for t in batch.column(text_col).to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return batch.append_column(hash_col, pa.array(h, pa.int64()))
+
+    with_hash = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return top_n_per_key(
+        with_hash,
+        key_col=key_col,
+        order_col=hash_col,
+        n=n,
+        tiebreak_col=id_col,
+        descending=False,
+    )

@@ -122,6 +122,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort("url")
         )
 
+    def _graph_inputs(sf_dir):
+        # node set = corpus url column (single-column pruned read); at
+        # 10^10 nodes this list lives in the seen-set shards, not a list —
+        # see functions/graph.py module docstring for the scale path
+        import pyarrow.dataset as pads
+
+        import ray.data
+
+        from urlmap_ray.expected import ensure_graph_expected
+
+        info = _corpus(sf_dir)
+        ensure_graph_expected(info)
+        urls = (
+            pads.dataset(info.pages_path, format="parquet")
+            .to_table(columns=["url"])
+            .column("url")
+            .to_pylist()
+        )
+        pages = ray.data.read_parquet(info.pages_path, columns=["url", "html"])
+        return pages, urls
+
+    def page_edges(sf_dir):
+        from urlmap_ray.functions import graph as gr
+
+        pages, urls = _graph_inputs(sf_dir)
+        return gr.build_edges(pages, urls).sort(["src", "dst"])
+
+    def page_degrees(sf_dir):
+        from urlmap_ray.functions import graph as gr
+
+        pages, urls = _graph_inputs(sf_dir)
+        return gr.degrees(pages, urls).sort("url")
+
+    def pagerank(sf_dir):
+        from urlmap_ray.functions import graph as gr
+
+        pages, urls = _graph_inputs(sf_dir)
+        return gr.pagerank(pages, urls)
+
     def doc_token_counts(sf_dir):
         return _docs(sf_dir).map_batches(
             lambda t: ts.token_count_batch(t.select(["doc_id", "text"])),
@@ -678,6 +717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth3": crawl_depth3,
         "crawl_budget_robots": crawl_budget_robots,
         "page_links": page_links,
+        "page_edges": page_edges,
+        "page_degrees": page_degrees,
+        "pagerank": pagerank,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
@@ -825,6 +867,13 @@ def oracle_sql() -> dict[str, str]:
         "crawl_depth3": f"SELECT * FROM read_parquet('{_exp('crawl-d3')}')",
         "crawl_budget_robots": f"SELECT * FROM read_parquet('{_exp('crawl-br')}')",
         "page_links": f"SELECT * FROM read_parquet('{_exp('page_links')}')",
+        # graph family: ground truth from the pure extractor + the
+        # single-process pagerank_reference (expected.py); the distributed
+        # path under test is the shuffle-free edge build, the one-key
+        # degree exchange, and the bucketed deterministic rank iteration
+        "page_edges": f"SELECT * FROM read_parquet('{_exp('page_edges')}')",
+        "page_degrees": f"SELECT * FROM read_parquet('{_exp('page_degrees')}')",
+        "pagerank": f"SELECT * FROM read_parquet('{_exp('pagerank')}')",
         "spa_detect": f"SELECT * FROM read_parquet('{_exp('spa_detect')}')",
         "spa_domains": f"SELECT * FROM read_parquet('{_exp('spa_domains')}')",
         "page_link_stats": f"SELECT * FROM read_parquet('{_exp('page_link_stats')}')",

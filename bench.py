@@ -117,6 +117,9 @@ def run_bench() -> dict:
         "docs_sample",
         "docs_split",
         "docs_stratified",
+        "page_edges",
+        "page_degrees",
+        "pagerank",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

@@ -173,6 +173,74 @@ def ensure_spa_domains_expected(info: CorpusInfo) -> str:
     return path
 
 
+def ensure_graph_expected(info: CorpusInfo) -> tuple[str, str, str]:
+    """Expected edge list, degree table and PageRank table for the corpus
+    link graph, via the pure extractor + the single-process
+    :func:`~urlmap_ray.functions.graph.pagerank_reference` (same graph
+    semantics as functions/graph.py, no Ray)."""
+    e_path = expected_path(info, "page_edges")
+    d_path = expected_path(info, "page_degrees")
+    p_path = expected_path(info, "pagerank")
+    if not (
+        _should_generate(info, e_path)
+        or _should_generate(info, d_path)
+        or _should_generate(info, p_path)
+    ):
+        return e_path, d_path, p_path
+    from collections import Counter
+
+    from .extract import extract_links
+    from .functions.graph import pagerank_reference
+
+    tbl = _pages_table(info)
+    urls = tbl.column("url").to_pylist()
+    node_set = set(urls)
+    links_per_url: dict[str, list[str]] = {}
+    for url, html in zip(urls, tbl.column("html").to_pylist()):
+        links_per_url[url] = extract_links(url, html) if html is not None else []
+    edges = sorted(
+        {
+            (u, l)
+            for u, links in links_per_url.items()
+            for l in links
+            if l in node_set and l != u
+        }
+    )
+    _write_atomic(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.string()),
+                "dst": pa.array([e[1] for e in edges], pa.string()),
+            }
+        ),
+        e_path,
+    )
+    out_c = Counter(e[0] for e in edges)
+    in_c = Counter(e[1] for e in edges)
+    su = sorted(urls)
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(su, pa.string()),
+                "out_deg": pa.array([out_c.get(u, 0) for u in su], pa.int64()),
+                "in_deg": pa.array([in_c.get(u, 0) for u in su], pa.int64()),
+            }
+        ),
+        d_path,
+    )
+    pr = pagerank_reference(urls, links_per_url)
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(su, pa.string()),
+                "rank_ppb": pa.array([pr[u] for u in su], pa.int64()),
+            }
+        ),
+        p_path,
+    )
+    return e_path, d_path, p_path
+
+
 def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     """Materialize every expected table the sf0.01 oracle SQL reads.
 
@@ -194,6 +262,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     ensure_spa_expected(info)
     ensure_spa_domains_expected(info)
     ensure_link_stats_expected(info)
+    ensure_graph_expected(info)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)
 

@@ -168,6 +168,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         ).map_batches(lambda t: t.drop_columns(["n_bpe_tokens"]), batch_format="pyarrow")
 
+    def doc_length_quantiles(sf_dir):
+        # exact histogram-based quantiles (functions/quantiles.py): the
+        # shuffle moves distinct token-count values, never documents
+        from urlmap_ray.functions.quantiles import exact_quantiles
+
+        toks = _docs(sf_dir).map_batches(
+            lambda t: ts.token_count_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return exact_quantiles(toks, "n_tokens", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
+
     def doc_quality(sf_dir):
         return _docs(sf_dir).map_batches(
             lambda t: ts.quality_batch(t.select(["doc_id", "text"])),
@@ -721,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_degrees": page_degrees,
         "pagerank": pagerank,
         "doc_token_counts": doc_token_counts,
+        "doc_length_quantiles": doc_length_quantiles,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -937,6 +950,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        # inverted-empirical-CDF quantiles, same pinned rule as
+        # functions/quantiles.py: v(q) = min{v : cum(v) >= ceil(q*N)}
+        "doc_length_quantiles": """
+            WITH tok AS (
+                SELECT CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT n_tokens, count(*) AS n FROM tok GROUP BY 1
+            ), s AS (
+                SELECT n_tokens, sum(n) OVER (ORDER BY n_tokens) AS cum FROM c
+            ), t AS (SELECT count(*) AS tot FROM tok),
+            -- q must be DOUBLE (not DECIMAL): the rank rule rounds
+            -- ceil(q * N) in IEEE doubles on the Ray side, and decimal
+            -- q*N differs at e.g. q=0.1, N=500 (50 exact vs 50.0000...07)
+            qs AS (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+                                      AS DOUBLE[])) AS q)
+            SELECT q, min(n_tokens) AS n_tokens
+            FROM qs CROSS JOIN s CROSS JOIN t
+            WHERE cum >= ceil(q * tot)
+            GROUP BY q
+        """,
         "doc_lang_id": """
             WITH t AS (
                 SELECT doc_id, text,

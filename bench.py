@@ -120,6 +120,7 @@ def run_bench() -> dict:
         "page_edges",
         "page_degrees",
         "pagerank",
+        "doc_length_quantiles",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

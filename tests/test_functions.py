@@ -739,3 +739,26 @@ def test_stratified_sample_counts_and_order(ray_session, docs_tbl):
             for r in ordered
         ]
         assert keys == sorted(keys)
+
+
+def test_exact_quantiles_matches_numpy_rule(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.quantiles import exact_quantiles, value_histogram
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=5000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    got = exact_quantiles(ds, "v", qs)
+    sv = np.sort(vals)
+    import math
+
+    for q, v in zip(got.column("q").to_pylist(), got.column("v").to_pylist()):
+        # pinned rule: min value whose cumulative count reaches ceil(q*N)
+        assert v == sv[math.ceil(q * len(sv)) - 1], q
+    hist = {r["v"]: r["n"] for r in value_histogram(ds, "v").take_all()}
+    assert sum(hist.values()) == len(vals)
+    assert hist == {int(v): int(c) for v, c in zip(*np.unique(vals, return_counts=True))}
+    with pytest.raises(ValueError):
+        exact_quantiles(ds, "v", [0.0])

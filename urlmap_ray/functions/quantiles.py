@@ -1,0 +1,82 @@
+"""Exact distributed quantiles for bounded-cardinality columns.
+
+Quality gates in training-data pipelines are threshold picks: "drop the
+bottom decile by token count", "cap at p99 length". For integer-valued
+columns whose DISTINCT-value count is bounded (token counts, quality
+sub-scores, status codes, depths — the usual gate inputs), the exact
+scale-right computation is a VALUE HISTOGRAM, not a sort:
+
+1. per-batch partial value-counts (Arrow hash-agg, one row per distinct
+   value per batch),
+2. one single-key ``groupby(value)`` summing the partials — the shuffle
+   moves O(distinct values × batches) tiny rows, never the data,
+3. the histogram (≤ a few thousand rows for any real gate column) folds
+   to quantiles anywhere — here on the driver, trivially.
+
+This is exact at any data size, unlike p2/t-digest sketches, and the
+exchange is independent of row count. For unbounded float columns use a
+mergeable sketch instead (see ``functions/sketch.py`` for the KMV
+pattern).
+
+Quantile rule (pinned so the SQL oracle can reproduce it exactly):
+``v(q) = min{ v : cum_count(v) >= ceil(q * N) }`` — the inverted
+empirical CDF ("lower" interpolation), with IEEE-double ``q * N``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["value_histogram", "exact_quantiles"]
+
+
+def value_histogram(ds, col: str):
+    """(value, n) histogram Dataset of an integer column — one single-key
+    shuffle of per-batch partial counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select([col])
+            .group_by([col])
+            .aggregate([([], "count_all")])
+            .rename_columns([col, "partial"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
+    """Exact quantiles of an integer column → pa.Table (q, <col>).
+
+    Streams the histogram (see module docstring); only the histogram —
+    whose size is the column's distinct-value count, not the row count —
+    is folded on the driver.
+    """
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    rows = value_histogram(ds, col).take_all()
+    if not rows:
+        raise ValueError(f"cannot take quantiles of an empty column {col!r}")
+    vals = np.array([r[col] for r in rows], dtype=np.int64)
+    cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    # inverted empirical CDF with IEEE-double rank, mirrored by the oracle
+    ranks = np.array([math.ceil(q * n) for q in qs], dtype=np.int64)
+    picks = np.searchsorted(cum, ranks, side="left")
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            col: pa.array(vals[picks], pa.int64()),
+        }
+    )

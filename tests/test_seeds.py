@@ -132,3 +132,30 @@ def test_cli_seeds_file_e2e(tmp_path):
     assert proc.returncode == 0, proc.stderr
     oracle = crawl_sequential(load_corpus_dict(info.pages_path), seeds)
     assert proc.stdout.splitlines() == oracle.output_urls
+
+
+def test_read_frontier_streams_pruned(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from urlmap_ray.sources import read_frontier
+
+    d = tmp_path / "frontier-0"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["https://a.example.org/", "https://b.example.org/"],
+                "depth": pa.array([0, 1], pa.int32()),
+                "host": ["a.example.org", "b.example.org"],  # pruned away
+            }
+        ),
+        d / "part-0.parquet",
+    )
+    ds = read_frontier(str(d))
+    rows = ds.take_all()
+    assert sorted(r["url"] for r in rows) == [
+        "https://a.example.org/",
+        "https://b.example.org/",
+    ]
+    assert set(rows[0]) == {"url", "depth"}  # column-pruned read

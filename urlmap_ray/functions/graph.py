@@ -23,10 +23,13 @@ Scale shapes:
   crosses blocks. Per-batch partial counts pre-aggregate before the
   ``groupby(url)`` so the exchange moves one row per (batch, url).
 - **PageRank iterates over a once-materialized, dst-bucketed edge
-  dataset.** In ``mode="broadcast"`` one ``map_batches`` pass per
-  iteration computes per-dst contribution sums against the O(nodes)
+  dataset.** In ``mode="broadcast"`` the bucketed edge blocks are
+  pinned once into a pool of ``_EdgeShard`` actors (whole buckets per
+  actor — block refs move through the object store, never the driver)
+  and each iteration is one round of actor calls against the O(nodes)
   rank vector shipped via ``ray.put`` (the Spark/GraphX broadcast
-  formulation) — broadcast state is O(nodes), never O(edges). Above
+  formulation) — broadcast state is O(nodes), never O(edges), and the
+  per-iteration cost is actor-RPC, not a fresh Dataset job. Above
   ``SHUFFLE_MODE_NODES`` the vector outgrows the driver and
   ``mode="shuffle"`` keeps ranks as a Dataset: each iteration is a
   pad→union→one-key-shuffle join (the repo's asof/range-join shape)
@@ -201,6 +204,36 @@ def _bucketed_edge_ids(edges_ds, urls_arr: pa.Array, per_bucket: int):
     )
 
 
+class _EdgeShard:
+    """Iteration-state actor for broadcast-mode PageRank: pins a set of
+    WHOLE dst-buckets (materialized edge blocks travel object-store →
+    actor, never through the driver) sorted by (dst_id, src_id), so
+    every per-dst contribution run stays intact and ``_contrib_sums``
+    keeps float summation bit-deterministic. One actor round per
+    iteration replaces a fresh Dataset job (~1s launch overhead each on
+    a busy driver; pure RPC here)."""
+
+    def __init__(self, block_refs):
+        import ray
+
+        # drop empty-schema blocks (an edgeless graph materializes one)
+        tables = [t for t in map(ray.get, block_refs) if "dst_id" in t.column_names]
+        t = pa.concat_tables(tables) if tables else pa.table(
+            {"src_id": pa.array([], pa.int64()), "dst_id": pa.array([], pa.int64())}
+        )
+        t = t.sort_by([("dst_id", "ascending"), ("src_id", "ascending")])
+        self.dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        self.src = t.column("src_id").to_numpy(zero_copy_only=False)
+
+    def out_partial(self) -> tuple[np.ndarray, np.ndarray]:
+        """(unique src ids, counts) — integer partials, summation-order-free."""
+        return np.unique(self.src, return_counts=True)
+
+    def contribs(self, ranks, inv_out) -> tuple[np.ndarray, np.ndarray]:
+        # called with ObjectRefs — Ray auto-derefs zero-copy from plasma
+        return _contrib_sums(self.dst, self.src, ranks, inv_out)
+
+
 def _out_degree_vector(edges_b, n: int) -> np.ndarray:
     """Exact out-degree per node id from the bucketed edge Dataset: one
     streaming pass of per-batch partial counts + a single-key groupby
@@ -260,13 +293,12 @@ def pagerank(
     urls_arr = pa.array(urls_sorted, pa.string())
     edges_ds = build_edges(pages_ds, urls_sorted)
     edges_b = _bucketed_edge_ids(edges_ds, urls_arr, per_bucket)
-    out_vec = _out_degree_vector(edges_b, n)
-    inv_out = np.zeros(n, dtype=np.float64)
-    nz = out_vec > 0
-    inv_out[nz] = 1.0 / out_vec[nz]
-    base = (1.0 - damping) / n
 
     if mode == "shuffle":
+        out_vec = _out_degree_vector(edges_b, n)
+        inv_out = np.zeros(n, dtype=np.float64)
+        nz = out_vec > 0
+        inv_out[nz] = 1.0 / out_vec[nz]
         return _pagerank_shuffle(
             edges_b,
             urls_arr,
@@ -276,32 +308,40 @@ def pagerank(
             per_bucket=per_bucket,
         )
 
-    ranks = np.full(n, 1.0 / n, dtype=np.float64)
-    inv_ref = ray.put(inv_out)
-    for _ in range(n_iters):
-        ranks_ref = ray.put(ranks)
-
-        def contribs(t: pa.Table) -> pa.Table:
-            r = ray.get(ranks_ref)
-            io = ray.get(inv_ref)
-            dst = t.column("dst_id").to_numpy(zero_copy_only=False)
-            src = t.column("src_id").to_numpy(zero_copy_only=False)
-            d, s = _contrib_sums(dst, src, r, io)
-            return pa.table(
-                {"dst_id": pa.array(d, pa.int64()), "s": pa.array(s, pa.float64())}
+    # Pin whole-bucket edge blocks into a round-robin actor pool ONCE;
+    # each iteration is a round of actor calls (no per-iteration Dataset
+    # job). Blocks hold whole dst-buckets (a map_groups group table only
+    # splits above the 128MB block target), so per-dst runs stay intact
+    # per actor and ranks remain bit-identical to pagerank_reference.
+    base = (1.0 - damping) / n
+    block_refs = edges_b.to_arrow_refs()
+    shard_cls = ray.remote(num_cpus=1)(_EdgeShard)
+    n_actors = max(1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))))
+    actors = [shard_cls.remote(block_refs[i::n_actors]) for i in range(n_actors)]
+    try:
+        out_vec = np.zeros(n, dtype=np.int64)
+        for uniq, cnt in ray.get([a.out_partial.remote() for a in actors]):
+            out_vec[uniq] += cnt
+        inv_out = np.zeros(n, dtype=np.float64)
+        nz = out_vec > 0
+        inv_out[nz] = 1.0 / out_vec[nz]
+        inv_ref = ray.put(inv_out)
+        ranks = np.full(n, 1.0 / n, dtype=np.float64)
+        for _ in range(n_iters):
+            ranks_ref = ray.put(ranks)
+            parts = ray.get(
+                [a.contribs.remote(ranks_ref, inv_ref) for a in actors]
             )
-
-        # batch_size=None → whole blocks, so each per-dst run stays intact
-        parts = edges_b.map_batches(
-            contribs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-        new = np.full(n, base, dtype=np.float64)
-        if parts:
-            dsts = np.array([p["dst_id"] for p in parts], dtype=np.int64)
-            sums = np.array([p["s"] for p in parts], dtype=np.float64)
-            order = np.argsort(dsts, kind="stable")
-            np.add.at(new, dsts[order], damping * sums[order])
-        ranks = new
+            new = np.full(n, base, dtype=np.float64)
+            dsts = np.concatenate([p[0] for p in parts])
+            if len(dsts):
+                sums = np.concatenate([p[1] for p in parts])
+                order = np.argsort(dsts, kind="stable")
+                np.add.at(new, dsts[order], damping * sums[order])
+            ranks = new
+    finally:
+        for a in actors:
+            ray.kill(a)
     return pa.table(
         {
             "url": urls_arr,

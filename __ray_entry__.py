@@ -263,6 +263,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_ngram(sf_dir):
         return dd.dedup_ngram_jaccard(_docs(sf_dir), threshold=0.8)
 
+    def _doc_ids(sf_dir):
+        # the label-attach side needs ONLY the id column — prune to it
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+
+    def neardup_clusters(sf_dir):
+        # verified near-dup pairs → transitive closure → every doc labeled
+        # with its cluster min (singletons label themselves)
+        from urlmap_ray.functions.components import (
+            attach_components,
+            connected_components,
+        )
+
+        # driver_threshold=0 pins the fully-distributed star rounds so the
+        # driver gate checks the 100-TB path; dedup_canonical below covers
+        # the bounded small-pair-set fast path
+        pairs = dd.dedup_minhash_lsh(_docs(sf_dir), threshold=0.8)
+        cc = connected_components(pairs, buckets=64, driver_threshold=0)
+        return attach_components(_doc_ids(sf_dir), cc).sort("doc_id")
+
+    def dedup_canonical(sf_dir):
+        # one surviving doc per near-dup cluster (the min doc_id), with the
+        # cluster size — the actual "dedup the corpus" output shape
+        from ray.data.aggregate import Count, Min
+
+        from urlmap_ray.functions.components import (
+            attach_components,
+            connected_components,
+        )
+
+        pairs = dd.dedup_minhash_lsh(_docs(sf_dir), threshold=0.8)
+        cc = connected_components(pairs, buckets=64)
+        return (
+            attach_components(_doc_ids(sf_dir), cc)
+            .groupby("comp")
+            .aggregate(Count(alias_name="cluster_size"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t.column("comp"),
+                        "cluster_size": t.column("cluster_size").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .sort("doc_id")
+        )
+
     def embedding_neardup(sf_dir):
         return dd.embedding_neardup(_emb(sf_dir), threshold=0.4)
 
@@ -741,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
+        "neardup_clusters": neardup_clusters,
+        "dedup_canonical": dedup_canonical,
         "embedding_neardup": embedding_neardup,
         "ann_topk": ann_topk,
         "ann_topk_lsh": ann_topk_lsh,
@@ -815,6 +868,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
         """
+    # Transitive closure of the exact near-dup pair set, fully in SQL: a
+    # recursive CTE walks the undirected pair graph and each node takes the
+    # min reachable id as its cluster label — an INDEPENDENT check of the
+    # distributed large-star/small-star algorithm (functions/components.py),
+    # not a replay of it. Near-dup clusters are tiny, so the closure is
+    # cheap at oracle scale.
+    clusters_cte = f"""
+            WITH RECURSIVE pr AS ({ngram_pairs_sql}),
+            edges AS (
+                SELECT a AS u, b AS v FROM pr
+                UNION
+                SELECT b AS u, a AS v FROM pr
+            ),
+            reach(node, r) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+            ),
+            lbl AS (
+                SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node
+            ),
+            labeled AS (
+                SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+                FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+            )
+        """
+    neardup_clusters_sql = clusters_cte + "SELECT doc_id, comp FROM labeled"
+    dedup_canonical_sql = clusters_cte + (
+        "SELECT comp AS doc_id, COUNT(*) AS cluster_size FROM labeled GROUP BY comp"
+    )
     # Exact cosine top-10. Also the oracle for ann_topk_ivf: with nprobe=10 of
     # 16 cells the probed cells contain every true top-10 neighbor at every
     # sf level (verified equal at sf0.001 and sf0.01 after d3cca94 raised the
@@ -871,6 +954,8 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "dedup_minhash": ngram_pairs_sql,
+        "neardup_clusters": neardup_clusters_sql,
+        "dedup_canonical": dedup_canonical_sql,
         "ann_topk_ivf": ann_topk_sql,
         # LSH top-k: with n_planes=8 and multiprobe=2 the probed buckets
         # contain every true top-10 neighbor on this corpus (verified equal

@@ -98,6 +98,8 @@ def run_bench() -> dict:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_ngram",
+        "neardup_clusters",
+        "dedup_canonical",
         "embedding_neardup",
         "ann_topk",
         "ann_topk_ivf",

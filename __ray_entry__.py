@@ -248,6 +248,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "lang", "h60", "rn"]), batch_format="pyarrow"
         )
 
+    def doc_repetition(sf_dir):
+        return _docs(sf_dir).map_batches(
+            lambda t: ts.repetition_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def docs_decontam(sf_dir):
+        # eval set = the deterministic doc_id % 20 == 7 slice of the corpus
+        # (stands in for a benchmark suite); its shingle hashes broadcast
+        # once, the corpus streams through a searchsorted probe
+        import pyarrow.parquet as pq
+
+        from urlmap_ray.functions.decontam import decontaminate, eval_ngram_hashes
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_numpy()
+        eval_texts = t.filter(pa.array(ids % 20 == 7)).column("text").to_pylist()
+        return decontaminate(
+            _docs(sf_dir).map_batches(
+                lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+            ),
+            eval_ngram_hashes(eval_texts),
+        )
+
     def dedup_exact(sf_dir):
         return dd.dedup_exact(_docs(sf_dir))
 
@@ -788,6 +815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "doc_repetition": doc_repetition,
+        "docs_decontam": docs_decontam,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -839,8 +868,9 @@ def oracle_sql() -> dict[str, str]:
     # positives ever) and its banding recall is 1.0 on this deterministic
     # corpus (16 bands × 4 rows ⇒ p(miss) < 2e-4 per qualifying pair;
     # verified equal at sf0.01/sf0.001), so its output equals the exact set.
-    ngram_pairs_sql = """
-            WITH toks AS (
+    # tokenization + 3-gram shingle CTEs shared by the dedup/cluster/
+    # decontamination oracles — one SQL rendering of dedup._shingles
+    shingle_ctes = """toks AS (
                 SELECT doc_id,
                        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
@@ -855,7 +885,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             ), ex AS (
                 SELECT doc_id, unnest(shingles) AS s FROM sh
-            ), sizes AS (
+            )"""
+    ngram_pairs_sql = f"""
+            WITH {shingle_ctes}, sizes AS (
                 SELECT doc_id, len(shingles) AS n FROM sh
             ), inter AS (
                 SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS c
@@ -895,6 +927,46 @@ def oracle_sql() -> dict[str, str]:
             )
         """
     neardup_clusters_sql = clusters_cte + "SELECT doc_id, comp FROM labeled"
+    # Decontamination oracle: string-level semi-join of every doc's shingle
+    # set against the eval slice's shingles (the Ray side probes 64-bit
+    # hashes — same negligible-collision tradeoff as the dedup oracles).
+    decontam_sql = f"""
+            WITH {shingle_ctes},
+            ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 7),
+            ov AS (
+                SELECT e.doc_id, count(*) AS c
+                FROM ex e JOIN ev ON ev.s = e.s
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(ov.c, 0) AS n_overlap,
+                   COALESCE(ov.c, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+        """
+    # Repetition signals: integer 2-gram duplicate mass (Gopher A1.1); the
+    # flag inequality is integer arithmetic on both sides, no float hashing.
+    repetition_sql = """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                            ELSE [array_to_string(w[i:i+1], ' ')
+                                  FOR i IN range(1, len(w))]
+                       END AS g2
+                FROM toks
+            )
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   len(list_distinct(w)) AS n_distinct_words,
+                   len(g2) AS n_2grams,
+                   len(list_distinct(g2)) AS n_distinct_2grams,
+                   (len(g2) - len(list_distinct(g2))) * 5 > len(g2) AS rep_flag
+            FROM g
+        """
     dedup_canonical_sql = clusters_cte + (
         "SELECT comp AS doc_id, COUNT(*) AS cluster_size FROM labeled GROUP BY comp"
     )
@@ -956,6 +1028,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": ngram_pairs_sql,
         "neardup_clusters": neardup_clusters_sql,
         "dedup_canonical": dedup_canonical_sql,
+        "docs_decontam": decontam_sql,
+        "doc_repetition": repetition_sql,
         "ann_topk_ivf": ann_topk_sql,
         # LSH top-k: with n_planes=8 and multiprobe=2 the probed buckets
         # contain every true top-10 neighbor on this corpus (verified equal

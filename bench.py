@@ -105,6 +105,8 @@ def run_bench() -> dict:
         "ann_topk_ivf",
         "doc_quality",
         "doc_token_counts",
+        "doc_repetition",
+        "docs_decontam",
         "page_links",
         "lineitem_agg",
         "events_daily",

@@ -1,0 +1,84 @@
+"""Decontamination and repetition-signal operators: pure-function
+semantics plus the distributed probe over a documents Dataset."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from urlmap_ray.functions.decontam import (
+    decontaminate,
+    eval_ngram_hashes,
+    overlap_batch,
+)
+from urlmap_ray.functions.textstats import repetition_batch
+
+
+def _tbl(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_overlap_counts_distinct_shared_shingles():
+    eval_hashes = eval_ngram_hashes(["alpha beta gamma delta"])
+    # doc 0 shares shingles "alpha beta gamma" and "beta gamma delta";
+    # doc 1 shares nothing; doc 2 is an exact eval copy
+    out = overlap_batch(
+        _tbl(
+            [
+                (0, "alpha beta gamma delta epsilon"),
+                (1, "zeta eta theta iota"),
+                (2, "alpha beta gamma delta"),
+            ]
+        ),
+        eval_hashes,
+    )
+    assert out.column("n_overlap").to_pylist() == [2, 0, 2]
+    assert out.column("contaminated").to_pylist() == [True, False, True]
+
+
+def test_overlap_empty_cases():
+    assert len(eval_ngram_hashes([])) == 0
+    out = overlap_batch(_tbl([(0, ""), (1, "a b c")]), eval_ngram_hashes([""]))
+    assert out.column("n_overlap").to_pylist() == [0, 0]
+
+
+def test_decontaminate_dataset(ray_session):
+    docs = ray.data.from_arrow(
+        _tbl([(i, f"w{i} common phrase here w{i}") for i in range(50)])
+    )
+    ev = eval_ngram_hashes(["w7 common phrase here w7"])
+    out = pa.concat_tables(
+        decontaminate(docs, ev).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("contaminated").to_pylist()))
+    # every doc shares the "common phrase here" shingle; doc 7 is exact
+    assert all(got.values())
+    n7 = dict(zip(out.column("doc_id").to_pylist(), out.column("n_overlap").to_pylist()))[7]
+    assert n7 == max(
+        dict(zip(out.column("doc_id").to_pylist(), out.column("n_overlap").to_pylist())).values()
+    )
+
+
+def test_repetition_batch_counts():
+    out = repetition_batch(
+        _tbl(
+            [
+                (0, "a b a b a b a b"),  # heavy 2-gram repetition
+                (1, "one two three four five"),  # none
+                (2, ""),  # empty
+                (3, "solo"),  # one word, no 2-grams
+            ]
+        )
+    )
+    assert out.column("n_words").to_pylist() == [8, 5, 0, 1]
+    assert out.column("n_distinct_words").to_pylist() == [2, 5, 0, 1]
+    assert out.column("n_2grams").to_pylist() == [7, 4, 0, 0]
+    assert out.column("n_distinct_2grams").to_pylist() == [2, 4, 0, 0]
+    # (7-2)*5=25 > 7 → flagged; others not
+    assert out.column("rep_flag").to_pylist() == [True, False, False, False]

@@ -91,6 +91,33 @@ def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return out.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
+def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    word-2-gram mass per document. Counts stay INTEGER (no fraction
+    columns) so the driver's value-hash gate compares exactly; the
+    Gopher "dup-2-gram fraction > 0.2" rejection is the integer
+    inequality (n_2grams - n_distinct_2grams) * 5 > n_2grams."""
+    texts = batch.column(text_col).to_pylist()
+    n_words, n_dwords, n_2g, n_d2g, flag = [], [], [], [], []
+    for t in texts:
+        toks = (t or "").lower().split()
+        grams = list(zip(toks, toks[1:]))
+        nw, n2 = len(toks), len(grams)
+        nd2 = len(set(grams))
+        n_words.append(nw)
+        n_dwords.append(len(set(toks)))
+        n_2g.append(n2)
+        n_d2g.append(nd2)
+        flag.append((n2 - nd2) * 5 > n2)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("n_distinct_words", pa.array(n_dwords, pa.int64()))
+    out = out.append_column("n_2grams", pa.array(n_2g, pa.int64()))
+    out = out.append_column("n_distinct_2grams", pa.array(n_d2g, pa.int64()))
+    out = out.append_column("rep_flag", pa.array(flag, pa.bool_()))
+    return out
+
+
 _FNV_PRIME = 1099511628211
 _FNV_OFFSET = 14695981039346656037
 _MASK64 = (1 << 64) - 1

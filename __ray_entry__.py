@@ -275,6 +275,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             eval_ngram_hashes(eval_texts),
         )
 
+    def vocab_top100(sf_dir):
+        return ts.vocab_topk(
+            _docs(sf_dir).map_batches(
+                lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+            ),
+            k=100,
+        )
+
     def dedup_exact(sf_dir):
         return dd.dedup_exact(_docs(sf_dir))
 
@@ -817,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_repetition": doc_repetition,
         "docs_decontam": docs_decontam,
+        "vocab_top100": vocab_top100,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -943,6 +952,21 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ov.c, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
         """
+    # Vocabulary top-k: same tokenization as the shingle CTEs, pure integer
+    # counts; the (tf DESC, term ASC) order is total (terms unique), so the
+    # LIMIT row set is deterministic on both sides.
+    vocab_sql = """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), t AS (
+                SELECT doc_id, unnest(w) AS term FROM toks
+            )
+            SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM t GROUP BY term ORDER BY tf DESC, term LIMIT 100
+        """
     # Repetition signals: integer 2-gram duplicate mass (Gopher A1.1); the
     # flag inequality is integer arithmetic on both sides, no float hashing.
     repetition_sql = """
@@ -1030,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": dedup_canonical_sql,
         "docs_decontam": decontam_sql,
         "doc_repetition": repetition_sql,
+        "vocab_top100": vocab_sql,
         "ann_topk_ivf": ann_topk_sql,
         # LSH top-k: with n_planes=8 and multiprobe=2 the probed buckets
         # contain every true top-10 neighbor on this corpus (verified equal

@@ -107,6 +107,7 @@ def run_bench() -> dict:
         "doc_token_counts",
         "doc_repetition",
         "docs_decontam",
+        "vocab_top100",
         "page_links",
         "lineitem_agg",
         "events_daily",

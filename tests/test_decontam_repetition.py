@@ -82,3 +82,33 @@ def test_repetition_batch_counts():
     assert out.column("n_distinct_2grams").to_pylist() == [2, 4, 0, 0]
     # (7-2)*5=25 > 7 → flagged; others not
     assert out.column("rep_flag").to_pylist() == [True, False, False, False]
+
+
+def test_vocab_topk_cut_and_ties(ray_session):
+    from urlmap_ray.functions.textstats import vocab_topk
+
+    # tf: z*4, m1*3, a*2, b*2, c*2, d*1 ... tie at the k=4 boundary between
+    # b and c resolves by term ascending
+    rows = [
+        (0, "z z m1 a b"),
+        (1, "z m1 a c"),
+        (2, "z m1 b c d"),
+    ]
+    out = pa.concat_tables(
+        vocab_topk(ray.data.from_arrow(_tbl(rows)), k=4).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    got = list(
+        zip(
+            out.column("term").to_pylist(),
+            out.column("tf").to_pylist(),
+            out.column("df").to_pylist(),
+        )
+    )
+    assert sorted(got, key=lambda r: (-r[1], r[0])) == [
+        ("z", 4, 3),
+        ("m1", 3, 3),
+        ("a", 2, 2),
+        ("b", 2, 2),
+    ]

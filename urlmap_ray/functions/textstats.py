@@ -91,6 +91,54 @@ def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return out.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
+def vocab_topk(ds, *, k: int = 100, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus vocabulary: top-k terms by total frequency with document
+    frequency — (term, tf, df), ties broken by term ascending.
+
+    The canonical word-count shape, kept scale-safe end to end: per-batch
+    Counter partials pre-aggregate before the ONE term-keyed shuffle (the
+    exchange moves each batch's distinct terms, not tokens); after the
+    groupby every term is a single row, so a per-block local top-k prune
+    cuts the global sort input to blocks×k rows before the tiny
+    sort+limit. All counts integer."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            toks = (txt or "").lower().split()
+            tf.update(toks)
+            df.update(set(toks))
+        terms = sorted(tf)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array([tf[w] for w in terms], pa.int64()),
+                "df": pa.array([df[w] for w in terms], pa.int64()),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(
+            t, sort_keys=[("tf", "descending"), ("term", "ascending")]
+        )
+        return t.take(order[:k])
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+        .map_batches(local_topk, batch_size=None, batch_format="pyarrow")
+        .sort(["tf", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
     word-2-gram mass per document. Counts stay INTEGER (no fraction

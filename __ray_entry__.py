@@ -283,6 +283,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=100,
         )
 
+    def docs_pipeline(sf_dir):
+        """The composed end-to-end pre-training prep flow — what a user of
+        this engine actually runs over a crawl: row-local gates (language,
+        min length, Gopher repetition, benchmark decontamination) → MinHash
+        near-dup clusters over the survivors → one canonical doc per
+        cluster → deterministic content-hash train/val/test split. Output
+        (doc_id, split). One extra single-key exchange does BOTH the
+        cluster-label attach and the split carry (pad→union→groupby) — no
+        driver-side keep/drop sets."""
+        import ray
+        import pyarrow.parquet as pq
+        from ray.data.aggregate import Max, Min
+
+        from urlmap_ray.functions import sampling as sp2
+        from urlmap_ray.functions.components import connected_components
+        from urlmap_ray.functions.decontam import eval_ngram_hashes, overlap_batch
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_numpy()
+        ev_ref = ray.put(
+            eval_ngram_hashes(
+                t.filter(pa.array(ids % 20 == 7)).column("text").to_pylist()
+            )
+        )
+
+        def gate(b: pa.Table) -> pa.Table:
+            slim = b.select(["doc_id", "text"])
+            r = ts.repetition_batch(slim)
+            o = overlap_batch(slim, ray.get(ev_ref))
+            keep = pa.compute.and_(
+                pa.compute.and_(
+                    pa.compute.equal(b.column("lang"), "en"),
+                    pa.compute.greater_equal(r.column("n_words"), 10),
+                ),
+                pa.compute.and_(
+                    pa.compute.invert(r.column("rep_flag")),
+                    pa.compute.invert(o.column("contaminated")),
+                ),
+            )
+            return slim.filter(keep)
+
+        gated = (
+            _docs(sf_dir)
+            .map_batches(
+                lambda b: b.select(["doc_id", "text", "lang"]),
+                batch_format="pyarrow",
+            )
+            .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()  # consumed twice: pair mining + split/label rows
+        )
+        pairs = dd.dedup_minhash_lsh(gated, threshold=0.8)
+        cc = connected_components(pairs, buckets=64)
+
+        def split_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("doc_id").cast(pa.int64()),
+                    "comp": b.column("doc_id").cast(pa.int64()),
+                    "split": b.column("split"),
+                }
+            )
+
+        def label_rows(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "comp": pa.array([], pa.int64()),
+                        "split": pa.array([], pa.string()),
+                    }
+                )
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "comp": b.column("comp"),
+                    "split": pa.array([""] * b.num_rows, pa.string()),
+                }
+            )
+
+        fused = (
+            sp2.hash_split(gated, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+            .map_batches(split_rows, batch_format="pyarrow")
+            .union(cc.map_batches(label_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("comp", alias_name="comp"), Max("split", alias_name="split"))
+        )
+        return fused.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("node"),
+                    "split": b.column("split"),
+                }
+            ).filter(
+                pa.compute.equal(b.column("comp"), b.column("node"))
+            ),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+
     def dedup_exact(sf_dir):
         return dd.dedup_exact(_docs(sf_dir))
 
@@ -826,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "docs_decontam": docs_decontam,
         "vocab_top100": vocab_top100,
+        "docs_pipeline": docs_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -952,6 +1053,76 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ov.c, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
         """
+    # The composed prep pipeline, reproduced stage-for-stage in SQL: gates
+    # (lang / >=10 words / Gopher 2-gram flag / eval-shingle overlap) →
+    # exact-Jaccard pairs among survivors → recursive-CTE closure → keep
+    # cluster minima → md5 split thresholds (same constants as docs_split).
+    docs_pipeline_sql = """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, text, lang,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, text, lang, w,
+                       CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                            ELSE [array_to_string(w[i:i+1], ' ')
+                                  FOR i IN range(1, len(w))] END AS g2,
+                       CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                                FOR i IN range(1, len(w) - 1)])
+                       END AS shingles
+                FROM base
+            ), ev AS (
+                SELECT DISTINCT unnest(shingles) AS s FROM feat WHERE doc_id % 20 = 7
+            ), ovl AS (
+                SELECT t.doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM feat) t
+                JOIN ev USING (s)
+                GROUP BY t.doc_id
+            ), gated AS (
+                SELECT f.doc_id, f.text, f.shingles
+                FROM feat f LEFT JOIN ovl ON ovl.doc_id = f.doc_id
+                WHERE f.lang = 'en'
+                  AND len(f.w) >= 10
+                  AND NOT ((len(f.g2) - len(list_distinct(f.g2))) * 5 > len(f.g2))
+                  AND COALESCE(ovl.c, 0) = 0
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM gated
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM gated
+            ), inter AS (
+                SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS c
+                FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+                GROUP BY 1, 2
+            ), pr AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ), edges AS (
+                SELECT a AS u, b AS v FROM pr
+                UNION
+                SELECT b AS u, a AS v FROM pr
+            ), reach(node, r) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+            ), lbl AS (
+                SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node
+            ), canon AS (
+                SELECT g.doc_id,
+                       CAST(('0x' || substr(md5(coalesce(g.text, '')), 1, 8)) AS BIGINT) AS u
+                FROM gated g LEFT JOIN lbl l ON l.node = g.doc_id
+                WHERE COALESCE(l.comp, g.doc_id) = g.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 3435973836 THEN 'train'
+                        WHEN u < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM canon
+        """
     # Vocabulary top-k: same tokenization as the shingle CTEs, pure integer
     # counts; the (tf DESC, term ASC) order is total (terms unique), so the
     # LIMIT row set is deterministic on both sides.
@@ -1055,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontam": decontam_sql,
         "doc_repetition": repetition_sql,
         "vocab_top100": vocab_sql,
+        "docs_pipeline": docs_pipeline_sql,
         "ann_topk_ivf": ann_topk_sql,
         # LSH top-k: with n_planes=8 and multiprobe=2 the probed buckets
         # contain every true top-10 neighbor on this corpus (verified equal

@@ -119,6 +119,7 @@ def run_bench() -> dict:
         "events_distinct_users",
         "orders_cust_nation",
         "docs_prep",
+        "docs_pipeline",
         "docs_sample",
         "docs_split",
         "docs_stratified",

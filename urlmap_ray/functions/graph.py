@@ -253,8 +253,11 @@ def _out_degree_vector(edges_b, n: int) -> np.ndarray:
         .groupby("src_id")
         .aggregate(Sum("n", alias_name="out"))
     )
-    for row in agg.iter_rows():
-        out[row["src_id"]] = row["out"]
+    for t in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if "src_id" in t.column_names and t.num_rows:
+            out[t.column("src_id").to_numpy(zero_copy_only=False)] = (
+                t.column("out").to_numpy(zero_copy_only=False)
+            )
     return out
 
 

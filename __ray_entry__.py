@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )
 
+    def dedup_substring(sf_dir):
+        # docs sharing an exact 32-char passage (passage-level dedup)
+        return dd.substring_dup_pairs(_docs(sf_dir), k=32)
+
     def neardup_clusters(sf_dir):
         # verified near-dup pairs → transitive closure → every doc labeled
         # with its cluster min (singletons label themselves)
@@ -931,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
+        "dedup_substring": dedup_substring,
         "neardup_clusters": neardup_clusters,
         "dedup_canonical": dedup_canonical,
         "embedding_neardup": embedding_neardup,
@@ -1009,6 +1014,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+        """
+    # Passage-level dedup oracle: string-level window self-join (the Ray
+    # side compares two independent 64-bit window hashes — the documented
+    # 128-bit collision tradeoff).
+    substring_sql = """
+            WITH wins AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) < 32 THEN []::VARCHAR[]
+                            ELSE list_distinct([substr(text, i, 32)
+                                                FOR i IN range(1, length(text) - 30)])
+                       END AS ws
+                FROM documents
+            ), w AS (
+                SELECT doc_id, unnest(ws) AS s FROM wins
+            )
+            SELECT DISTINCT w1.doc_id AS a, w2.doc_id AS b
+            FROM w w1 JOIN w w2 ON w1.s = w2.s AND w1.doc_id < w2.doc_id
         """
     # Transitive closure of the exact near-dup pair set, fully in SQL: a
     # recursive CTE walks the undirected pair graph and each node takes the
@@ -1221,6 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "dedup_minhash": ngram_pairs_sql,
+        "dedup_substring": substring_sql,
         "neardup_clusters": neardup_clusters_sql,
         "dedup_canonical": dedup_canonical_sql,
         "docs_decontam": decontam_sql,

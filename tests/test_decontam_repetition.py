@@ -112,3 +112,25 @@ def test_vocab_topk_cut_and_ties(ray_session):
         ("a", 2, 2),
         ("b", 2, 2),
     ]
+
+
+def test_substring_dup_pairs(ray_session):
+    from urlmap_ray.functions.dedup import substring_dup_pairs, substring_windows
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, "PREFIX " + base[:40] + " DIFFERENT TAIL ENTIRELY HERE OK"),  # shares 40-char run
+        (2, "completely unrelated text with no shared passages at all in it"),
+        (3, base),  # exact duplicate of 0
+        (4, "x" * 10),  # shorter than k
+    ]
+    out = pa.concat_tables(
+        substring_dup_pairs(ray.data.from_arrow(_tbl(rows)), k=32).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert got == {(0, 1), (0, 3), (1, 3)}
+    assert substring_windows("abc", 32) == []
+    assert substring_windows("ab", 2) == ["ab"]

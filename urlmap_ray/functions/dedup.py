@@ -707,3 +707,134 @@ def embedding_neardup(
         .groupby("cell")
         .map_groups(cell_pairs, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact passage-level (substring) duplicate detection
+
+
+def substring_windows(text: str, k: int) -> list[str]:
+    """All distinct k-char windows of a document, sorted (deterministic)."""
+    if len(text) < k:
+        return []
+    return sorted({text[i : i + k] for i in range(len(text) - k + 1)})
+
+
+def substring_dup_pairs(
+    ds,
+    *,
+    k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    sample_mod: int = 1,
+):
+    """Documents sharing at least one EXACT k-char passage → distinct
+    (a, b) pairs, a < b. The passage-level complement of the document-level
+    near-dup family (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": repeated passages, not whole-doc similarity,
+    drive memorization).
+
+    Scale shape — the shuffle never moves text:
+
+        map_batches: per-doc distinct k-char windows → two independent
+                     64-bit hashes per window (128-bit combined; equality
+                     on them stands in for string equality with
+                     P(collision) ≈ pairs²/2¹²⁸ — same documented
+                     tradeoff as the dedup/decontam oracles)  [row-local]
+        groupby(hash bucket) → vectorized (h1, h2) run scan emits doc
+                     pairs per duplicated window               [one shuffle]
+        groupby(a, b) → distinct pairs                         [tiny keys]
+
+    ``sample_mod`` is the 100-TB knob: keep only windows with
+    ``h1 % sample_mod == 0`` — any shared passage of length ≥
+    k + sample_mod - 1 still shares a sampled anchor in expectation
+    (the CDC anchor argument), cutting the shuffle volume by the same
+    factor. Default 1 (exhaustive, exact) so the SQL oracle can verify
+    string-level semantics.
+    """
+    if buckets <= 0 or buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two; got {buckets}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    import pandas as pd
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_h1, out_h2 = [], [], []
+        for i, t in enumerate(texts):
+            wins = substring_windows(t or "", k)
+            if not wins:
+                continue
+            arr = np.asarray(wins, dtype=object)
+            h1 = pd.util.hash_array(arr)
+            h2 = pd.util.hash_array(arr, hash_key="1b8f0e5d3c2a4968")
+            if sample_mod > 1:
+                keep = h1 % np.uint64(sample_mod) == 0
+                h1, h2 = h1[keep], h2[keep]
+            out_id.append(np.full(len(h1), ids[i], dtype=np.int64))
+            out_h1.append(h1)
+            out_h2.append(h2)
+        if not out_id:
+            return pa.table(
+                {
+                    "gb": pa.array([], pa.int32()),
+                    "h1": pa.array([], pa.uint64()),
+                    "h2": pa.array([], pa.uint64()),
+                    id_col: pa.array([], pa.int64()),
+                }
+            )
+        h1 = np.concatenate(out_h1)
+        return pa.table(
+            {
+                "gb": pa.array((h1 & np.uint64(buckets - 1)).astype(np.int32), pa.int32()),
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(np.concatenate(out_h2), pa.uint64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        h1 = group.column("h1").to_numpy(zero_copy_only=False)
+        h2 = group.column("h2").to_numpy(zero_copy_only=False)
+        doc = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h2, h1))
+        h1, h2, doc = h1[order], h2[order], doc[order]
+        new_run = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        starts = np.flatnonzero(new_run)
+        bounds = np.append(starts, len(h1))
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            run_docs = np.unique(doc[s:e])
+            if len(run_docs) < 2:
+                continue
+            ia, ib = np.triu_indices(len(run_docs), k=1)
+            out_a.append(run_docs[ia])
+            out_b.append(run_docs[ib])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        rec = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+        rec["a"], rec["b"] = a, b
+        uniq = np.unique(rec)  # batch-local distinct before the tiny-key shuffle
+        return pa.table(
+            {"a": pa.array(uniq["a"], pa.int64()), "b": pa.array(uniq["b"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gb")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nwin"))
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )

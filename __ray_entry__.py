@@ -161,6 +161,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, urls = _graph_inputs(sf_dir)
         return gr.pagerank(pages, urls)
 
+    def pagerank_shuffle(sf_dir):
+        # the >SHUFFLE_MODE_NODES 100-TB formulation (ranks stay a Dataset,
+        # two single-key exchanges per iteration, no O(nodes) broadcast);
+        # bit-identical to broadcast mode, so it shares pagerank's oracle —
+        # the driver gate independently checks the distributed path
+        from urlmap_ray.functions import graph as gr
+
+        pages, urls = _graph_inputs(sf_dir)
+        return gr.pagerank(pages, urls, mode="shuffle").sort("url")
+
     def doc_token_counts(sf_dir):
         return _docs(sf_dir).map_batches(
             lambda t: ts.token_count_batch(t.select(["doc_id", "text"])),
@@ -922,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_edges": page_edges,
         "page_degrees": page_degrees,
         "pagerank": pagerank,
+        "pagerank_shuffle": pagerank_shuffle,
         "doc_token_counts": doc_token_counts,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_quality": doc_quality,
@@ -1266,6 +1277,9 @@ def oracle_sql() -> dict[str, str]:
         "page_edges": f"SELECT * FROM read_parquet('{_exp('page_edges')}')",
         "page_degrees": f"SELECT * FROM read_parquet('{_exp('page_degrees')}')",
         "pagerank": f"SELECT * FROM read_parquet('{_exp('pagerank')}')",
+        # shuffle mode is bit-identical to broadcast mode (shared summation
+        # primitive, test-asserted) — same ground truth
+        "pagerank_shuffle": f"SELECT * FROM read_parquet('{_exp('pagerank')}')",
         "spa_detect": f"SELECT * FROM read_parquet('{_exp('spa_detect')}')",
         "spa_domains": f"SELECT * FROM read_parquet('{_exp('spa_domains')}')",
         "page_link_stats": f"SELECT * FROM read_parquet('{_exp('page_link_stats')}')",

@@ -127,6 +127,7 @@ def run_bench() -> dict:
         "page_edges",
         "page_degrees",
         "pagerank",
+        "pagerank_shuffle",
         "doc_length_quantiles",
     ):
         t0 = time.time()

@@ -268,7 +268,7 @@ def pagerank(
     n_iters: int = _N_ITERS,
     damping: float = _DAMPING,
     mode: str = "auto",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """PageRank over the corpus link graph → (url, rank_ppb).
 
@@ -292,6 +292,14 @@ def pagerank(
         mode = "shuffle" if n > SHUFFLE_MODE_NODES else "broadcast"
     if mode not in ("broadcast", "shuffle"):
         raise ValueError(f"mode must be 'auto', 'broadcast' or 'shuffle', got {mode!r}")
+    if n_buckets is None:
+        # ~100k nodes of rank state per bucket: small graphs get few fat
+        # buckets (shuffle rounds are fixed-overhead-bound — measured 26s
+        # vs 41s at 16 vs 64 buckets on a 6k-node graph), huge graphs cap
+        # at 4096 buckets ≈ cluster-core scale. Ranks are bit-identical
+        # under ANY bucketing (per-dst runs never split), so this is purely
+        # a performance knob.
+        n_buckets = max(16, min(4096, -(-n // 100_000)))
     per_bucket = max(1, -(-n // n_buckets))  # ceil(n / n_buckets)
     urls_arr = pa.array(urls_sorted, pa.string())
     edges_ds = build_edges(pages_ds, urls_sorted)
@@ -414,6 +422,31 @@ def _pagerank_shuffle(edges_b, urls_arr, inv_out, *, n_iters, damping, per_bucke
         )
     )
 
+    # nodes in buckets with no in-edges always settle at the base rank —
+    # that row set is CONSTANT across iterations, so build it ONCE.
+    # (Recomputing it from the previous ranks_ds each round also made the
+    # rank Dataset's block count grow by the shuffle width per iteration:
+    # sort-shuffle output partitions track input block count, so shuffle
+    # task counts and driver sort state grew linearly with iterations —
+    # ~2000 tasks by iteration 10 at a 6000-node graph.)
+    def missing_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node_id").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(node // per_bucket, covered_arr)
+        return pa.table(
+            {
+                "node_id": pa.array(node[keep], pa.int64()),
+                "rank": pa.array(np.full(int(keep.sum()), base), pa.float64()),
+            }
+        )
+
+    uncovered_ds = ranks_ds.map_batches(
+        missing_rows, batch_format="pyarrow"
+    ).materialize()
+
+    # bound the rank Dataset's block count per round: coalesce (no shuffle)
+    # back to ~one block per bucket before feeding the next iteration
+    n_rank_blocks = max(1, min(len(inv_refs), 64))
+
     for _ in range(n_iters):
         # (1) pad rank rows and edge rows to one schema keyed by the SRC
         # bucket; a single groupby(gb) co-locates each bucket's ranks with
@@ -493,21 +526,11 @@ def _pagerank_shuffle(edges_b, urls_arr, inv_out, *, n_iters, damping, per_bucke
 
         reduced = contribs.groupby("db").map_groups(reduce_group, batch_format="pyarrow")
 
-        # nodes in buckets with no in-edges still need rank rows (they may
-        # have OUT-edges); their post-reduce rank is always the base
-        def missing_rows(t: pa.Table) -> pa.Table:
-            node = t.column("node_id").to_numpy(zero_copy_only=False)
-            keep = ~np.isin(node // per_bucket, covered_arr)
-            return pa.table(
-                {
-                    "node_id": pa.array(node[keep], pa.int64()),
-                    "rank": pa.array(np.full(int(keep.sum()), base), pa.float64()),
-                }
-            )
-
-        ranks_ds = reduced.union(
-            ranks_ds.map_batches(missing_rows, batch_format="pyarrow")
-        ).materialize()
+        ranks_ds = (
+            reduced.union(uncovered_ds)
+            .repartition(n_rank_blocks, shuffle=False)
+            .materialize()
+        )
 
     urls_ref = ray.put(urls_arr)
 

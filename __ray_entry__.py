@@ -63,6 +63,26 @@ def _emb(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _eval_hashes(sf_dir: str):
+    """Shingle hashes of the deterministic eval slice (doc_id % 20 == 7 —
+    stands in for a benchmark suite). Shared by docs_decontam and
+    docs_pipeline so the slice rule lives in ONE place. Streams the text
+    column batch-wise so the driver never holds the full corpus text —
+    only the ~5% kept slice (at real scale the eval set is an external
+    MB-sized table, not a corpus slice)."""
+    import pyarrow.parquet as pq
+
+    from urlmap_ray.functions.decontam import eval_ngram_hashes
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    texts: list = []
+    for rb in pf.iter_batches(columns=["doc_id", "text"]):
+        t = pa.Table.from_batches([rb])
+        ids = t.column("doc_id").to_numpy()
+        texts.extend(t.filter(pa.array(ids % 20 == 7)).column("text").to_pylist())
+    return eval_ngram_hashes(texts)
+
+
 def entry() -> Any:
     """Flagship: full corpus crawl at sf0.001 → sorted visited Dataset."""
     from urlmap_ray.config import CrawlConfig
@@ -266,23 +286,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def docs_decontam(sf_dir):
-        # eval set = the deterministic doc_id % 20 == 7 slice of the corpus
-        # (stands in for a benchmark suite); its shingle hashes broadcast
-        # once, the corpus streams through a searchsorted probe
-        import pyarrow.parquet as pq
+        # eval shingle hashes (shared _eval_hashes slice rule) broadcast
+        # once; the corpus streams through a searchsorted probe
+        from urlmap_ray.functions.decontam import decontaminate
 
-        from urlmap_ray.functions.decontam import decontaminate, eval_ngram_hashes
-
-        t = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        ids = t.column("doc_id").to_numpy()
-        eval_texts = t.filter(pa.array(ids % 20 == 7)).column("text").to_pylist()
         return decontaminate(
             _docs(sf_dir).map_batches(
                 lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
             ),
-            eval_ngram_hashes(eval_texts),
+            _eval_hashes(sf_dir),
         )
 
     def vocab_top100(sf_dir):
@@ -303,38 +315,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster-label attach and the split carry (pad→union→groupby) — no
         driver-side keep/drop sets."""
         import ray
-        import pyarrow.parquet as pq
         from ray.data.aggregate import Max, Min
 
         from urlmap_ray.functions import sampling as sp2
         from urlmap_ray.functions.components import connected_components
-        from urlmap_ray.functions.decontam import eval_ngram_hashes, overlap_batch
+        from urlmap_ray.functions.decontam import gate_batch
 
-        t = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        ids = t.column("doc_id").to_numpy()
-        ev_ref = ray.put(
-            eval_ngram_hashes(
-                t.filter(pa.array(ids % 20 == 7)).column("text").to_pylist()
-            )
-        )
+        ev_ref = ray.put(_eval_hashes(sf_dir))
 
         def gate(b: pa.Table) -> pa.Table:
-            slim = b.select(["doc_id", "text"])
-            r = ts.repetition_batch(slim)
-            o = overlap_batch(slim, ray.get(ev_ref))
-            keep = pa.compute.and_(
-                pa.compute.and_(
-                    pa.compute.equal(b.column("lang"), "en"),
-                    pa.compute.greater_equal(r.column("n_words"), 10),
-                ),
-                pa.compute.and_(
-                    pa.compute.invert(r.column("rep_flag")),
-                    pa.compute.invert(o.column("contaminated")),
-                ),
+            # vectorized metadata gate first, then the fused row-local
+            # gate (ONE tokenization per doc feeds repetition + overlap)
+            b = b.filter(pa.compute.equal(b.column("lang"), "en"))
+            return gate_batch(
+                b.select(["doc_id", "text"]), ray.get(ev_ref), min_words=10
             )
-            return slim.filter(keep)
 
         gated = (
             _docs(sf_dir)

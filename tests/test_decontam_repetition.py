@@ -10,6 +10,7 @@ import ray.data
 from urlmap_ray.functions.decontam import (
     decontaminate,
     eval_ngram_hashes,
+    gate_batch,
     overlap_batch,
 )
 from urlmap_ray.functions.textstats import repetition_batch
@@ -82,6 +83,39 @@ def test_repetition_batch_counts():
     assert out.column("n_distinct_2grams").to_pylist() == [2, 4, 0, 0]
     # (7-2)*5=25 > 7 → flagged; others not
     assert out.column("rep_flag").to_pylist() == [True, False, False, False]
+
+
+def test_prep_gate_fused_equivalence():
+    """gate_batch (one tokenization) must equal the composition of
+    repetition_batch + overlap_batch + the min-words filter — the fused
+    form docs_pipeline runs on its hot gate stage."""
+    words = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (0, words),  # passes everything
+        (1, "a b a b a b a b a b a b"),  # repetitive (and 12 words)
+        (2, "short text"),  # < 10 words
+        (3, words + " alpha beta gamma tail"),  # contaminated
+        (4, ""),  # empty
+        (5, " ".join(f"u{i}" for i in range(30))),  # passes
+    ]
+    batch = _tbl(rows)
+    ev = eval_ngram_hashes(["alpha beta gamma delta"])
+
+    fused = gate_batch(batch, ev, min_words=10)
+
+    r = repetition_batch(batch)
+    o = overlap_batch(batch, ev)
+    keep = pa.compute.and_(
+        pa.compute.and_(
+            pa.compute.greater_equal(r.column("n_words"), 10),
+            pa.compute.invert(r.column("rep_flag")),
+        ),
+        pa.compute.invert(o.column("contaminated")),
+    )
+    composed = batch.filter(keep)
+
+    assert fused.equals(composed)
+    assert fused.column("doc_id").to_pylist() == [0, 5]
 
 
 def test_vocab_topk_cut_and_ties(ray_session):

@@ -41,35 +41,15 @@ Everything is int64 arithmetic — no float-determinism caveats.
 
 from __future__ import annotations
 
-import logging
-
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["connected_components", "attach_components"]
+from .pairs import EMPTY_PAIRS, distinct_pair_table
 
-logger = logging.getLogger(__name__)
+__all__ = ["connected_components", "attach_components"]
 
 _MIX_A = np.uint64(0x9E3779B97F4A7C15)
 _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
-
-
-def _pair_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-
-_EMPTY_PAIRS = _pair_table(np.empty(0, np.int64), np.empty(0, np.int64))
-
-
-def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Batch-local distinct (a, b) — cross-batch duplicates are tolerated
-    by every consumer and collapse in the final min-label groupby."""
-    if len(a) == 0:
-        return a, b
-    rec = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
-    rec["a"], rec["b"] = a, b
-    uniq = np.unique(rec)
-    return uniq["a"], uniq["b"]
 
 
 def _star_round(pairs_ds, *, large: bool, buckets: int):
@@ -96,7 +76,7 @@ def _star_round(pairs_ds, *, large: bool, buckets: int):
 
     def star(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return _EMPTY_PAIRS
+            return EMPTY_PAIRS
         u = g.column("u").to_numpy(zero_copy_only=False)
         v = g.column("v").to_numpy(zero_copy_only=False)
         order = np.lexsort((v, u))
@@ -117,7 +97,7 @@ def _star_round(pairs_ds, *, large: bool, buckets: int):
             hi = np.concatenate([v[keep], u[starts]])
             sane = lo != hi  # u == m happens only for self-ish degenerates
             lo, hi = lo[sane], hi[sane]
-        return _pair_table(*_dedup_pairs(lo, hi))
+        return distinct_pair_table(lo, hi)
 
     return (
         pairs_ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
@@ -211,13 +191,11 @@ def connected_components(
     high dup rates are O(corpus) and must never land on one machine).
     """
     pairs = pairs_ds.map_batches(
-        lambda t: _pair_table(
-            *_dedup_pairs(
-                np.minimum(t.column("a").to_numpy(zero_copy_only=False),
-                           t.column("b").to_numpy(zero_copy_only=False)),
-                np.maximum(t.column("a").to_numpy(zero_copy_only=False),
-                           t.column("b").to_numpy(zero_copy_only=False)),
-            )
+        lambda t: distinct_pair_table(
+            np.minimum(t.column("a").to_numpy(zero_copy_only=False),
+                       t.column("b").to_numpy(zero_copy_only=False)),
+            np.maximum(t.column("a").to_numpy(zero_copy_only=False),
+                       t.column("b").to_numpy(zero_copy_only=False)),
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -244,8 +222,15 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
-    else:  # provably converges in O(log n) rounds; this is a misuse guard
-        logger.warning("connected_components: no fixpoint in %d rounds", max_rounds)
+    else:
+        # The algorithm provably converges in O(log n) rounds, so running
+        # out means a bug or a pathological max_rounds. Labels derived from
+        # a non-star pair set would be silently WRONG (callers drop docs
+        # based on them) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds; "
+            "raise max_rounds (expected O(log n) rounds) or check the input"
+        )
 
     from ray.data.aggregate import Min
 

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from .dedup import _hash_shingles, _shingles
 
-__all__ = ["eval_ngram_hashes", "overlap_batch", "decontaminate"]
+__all__ = ["eval_ngram_hashes", "overlap_batch", "gate_batch", "decontaminate"]
 
 
 def eval_ngram_hashes(texts, k: int = 3) -> np.ndarray:
@@ -64,6 +64,52 @@ def overlap_batch(
             "contaminated": pa.array(n_overlap > 0, pa.bool_()),
         }
     )
+
+
+def gate_batch(
+    batch: pa.Table,
+    eval_sorted: np.ndarray,
+    *,
+    k: int = 3,
+    min_words: int = 10,
+    text_col: str = "text",
+) -> pa.Table:
+    """Fused row-local prep gate: ONE tokenization per document feeds
+    both the Gopher repetition test (``textstats.repetition_batch``
+    semantics — drop when (n_2grams - n_distinct_2grams) * 5 >
+    n_2grams) and the eval-overlap probe (``overlap_batch`` semantics —
+    drop on any shared shingle hash). Keeps rows with >= ``min_words``
+    words that pass both. Tokenization is identical to
+    ``dedup._shingles`` (``\\S+`` over lowercased text == ``.split()``),
+    so the composed gate equals running the two batch functions
+    separately — asserted by test_prep_gate_fused_equivalence.
+
+    Language/metadata gates are vectorized Arrow filters and belong
+    upstream in the caller.
+    """
+    texts = batch.column(text_col).to_pylist()
+    keep = np.zeros(len(texts), dtype=bool)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        nw = len(toks)
+        if nw < min_words:
+            continue
+        grams = list(zip(toks, toks[1:]))
+        n2 = len(grams)
+        if (n2 - len(set(grams))) * 5 > n2:
+            continue
+        if nw < k:
+            sh = {" ".join(toks)} if toks else set()
+        else:
+            sh = {" ".join(toks[j : j + k]) for j in range(nw - k + 1)}
+        h = _hash_shingles(sh)
+        if len(h) and len(eval_sorted):
+            pos = np.searchsorted(eval_sorted, h)
+            pos[pos == len(eval_sorted)] = 0
+            if np.count_nonzero(eval_sorted[pos] == h):
+                continue
+        keep[i] = True
+    return batch.filter(pa.array(keep))
 
 
 def decontaminate(ds, eval_hashes: np.ndarray, *, k: int = 3,

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .pairs import distinct_pair_table, distinct_pairs_ds
+
 _WORD_RE = re.compile(r"\S+")
 
 # Byte-level popcount LUT (numpy 1.26 has no bitwise_count).
@@ -252,13 +254,7 @@ def dedup_minhash_lsh(
     pairs = banded.groupby("gb").map_groups(
         lambda g: _minhash_bucket_verify(g, threshold), batch_format="pyarrow"
     )
-    from ray.data.aggregate import Count
-
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_nbands"))
-        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-    )
+    return distinct_pairs_ds(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -819,22 +815,11 @@ def substring_dup_pairs(
             out_b.append(run_docs[ib])
         if not out_a:
             return empty
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        rec = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
-        rec["a"], rec["b"] = a, b
-        uniq = np.unique(rec)  # batch-local distinct before the tiny-key shuffle
-        return pa.table(
-            {"a": pa.array(uniq["a"], pa.int64()), "b": pa.array(uniq["b"], pa.int64())}
-        )
+        # batch-local distinct before the tiny-key shuffle
+        return distinct_pair_table(np.concatenate(out_a), np.concatenate(out_b))
 
-    from ray.data.aggregate import Count
-
-    return (
+    return distinct_pairs_ds(
         ds.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gb")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_nwin"))
-        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
     )

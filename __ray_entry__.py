@@ -494,6 +494,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select(["query_idx", "vec_id"])
 
+    def embedding_kmeans(sf_dir):
+        # fixed-point Lloyd's: integer arithmetic makes the distributed
+        # update associative, so labels are BIT-identical at any
+        # parallelism and the oracle is the single-process reference
+        from urlmap_ray.expected import ensure_kmeans_expected
+        from urlmap_ray.functions.clustering import kmeans_assign
+
+        ensure_kmeans_expected(sf_dir)
+        return kmeans_assign(_emb(sf_dir), k=8, iters=5)
+
     def _docs_table(sf_dir):
         import pyarrow.parquet as pq
 
@@ -948,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
+        "embedding_kmeans": embedding_kmeans,
         "orders_cust_nation": orders_cust_nation,
         "events_sessions": events_sessions,
         "events_windowed": events_windowed,
@@ -1288,6 +1299,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s s1 JOIN s s2 ON s1.doc_id < s2.doc_id
             WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
         """,
+        # Single-process fixed-point Lloyd reference — exact equality (the
+        # distributed update is associative integer math; see clustering.py)
+        "embedding_kmeans": "SELECT * FROM "
+        "read_parquet('/tmp/urlmap_oracle/sf0.01/kmeans_k8i5.parquet')",
         "media_features": media_sql,
         # Sampling family: md5-keyed decisions are exactly reproducible in
         # SQL. Thresholds are the integer literals the Python side computes

@@ -104,6 +104,7 @@ def run_bench() -> dict:
         "embedding_neardup",
         "ann_topk",
         "ann_topk_ivf",
+        "embedding_kmeans",
         "doc_quality",
         "doc_token_counts",
         "doc_repetition",

@@ -265,6 +265,8 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     ensure_graph_expected(info)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        ensure_kmeans_expected(sf_dir)
 
 
 def ensure_simhash_sigs(sf_dir: str, max_docs: int = 1000) -> str:
@@ -286,6 +288,28 @@ def ensure_simhash_sigs(sf_dir: str, max_docs: int = 1000) -> str:
     from .functions.dedup import simhash_batch
 
     _write_atomic(simhash_batch(docs), path)
+    return path
+
+
+def ensure_kmeans_expected(sf_dir: str, *, k: int = 8, iters: int = 5,
+                           max_rows: int = 10_000) -> str:
+    """Expected (vec_id, cluster) labels from the single-process fixed-
+    point Lloyd reference (clustering.kmeans_reference). The distributed
+    path is exact integer arithmetic, so the oracle match is BIT-equality
+    at any parallelism — no tolerance, no recall caveat. Gated to
+    test-scale embedding tables like the other /tmp oracles."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, f"kmeans_k{k}i{iters}.parquet")
+    if os.path.exists(path):
+        return path
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    if emb.num_rows > max_rows:
+        return path
+    from .functions.clustering import kmeans_reference
+
+    _write_atomic(kmeans_reference(emb, k=k, iters=iters), path)
     return path
 
 

@@ -662,6 +662,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def custs_no_urgent(sf_dir):
+        # anti-join (NOT IN), broadcast mode: distinct urgent-order custkeys
+        # reduce to one small array, the customer side streams — zero shuffle
+        import ray.data
+
+        from urlmap_ray.functions.joins import anti_join
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+        )
+        urgent = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+        ).filter(expr="o_orderpriority == '1-URGENT'")
+        return anti_join(cust, urgent, on="c_custkey", right_on="o_custkey")
+
+    def supps_with_big_returns(sf_dir):
+        # semi-join (IN), shuffle mode pinned: exercises the distributed
+        # pad→union→one-groupby path (no driver key set) on purpose
+        import ray.data
+
+        from urlmap_ray.functions.joins import semi_join
+
+        supp = ray.data.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+        )
+        hits = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_returnflag", "l_quantity", "l_discount"],
+        ).filter(
+            expr="l_returnflag == 'R' and l_quantity == 50.0 and l_discount > 0.09"
+        )
+        return semi_join(
+            supp, hits, on="s_suppkey", right_on="l_suppkey", mode="shuffle"
+        )
+
     def events_sessions(sf_dir):
         import ray.data
 
@@ -960,6 +996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann_topk_ivf,
         "embedding_kmeans": embedding_kmeans,
         "orders_cust_nation": orders_cust_nation,
+        "custs_no_urgent": custs_no_urgent,
+        "supps_with_big_returns": supps_with_big_returns,
         "events_sessions": events_sessions,
         "events_windowed": events_windowed,
         "events_top3": events_top3,
@@ -1476,6 +1514,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "custs_no_urgent": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "supps_with_big_returns": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN
+                  (SELECT l_suppkey FROM lineitem
+                   WHERE l_returnflag = 'R' AND l_quantity = 50
+                     AND l_discount > 0.09)
         """,
         "events_sessions": """
             WITH x AS (

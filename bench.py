@@ -120,6 +120,8 @@ def run_bench() -> dict:
         "events_session_join",
         "events_distinct_users",
         "orders_cust_nation",
+        "custs_no_urgent",
+        "supps_with_big_returns",
         "docs_prep",
         "docs_pipeline",
         "docs_sample",

@@ -363,6 +363,38 @@ def test_broadcast_join_guards(ray_session):
         ).to_pandas()
 
 
+def test_semi_anti_join_modes_agree(ray_session):
+    """Broadcast and shuffle modes produce the same semi/anti output, and
+    null keys appear in NEITHER (NOT EXISTS semantics, not SQL NOT IN)."""
+    import ray.data
+
+    from urlmap_ray.functions.joins import anti_join, semi_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table({"rk": pa.array([2, 4, 4, None], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(3)
+
+    def rows(ds):
+        return sorted((r["k"], r["v"]) for r in ds.take_all())
+
+    for mode in ("broadcast", "shuffle"):
+        rside = ray.data.from_arrow(right) if mode == "shuffle" else right
+        semi = semi_join(lds, rside, on="k", right_on="rk", mode=mode)
+        anti = anti_join(lds, rside, on="k", right_on="rk", mode=mode)
+        assert rows(semi) == [(2, "b"), (4, "d")], mode
+        assert rows(anti) == [(1, "a"), (3, "c")], mode
+
+    with pytest.raises(ValueError, match="mode"):
+        semi_join(lds, right, on="k", right_on="rk", mode="nope")
+    with pytest.raises(ValueError, match="shuffle"):
+        semi_join(lds, right, on="k", right_on="rk", mode="shuffle")
+
+
 def test_sessionize_invariants(ray_session):
     """Per user: session event counts sum to the user's events; session
     starts strictly increase; inter-session gaps exceed the threshold."""

@@ -342,6 +342,130 @@ def range_join(
     return unioned.groupby(on).map_groups(merge, batch_format="pyarrow")
 
 
+def semi_join(
+    left,
+    right_keys,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    mode: str = "broadcast",
+):
+    """Semi/anti join: keep (``anti=False``) or drop (``anti=True``) the
+    left rows whose ``on`` key appears in ``right_keys``. Output is left
+    rows unchanged — no right columns, no 1:N expansion (what IN / NOT
+    IN subqueries compile to).
+
+    ``right_keys`` may be a Dataset, an Arrow table, or an Arrow array.
+
+    mode="broadcast" (default): the DISTINCT right key set is reduced to
+    one array — per-batch dedup streams, only distinct keys reach the
+    driver — and shipped once via ``ray.put``; every left batch probes
+    with ``pc.is_in`` (vectorized hash lookup). Zero shuffle, the left
+    side streams. Right for key sets up to ~10^8 (the seen-set scale is
+    handled by the sharded actor pool in state/seen.py instead).
+
+    mode="shuffle": neither side moves to the driver — the repo's
+    pad→union→one-``groupby(on)`` shape: left rows and (locally
+    deduped) right key markers land in the same group; each group keeps
+    or drops its left rows by whether a marker is present. Use when the
+    right key set is too large to broadcast.
+
+    Null semantics are NOT EXISTS, not SQL's NOT IN footgun: a null key
+    never matches anything, and null-key left rows appear in NEITHER the
+    semi nor the anti output.
+    """
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"semi_join mode must be 'broadcast'|'shuffle', got {mode!r}")
+    rkey = right_on or on
+
+    def _key_batches(rk):
+        """Iterate right-side key batches as Arrow arrays (local distinct)."""
+        if isinstance(rk, pa.Table):
+            yield rk.column(rkey).combine_chunks().unique()
+            return
+        if isinstance(rk, (pa.Array, pa.ChunkedArray)):
+            yield pa.chunked_array([rk]).combine_chunks().unique()
+            return
+        for t in rk.map_batches(
+            lambda b: pa.table({rkey: b.column(rkey).combine_chunks().unique()}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            yield t.column(rkey).combine_chunks()
+
+    if mode == "broadcast":
+        import ray
+
+        parts = [a for a in _key_batches(right_keys) if len(a)]
+        keys = (
+            pa.concat_arrays([a.cast(a.type) for a in parts]).unique().drop_null()
+            if parts
+            else pa.array([], pa.int64())
+        )
+        keys_ref = ray.put(keys)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            key = batch.column(on)
+            mask = pc.fill_null(pc.is_in(key, value_set=ray.get(keys_ref)), False)
+            if anti:
+                mask = pc.and_(pc.invert(mask), pc.is_valid(key))
+            return batch.filter(mask)
+
+        return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+    # shuffle mode: one key shuffle, no driver state
+    def _pa_schema(ds):
+        s = ds.schema()
+        return pa.schema(list(zip(s.names, s.types)))
+
+    lsch = _pa_schema(left)
+    left_payload = [c for c in lsch.names if c != on]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(on)))  # null keys never match
+        cols = {on: t.column(on),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        for c in left_payload:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        keys = t.column(rkey).combine_chunks().unique().drop_null()
+        cols = {on: keys.cast(lsch.field(on).type),
+                "__side": pa.array(np.zeros(len(keys), dtype=np.int8))}
+        for c in left_payload:
+            cols[c] = pa.nulls(len(keys), lsch.field(c).type)
+        return pa.table(cols)
+
+    if isinstance(right_keys, (pa.Table, pa.Array, pa.ChunkedArray)):
+        raise ValueError("mode='shuffle' needs a Dataset right side; "
+                         "in-memory right sides should broadcast")
+
+    unioned = left.map_batches(
+        pad_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(right_keys.map_batches(pad_right, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+    def pick(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        has_right = bool((side == 0).any())
+        lt = g.filter(pa.array(side == 1)).select([on, *left_payload])
+        if has_right != anti:
+            return lt
+        return lt.slice(0, 0)
+
+    return unioned.groupby(on).map_groups(pick, batch_format="pyarrow")
+
+
+def anti_join(left, right_keys, *, on: str, right_on: str | None = None,
+              mode: str = "broadcast"):
+    """Left rows whose key does NOT appear in ``right_keys`` (NOT IN) —
+    :func:`semi_join` with ``anti=True``."""
+    return semi_join(left, right_keys, on=on, right_on=right_on, anti=True,
+                     mode=mode)
+
+
 def shuffle_join(
     left,
     right,

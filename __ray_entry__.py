@@ -785,6 +785,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
         return tumbling_window(ds, width_s=6 * 3600, sum_col="cents")
 
+    def events_hopping(sf_dir):
+        # Hopping 6h windows every 2h (each event lands in 3 windows):
+        # batch-local expansion + Arrow pre-combine, partials shuffle
+        import ray.data
+
+        from urlmap_ray.functions.windows import hopping_window
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "ts": t.column("ts"),
+                    "cents": c.cast(pa.int64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        return hopping_window(ds, width_s=6 * 3600, hop_s=2 * 3600, sum_col="cents")
+
     def events_top3(sf_dir):
         # Window rank (ROW_NUMBER + filter): top-3 events per user by value.
         import ray.data
@@ -1000,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supps_with_big_returns": supps_with_big_returns,
         "events_sessions": events_sessions,
         "events_windowed": events_windowed,
+        "events_hopping": events_hopping,
         "events_top3": events_top3,
         "events_last_purchase": events_last_purchase,
         "events_session_join": events_session_join,
@@ -1552,6 +1575,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            WITH j AS (SELECT unnest(range(0, 3)) AS j),
+                 e AS (SELECT user_id, epoch_us(ts) AS tus,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id,
+                   make_timestamp((tus // 7200000000 - j) * 7200000000)
+                       AS window_start,
+                   count(*) AS n_events,
+                   sum(cents) AS sum_cents
+            FROM e CROSS JOIN j
+            WHERE tus % 7200000000 + j * 7200000000 < 21600000000
+            GROUP BY 1, 2
         """,
         "events_top3": """
             SELECT user_id, event_id, value, rn FROM (

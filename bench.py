@@ -115,6 +115,7 @@ def run_bench() -> dict:
         "events_daily",
         "events_sessions",
         "events_windowed",
+        "events_hopping",
         "events_top3",
         "events_last_purchase",
         "events_session_join",

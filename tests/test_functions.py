@@ -485,6 +485,41 @@ def test_tumbling_window_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_hopping_window_invariants(ray_session):
+    """hop == width degenerates to tumbling; with width = 3·hop every
+    event lands in exactly 3 windows; per-window membership is exact."""
+    import pandas as pd
+    import ray.data
+
+    from urlmap_ray.functions.windows import hopping_window, tumbling_window
+
+    df = _wins_events_df()
+    df["cents"] = np.floor(df["value"] * 100).astype("int64")
+    ds = ray.data.from_pandas(df).repartition(7)
+
+    tumb = (
+        tumbling_window(ds, width_s=6 * 3600, sum_col="cents")
+        .to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    degen = (
+        hopping_window(ds, width_s=6 * 3600, hop_s=6 * 3600, sum_col="cents")
+        .to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(degen[tumb.columns.tolist()], tumb, check_dtype=False)
+
+    hop = hopping_window(ds, width_s=6 * 3600, hop_s=2 * 3600, sum_col="cents").to_pandas()
+    assert hop["n_events"].sum() == 3 * len(df)
+    assert hop["sum_cents"].sum() == 3 * df["cents"].sum()
+    # brute-force check one (user, window) cell
+    row = hop.sort_values(["user_id", "window_start"]).iloc[len(hop) // 2]
+    w0 = row["window_start"]
+    sel = df[(df.user_id == row["user_id"]) & (df.ts >= w0)
+             & (df.ts < w0 + pd.Timedelta(hours=6))]
+    assert len(sel) == row["n_events"] and sel["cents"].sum() == row["sum_cents"]
+    # window starts must be hop-aligned (datetime64[us] → µs since epoch)
+    assert (hop["window_start"].astype("int64") % (2 * 3600 * 1_000_000) == 0).all()
+
+
 def test_tumbling_window_rejects_float_sum(ray_session):
     import ray.data
 

@@ -136,6 +136,93 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    ds,
+    *,
+    width_s: float,
+    hop_s: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    sum_col: str | None = None,
+):
+    """Hopping (sliding) window aggregate per key: windows of ``width_s``
+    starting every ``hop_s`` (``hop_s == width_s`` degenerates to
+    :func:`tumbling_window`). An event with timestamp t lands in every
+    window ``[w, w + width)`` with ``w = k·hop`` and ``w <= t < w+width``
+    — i.e. up to ``ceil(width/hop)`` windows; only windows that contain
+    at least one event are emitted.
+
+    Scale shape: the ≤``ceil(width/hop)``× row expansion happens
+    BATCH-LOCALLY and is immediately pre-combined by an Arrow hash-agg
+    to one row per (key, window) per batch, so the global shuffle moves
+    partials — the same events_daily/tumbling pattern, paying expansion
+    only inside the task. ``sum_col`` must be integer (order-free sums),
+    like :func:`tumbling_window`.
+    """
+    width_us = int(width_s * 1_000_000)
+    hop_us = int(hop_s * 1_000_000)
+    if width_us <= 0 or hop_us <= 0:
+        raise ValueError(f"width_s and hop_s must be positive, got {width_s}, {hop_s}")
+    fan = -(-width_us // hop_us)  # ceil
+
+    def partial(t: pa.Table) -> pa.Table:
+        if sum_col is not None and not pa.types.is_integer(t.column(sum_col).type):
+            raise TypeError(
+                f"hopping_window sum_col {sum_col!r} must be integer "
+                "(quantize floats upstream for order-independent sums)"
+            )
+        ts = (
+            t.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        base_k = ts // hop_us  # numpy floor division: negative-ts safe
+        off = ts - base_k * hop_us  # ts mod hop, in [0, hop)
+        idx_parts, win_parts = [], []
+        row_idx = np.arange(len(ts), dtype=np.int64)
+        for j in range(fan):
+            ok = off + j * hop_us < width_us
+            idx_parts.append(row_idx[ok])
+            win_parts.append((base_k[ok] - j) * hop_us)
+        idx = np.concatenate(idx_parts)
+        wins = np.concatenate(win_parts)
+        take = pa.array(idx, pa.int64())
+        cols = {
+            key_col: t.column(key_col).combine_chunks().take(take),
+            "window_start": pa.array(wins, pa.int64()),
+        }
+        aggs = [([], "count_all")]
+        if sum_col is not None:
+            cols[sum_col] = t.column(sum_col).combine_chunks().take(take)
+            aggs.append((sum_col, "sum"))
+        local = pa.table(cols).group_by([key_col, "window_start"]).aggregate(aggs)
+        names = [key_col, "window_start", "n_partial"]
+        if sum_col is not None:
+            names.append("sum_partial")
+        return local.rename_columns(names)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n_partial", alias_name="n_events")]
+    if sum_col is not None:
+        aggs.append(Sum("sum_partial", alias_name=f"sum_{sum_col}"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            t.column("window_start").cast(pa.timestamp("us")),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "window_start"])
+        .aggregate(*aggs)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def top_n_per_key(
     ds,
     *,

@@ -210,6 +210,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return exact_quantiles(toks, "n_tokens", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
 
+    def doc_len_by_lang(sf_dir):
+        # per-key exact quantiles: the same pinned inverted-ECDF rule,
+        # folded per language inside groupby — no driver fold at all
+        from urlmap_ray.functions.quantiles import group_quantiles
+
+        toks = _docs(sf_dir).map_batches(
+            lambda t: ts.token_count_batch(t.select(["lang", "text"])).select(
+                ["lang", "n_tokens"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return group_quantiles(toks, "n_tokens", [0.25, 0.5, 0.9], key_col="lang")
+
     def doc_quality(sf_dir):
         return _docs(sf_dir).map_batches(
             lambda t: ts.quality_batch(t.select(["doc_id", "text"])),
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_shuffle": pagerank_shuffle,
         "doc_token_counts": doc_token_counts,
         "doc_length_quantiles": doc_length_quantiles,
+        "doc_len_by_lang": doc_len_by_lang,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -1436,6 +1451,27 @@ def oracle_sql() -> dict[str, str]:
             FROM qs CROSS JOIN s CROSS JOIN t
             WHERE cum >= ceil(q * tot)
             GROUP BY q
+        """,
+        "doc_len_by_lang": """
+            WITH tok AS (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT lang, n_tokens, count(*) AS n FROM tok GROUP BY 1, 2
+            ), s AS (
+                SELECT lang, n_tokens,
+                       sum(n) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+                       sum(n) OVER (PARTITION BY lang) AS tot
+                FROM c
+            ),
+            qs AS (SELECT unnest(CAST([0.25, 0.5, 0.9] AS DOUBLE[])) AS q)
+            SELECT lang, q, min(n_tokens) AS n_tokens
+            FROM qs CROSS JOIN s
+            WHERE cum >= ceil(q * tot)
+            GROUP BY 1, 2
         """,
         "doc_lang_id": """
             WITH t AS (

@@ -133,6 +133,7 @@ def run_bench() -> dict:
         "pagerank",
         "pagerank_shuffle",
         "doc_length_quantiles",
+        "doc_len_by_lang",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

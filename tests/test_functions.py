@@ -829,3 +829,27 @@ def test_exact_quantiles_matches_numpy_rule(ray_session):
     assert hist == {int(v): int(c) for v, c in zip(*np.unique(vals, return_counts=True))}
     with pytest.raises(ValueError):
         exact_quantiles(ds, "v", [0.0])
+
+
+def test_group_quantiles_matches_per_key_rule(ray_session):
+    import math
+
+    import ray.data
+
+    from urlmap_ray.functions.quantiles import group_quantiles
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 4, size=4000).astype(np.int64)
+    vals = (rng.integers(0, 30, size=4000) + keys * 100).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(6)
+    qs = [0.25, 0.5, 1.0]
+    got = {(r["k"], r["q"]): r["v"] for r in group_quantiles(ds, "v", qs, key_col="k").take_all()}
+    assert len(got) == 4 * len(qs)
+    for k in range(4):
+        sv = np.sort(vals[keys == k])
+        for q in qs:
+            assert got[(k, q)] == sv[math.ceil(q * len(sv)) - 1], (k, q)
+    with pytest.raises(ValueError):
+        group_quantiles(ds, "v", [1.5], key_col="k")

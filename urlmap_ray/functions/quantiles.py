@@ -30,7 +30,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["value_histogram", "exact_quantiles"]
+__all__ = ["value_histogram", "exact_quantiles", "group_quantiles"]
 
 
 def value_histogram(ds, col: str):
@@ -79,4 +79,59 @@ def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
             "q": pa.array(qs, pa.float64()),
             col: pa.array(vals[picks], pa.int64()),
         }
+    )
+
+
+def group_quantiles(ds, col: str, qs: list[float], *, key_col: str):
+    """Exact per-key quantiles of an integer column → Dataset
+    (key_col, q, <col>) — the pinned inverted-ECDF rule of
+    :func:`exact_quantiles` applied within each key.
+
+    Same histogram shape, keyed: per-batch partial counts on
+    (key, value) rows, one ``groupby([key, value])`` sum (the shuffle
+    moves distinct (key, value) pairs × batches, never rows), then a
+    ``groupby(key)`` over the merged histogram folds each key's
+    quantiles vectorized — nothing lands on the driver at all, so this
+    scales to any key cardinality (per-key work is the key's
+    distinct-value count)."""
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select([key_col, col])
+            .group_by([key_col, col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, col, "partial"])
+        )
+
+    qs_arr = np.array(qs, dtype=np.float64)
+
+    def fold(g: pa.Table) -> pa.Table:
+        vals = g.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        ranks = np.array([math.ceil(q * n) for q in qs_arr], dtype=np.int64)
+        picks = np.searchsorted(cum, ranks, side="left")
+        key_out = g.column(key_col).slice(0, 1).combine_chunks().take(
+            pa.array(np.zeros(len(qs_arr), dtype=np.int64))
+        )
+        return pa.table(
+            {
+                key_col: key_out,
+                "q": pa.array(qs_arr, pa.float64()),
+                col: pa.array(vals[picks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, col])
+        .aggregate(Sum("partial", alias_name="n"))
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
     )

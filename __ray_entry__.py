@@ -181,6 +181,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, urls = _graph_inputs(sf_dir)
         return gr.pagerank(pages, urls)
 
+    def page_hits(sf_dir):
+        # HITS hubs/authorities (second iterative centrality): same pinned
+        # edge-shard actor shape as pagerank; per-bucket hub partials keep
+        # it bit-identical to the single-process reference
+        import ray.data
+
+        from urlmap_ray.expected import ensure_hits_expected
+        from urlmap_ray.functions import graph as gr
+
+        pages, urls = _graph_inputs(sf_dir)
+        ensure_hits_expected(_corpus(sf_dir))
+        return ray.data.from_arrow(gr.hits(pages, urls))
+
     def pagerank_shuffle(sf_dir):
         # the >SHUFFLE_MODE_NODES 100-TB formulation (ranks stay a Dataset,
         # two single-key exchanges per iteration, no O(nodes) broadcast);
@@ -1010,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_degrees": page_degrees,
         "pagerank": pagerank,
         "pagerank_shuffle": pagerank_shuffle,
+        "page_hits": page_hits,
         "doc_token_counts": doc_token_counts,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_len_by_lang": doc_len_by_lang,
@@ -1362,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         # shuffle mode is bit-identical to broadcast mode (shared summation
         # primitive, test-asserted) — same ground truth
         "pagerank_shuffle": f"SELECT * FROM read_parquet('{_exp('pagerank')}')",
+        "page_hits": f"SELECT * FROM read_parquet('{_exp('page_hits')}')",
         "spa_detect": f"SELECT * FROM read_parquet('{_exp('spa_detect')}')",
         "spa_domains": f"SELECT * FROM read_parquet('{_exp('spa_domains')}')",
         "page_link_stats": f"SELECT * FROM read_parquet('{_exp('page_link_stats')}')",

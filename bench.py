@@ -132,6 +132,7 @@ def run_bench() -> dict:
         "page_degrees",
         "pagerank",
         "pagerank_shuffle",
+        "page_hits",
         "doc_length_quantiles",
         "doc_len_by_lang",
     ):

@@ -97,6 +97,25 @@ def test_pagerank_shuffle_mode_identical(ray_session, corpus, truth):
     assert got_b == pagerank_reference(urls, links, n_iters=3)
 
 
+def test_hits_matches_reference_any_actor_count(ray_session, corpus, truth):
+    """Distributed HITS must be bit-identical to the single-process
+    reference at 1 actor AND at several actors (the per-bucket hub
+    partial fold is what makes actor count irrelevant)."""
+    from urlmap_ray.functions.graph import hits, hits_reference
+
+    urls, links, _ = truth
+    exp = hits_reference(urls, links)
+    for n_actors in (1, 3):
+        got = hits(_pages_ds(corpus), urls, n_actors=n_actors)
+        assert got.equals(exp), f"mismatch at n_actors={n_actors}"
+    # sanity: scores are L1-normalized (ppb sums ≈ 1e9) and non-trivial
+    import numpy as np
+
+    assert abs(sum(exp.column("auth_ppb").to_pylist()) - 1_000_000_000) < 1000
+    assert abs(sum(exp.column("hub_ppb").to_pylist()) - 1_000_000_000) < 1000
+    assert np.count_nonzero(exp.column("auth_ppb").to_numpy()) > N_PAGES // 2
+
+
 def test_pagerank_rejects_bad_mode(ray_session, corpus, truth):
     urls, _, _ = truth
     with pytest.raises(ValueError):

@@ -263,6 +263,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     ensure_spa_domains_expected(info)
     ensure_link_stats_expected(info)
     ensure_graph_expected(info)
+    ensure_hits_expected(info)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
@@ -288,6 +289,27 @@ def ensure_simhash_sigs(sf_dir: str, max_docs: int = 1000) -> str:
     from .functions.dedup import simhash_batch
 
     _write_atomic(simhash_batch(docs), path)
+    return path
+
+
+def ensure_hits_expected(info: CorpusInfo) -> str:
+    """Expected (url, auth_ppb, hub_ppb) via the single-process
+    :func:`~urlmap_ray.functions.graph.hits_reference` — the distributed
+    path shares its per-bucket-partial summation fold, so the match is
+    bit-exact at any actor count."""
+    path = expected_path(info, "page_hits")
+    if not _should_generate(info, path):
+        return path
+    from .extract import extract_links
+    from .functions.graph import hits_reference
+
+    tbl = _pages_table(info)
+    urls = tbl.column("url").to_pylist()
+    links_per_url = {
+        url: (extract_links(url, html) if html is not None else [])
+        for url, html in zip(urls, tbl.column("html").to_pylist())
+    }
+    _write_atomic(hits_reference(urls, links_per_url), path)
     return path
 
 

@@ -58,6 +58,8 @@ __all__ = [
     "degrees",
     "pagerank",
     "pagerank_reference",
+    "hits",
+    "hits_reference",
     "SHUFFLE_MODE_NODES",
 ]
 
@@ -546,6 +548,228 @@ def _pagerank_shuffle(edges_b, urls_arr, inv_out, *, n_iters, damping, per_bucke
         )
 
     return ranks_ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _graph_buckets(n: int) -> int:
+    """Shared bucket-count rule (see pagerank's n_buckets comment) — ONE
+    definition so hits/hits_reference partition identically."""
+    return max(1, -(-n // max(16, min(4096, -(-n // 100_000)))))
+
+
+class _HitsShard:
+    """Iteration-state actor for HITS: pins whole dst-buckets in TWO sort
+    orders — (dst, src) for the authority update (per-dst runs, same as
+    PageRank) and (bucket, src, dst) for the hub update. A src's edges
+    span buckets, so hub sums are returned as PER-BUCKET partials keyed
+    (bucket, src); the driver folds them in (src, bucket) order. Both
+    stages are therefore independent of actor count and bucket→actor
+    placement — bit-identical on any cluster size (cf. module
+    docstring's _contrib_sums argument)."""
+
+    def __init__(self, block_refs, per_bucket: int):
+        import ray
+
+        tables = [t for t in map(ray.get, block_refs) if "dst_id" in t.column_names]
+        t = pa.concat_tables(tables) if tables else pa.table(
+            {"src_id": pa.array([], pa.int64()), "dst_id": pa.array([], pa.int64())}
+        )
+        td = t.sort_by([("dst_id", "ascending"), ("src_id", "ascending")])
+        self.dst = td.column("dst_id").to_numpy(zero_copy_only=False)
+        self.src = td.column("src_id").to_numpy(zero_copy_only=False)
+        bucket = self.dst // per_bucket
+        order = np.lexsort((self.dst, self.src, bucket))
+        self.h_dst = self.dst[order]
+        self.h_src = self.src[order]
+        self.h_bucket = bucket[order]
+
+    def auth_partial(self, hub) -> tuple[np.ndarray, np.ndarray]:
+        """Per-dst sums of hub[src] — dsts are unique to this actor."""
+        if len(self.dst) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        c = hub[self.src]
+        starts = np.flatnonzero(np.r_[True, np.diff(self.dst) != 0])
+        return self.dst[starts], np.add.reduceat(c, starts)
+
+    def hub_partial(self, auth) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-(bucket, src) sums of auth[dst] — partials, not totals."""
+        if len(self.h_src) == 0:
+            return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
+        c = auth[self.h_dst]
+        run = np.r_[True, (np.diff(self.h_src) != 0) | (np.diff(self.h_bucket) != 0)]
+        starts = np.flatnonzero(run)
+        return (
+            self.h_bucket[starts],
+            self.h_src[starts],
+            np.add.reduceat(c, starts),
+        )
+
+
+def _fold_hub_partials(
+    n: int, buckets: np.ndarray, srcs: np.ndarray, sums: np.ndarray
+) -> np.ndarray:
+    """Fold per-(bucket, src) partials into a dense per-src vector,
+    adding each src's partials in ascending BUCKET order — the pinned
+    deterministic fold shared with :func:`hits_reference`."""
+    hub = np.zeros(n, dtype=np.float64)
+    if len(srcs) == 0:
+        return hub
+    order = np.lexsort((buckets, srcs))
+    s_sorted = srcs[order]
+    c_sorted = sums[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(s_sorted) != 0])
+    hub[s_sorted[starts]] = np.add.reduceat(c_sorted, starts)
+    return hub
+
+
+def _hits_iterate(
+    n: int,
+    n_iters: int,
+    auth_sums,  # callable(hub) -> (dst_ids, sums) with unique dst ids
+    hub_parts,  # callable(auth) -> (buckets, srcs, partial_sums)
+) -> tuple[np.ndarray, np.ndarray]:
+    """The pinned HITS iteration both the distributed and the reference
+    paths share: auth' = Σ hub over in-edges, L1-normalize; hub' = Σ
+    auth' over out-edges, L1-normalize."""
+    hub = np.full(n, 1.0 / n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(n_iters):
+        d, s = auth_sums(hub)
+        auth = np.zeros(n, dtype=np.float64)
+        auth[d] = s
+        tot = np.sum(auth)
+        if tot > 0:
+            auth = auth / tot
+        b, sr, ps = hub_parts(auth)
+        hub = _fold_hub_partials(n, b, sr, ps)
+        tot = np.sum(hub)
+        if tot > 0:
+            hub = hub / tot
+    return auth, hub
+
+
+def hits(
+    pages_ds,
+    node_urls: list[str],
+    *,
+    n_iters: int = _N_ITERS,
+    n_actors: int | None = None,
+) -> pa.Table:
+    """HITS hubs/authorities over the corpus link graph →
+    (url, auth_ppb, hub_ppb) (Kleinberg 1999; L1 normalization, pinned
+    update order in :func:`_hits_iterate`).
+
+    Same shape as broadcast-mode PageRank: the dst-bucketed edge dataset
+    is pinned once into an actor pool, each iteration is one RPC round
+    per direction with the O(nodes) score vector shipped via ``ray.put``.
+    Determinism across cluster sizes comes from per-bucket hub partials
+    folded in bucket order (see :class:`_HitsShard`), so the result is
+    bit-identical to :func:`hits_reference` at any actor count.
+    """
+    import ray
+
+    urls_sorted = sorted(node_urls)
+    n = len(urls_sorted)
+    if n == 0:
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "auth_ppb": pa.array([], pa.int64()),
+             "hub_ppb": pa.array([], pa.int64())}
+        )
+    per_bucket = _graph_buckets(n)
+    urls_arr = pa.array(urls_sorted, pa.string())
+    edges_b = _bucketed_edge_ids(build_edges(pages_ds, urls_sorted), urls_arr, per_bucket)
+    block_refs = edges_b.to_arrow_refs()
+    shard_cls = ray.remote(num_cpus=1)(_HitsShard)
+    if n_actors is None:
+        n_actors = max(1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))))
+    actors = [
+        shard_cls.remote(block_refs[i::n_actors], per_bucket) for i in range(n_actors)
+    ]
+    try:
+        def auth_sums(hub):
+            ref = ray.put(hub)
+            parts = ray.get([a.auth_partial.remote(ref) for a in actors])
+            d = np.concatenate([p[0] for p in parts])
+            s = np.concatenate([p[1] for p in parts])
+            return d, s  # dsts unique across actors (whole buckets)
+
+        def hub_parts(auth):
+            ref = ray.put(auth)
+            parts = ray.get([a.hub_partial.remote(ref) for a in actors])
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+
+        auth, hub = _hits_iterate(n, n_iters, auth_sums, hub_parts)
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return pa.table(
+        {
+            "url": urls_arr,
+            "auth_ppb": pa.array(np.round(auth * 1e9).astype(np.int64), pa.int64()),
+            "hub_ppb": pa.array(np.round(hub * 1e9).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def hits_reference(
+    urls: list[str],
+    links_per_url: dict[str, list[str]],
+    *,
+    n_iters: int = _N_ITERS,
+) -> pa.Table:
+    """Single-process HITS oracle — same edges, same per-bucket partial
+    fold, no Ray. Returns (url, auth_ppb, hub_ppb) sorted by url."""
+    urls_sorted = sorted(urls)
+    n = len(urls_sorted)
+    if n == 0:
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "auth_ppb": pa.array([], pa.int64()),
+             "hub_ppb": pa.array([], pa.int64())}
+        )
+    idx = {u: i for i, u in enumerate(urls_sorted)}
+    node_set = set(urls_sorted)
+    pairs = {
+        (idx[u], idx[l])
+        for u, links in links_per_url.items()
+        for l in links
+        if l in node_set and l != u
+    }
+    if pairs:
+        e = np.array(sorted(pairs, key=lambda p: (p[1], p[0])), dtype=np.int64)
+        src, dst = e[:, 0], e[:, 1]
+    else:
+        src = dst = np.empty(0, np.int64)
+    per_bucket = _graph_buckets(n)
+    bucket = dst // per_bucket
+    h_order = np.lexsort((dst, src, bucket))
+    h_src, h_dst, h_bucket = src[h_order], dst[h_order], bucket[h_order]
+
+    def auth_sums(hub):
+        if len(dst) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        starts = np.flatnonzero(np.r_[True, np.diff(dst) != 0])
+        return dst[starts], np.add.reduceat(hub[src], starts)
+
+    def hub_parts(auth):
+        if len(h_src) == 0:
+            return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
+        run = np.r_[True, (np.diff(h_src) != 0) | (np.diff(h_bucket) != 0)]
+        starts = np.flatnonzero(run)
+        return h_bucket[starts], h_src[starts], np.add.reduceat(auth[h_dst], starts)
+
+    auth, hub = _hits_iterate(n, n_iters, auth_sums, hub_parts)
+    return pa.table(
+        {
+            "url": pa.array(urls_sorted, pa.string()),
+            "auth_ppb": pa.array(np.round(auth * 1e9).astype(np.int64), pa.int64()),
+            "hub_ppb": pa.array(np.round(hub * 1e9).astype(np.int64), pa.int64()),
+        }
+    )
 
 
 def pagerank_reference(

@@ -237,6 +237,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_quantiles(toks, "n_tokens", [0.25, 0.5, 0.9], key_col="lang")
 
+    def docs_clean(sf_dir):
+        # Arrow RE2 kernels — same regex engine as DuckDB, so the SQL
+        # oracle matches byte-for-byte; zero Python strings in the path
+        return _docs(sf_dir).map_batches(
+            lambda t: ts.clean_text_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     def doc_quality(sf_dir):
         return _docs(sf_dir).map_batches(
             lambda t: ts.quality_batch(t.select(["doc_id", "text"])),
@@ -1028,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": doc_length_quantiles,
         "doc_len_by_lang": doc_len_by_lang,
         "doc_quality": doc_quality,
+        "docs_clean": docs_clean,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_repetition": doc_repetition,
@@ -1432,6 +1442,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        # same RE2 patterns the Arrow kernels run (ASCII-pinned classes)
+        "docs_clean": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(
+                            regexp_replace(text,
+                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                            '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS text_clean
+                FROM documents
+            )
+            SELECT doc_id, text_clean,
+                   length(text) AS n_chars_raw,
+                   length(text_clean) AS n_chars_clean
+            FROM c
         """,
         "doc_quality": f"""
             SELECT doc_id,

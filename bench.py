@@ -106,6 +106,7 @@ def run_bench() -> dict:
         "ann_topk_ivf",
         "embedding_kmeans",
         "doc_quality",
+        "docs_clean",
         "doc_token_counts",
         "doc_repetition",
         "docs_decontam",

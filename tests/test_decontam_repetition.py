@@ -118,6 +118,29 @@ def test_prep_gate_fused_equivalence():
     assert fused.column("doc_id").to_pylist() == [0, 5]
 
 
+def test_clean_text_batch_semantics():
+    from urlmap_ray.functions.textstats import clean_text_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "  a\tb\r\nc\x00d\x1f  ",  # ctrl stripped, ws collapsed, trimmed
+                    None,                        # null passes through
+                    "",                          # empty stays empty
+                    "x y",                  # NBSP is NOT ASCII ws — pinned kept
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = clean_text_batch(batch)
+    assert out.column("text_clean").to_pylist() == ["a b cd", None, "", "x y"]
+    assert out.column("n_chars_raw").to_pylist() == [13, None, 0, 3]
+    assert out.column("n_chars_clean").to_pylist() == [6, None, 0, 3]
+
+
 def test_vocab_topk_cut_and_ties(ray_session):
     from urlmap_ray.functions.textstats import vocab_topk
 

@@ -37,6 +37,37 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Text cleaning is pure Arrow RE2 kernels (replace_substring_regex) —
+# fully vectorized, zero Python strings, and the SAME regex engine DuckDB
+# uses, so the SQL oracle matches byte-for-byte by construction. Patterns
+# are ASCII-pinned on purpose: RE2's \s is ASCII while Python re's is
+# Unicode, so the class is spelled out instead of using shorthands.
+_CTRL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # C0 minus \t \n \r
+_WS_RUN_PATTERN = r"[ \t\n\r]+"
+
+
+def clean_text_batch(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Canonical webtext cleanup: strip control characters, collapse
+    ASCII whitespace runs to single spaces, trim. → (doc_id, text_clean,
+    n_chars_raw, n_chars_clean); nulls pass through as nulls."""
+    raw = batch.column(text_col)
+    no_ctrl = pc.replace_substring_regex(raw, pattern=_CTRL_PATTERN, replacement="")
+    collapsed = pc.replace_substring_regex(
+        no_ctrl, pattern=_WS_RUN_PATTERN, replacement=" "
+    )
+    clean = pc.utf8_trim(collapsed, characters=" ")
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "text_clean": clean,
+            "n_chars_raw": pc.utf8_length(raw).cast(pa.int64()),
+            "n_chars_clean": pc.utf8_length(clean).cast(pa.int64()),
+        }
+    )
+
+
 def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     n_tok = [len(_TOKEN_RE.findall(t or "")) for t in texts]

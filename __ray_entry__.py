@@ -116,6 +116,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             with_expected=True,
         )
 
+    def crawl_diff(sf_dir):
+        # snapshot diff (the re-crawl delta a scheduler consumes): URLs the
+        # unlimited crawl reaches that the depth-3 crawl does not — set
+        # difference via the broadcast anti-join, oracle = SQL NOT IN over
+        # the two crawls' independent expected tables
+        from urlmap_ray.functions.joins import anti_join
+
+        full = _crawl(sf_dir, "bfs", CrawlConfig(), with_expected=True)
+        shallow = _crawl(
+            sf_dir, "d3", CrawlConfig(max_depth=3), with_expected=True
+        ).map_batches(lambda t: t.select(["url"]), batch_format="pyarrow")
+        return anti_join(full, shallow, on="url")
+
     def page_links(sf_dir):
         import ray.data
 
@@ -1027,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
         "crawl_budget_robots": crawl_budget_robots,
+        "crawl_diff": crawl_diff,
         "page_links": page_links,
         "page_edges": page_edges,
         "page_degrees": page_degrees,
@@ -1375,6 +1389,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": f"SELECT * FROM read_parquet('{_exp('crawl-bfs')}')",
         "crawl_depth3": f"SELECT * FROM read_parquet('{_exp('crawl-d3')}')",
         "crawl_budget_robots": f"SELECT * FROM read_parquet('{_exp('crawl-br')}')",
+        "crawl_diff": f"""
+            SELECT * FROM read_parquet('{_exp('crawl-bfs')}')
+            WHERE url NOT IN (SELECT url FROM read_parquet('{_exp('crawl-d3')}'))
+        """,
         "page_links": f"SELECT * FROM read_parquet('{_exp('page_links')}')",
         # graph family: ground truth from the pure extractor + the
         # single-process pagerank_reference (expected.py); the distributed

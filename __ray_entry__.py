@@ -236,6 +236,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return exact_quantiles(toks, "n_tokens", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
 
+    def event_value_quantiles(sf_dir):
+        # float column → declared fixed-point units (cents), then the exact
+        # histogram machinery; contract is "exact quantile of floor(x·100)"
+        import ray.data
+
+        from urlmap_ray.functions.quantiles import float_quantiles
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        )
+        return float_quantiles(ev, "value", [0.5, 0.9, 0.99, 1.0], scale=100)
+
     def doc_len_by_lang(sf_dir):
         # per-key exact quantiles: the same pinned inverted-ECDF rule,
         # folded per language inside groupby — no driver fold at all
@@ -1050,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": doc_token_counts,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_len_by_lang": doc_len_by_lang,
+        "event_value_quantiles": event_value_quantiles,
         "doc_quality": doc_quality,
         "docs_clean": docs_clean,
         "doc_lang_id": doc_lang_id,
@@ -1506,6 +1519,22 @@ def oracle_sql() -> dict[str, str]:
             qs AS (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
                                       AS DOUBLE[])) AS q)
             SELECT q, min(n_tokens) AS n_tokens
+            FROM qs CROSS JOIN s CROSS JOIN t
+            WHERE cum >= ceil(q * tot)
+            GROUP BY q
+        """,
+        "event_value_quantiles": """
+            WITH u AS (
+                SELECT CAST(floor(value * 100) AS BIGINT) AS value_units
+                FROM events
+            ), c AS (
+                SELECT value_units, count(*) AS n FROM u GROUP BY 1
+            ), s AS (
+                SELECT value_units, sum(n) OVER (ORDER BY value_units) AS cum
+                FROM c
+            ), t AS (SELECT count(*) AS tot FROM u),
+            qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99, 1.0] AS DOUBLE[])) AS q)
+            SELECT q, min(value_units) AS value_units
             FROM qs CROSS JOIN s CROSS JOIN t
             WHERE cum >= ceil(q * tot)
             GROUP BY q

@@ -853,3 +853,23 @@ def test_group_quantiles_matches_per_key_rule(ray_session):
             assert got[(k, q)] == sv[math.ceil(q * len(sv)) - 1], (k, q)
     with pytest.raises(ValueError):
         group_quantiles(ds, "v", [1.5], key_col="k")
+
+
+def test_float_quantiles_quantization_contract(ray_session):
+    import math
+
+    import ray.data
+
+    from urlmap_ray.functions.quantiles import float_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(10.0, 2.0, size=3000)
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})
+    ).repartition(5)
+    got = float_quantiles(ds, "value", [0.5, 0.99], scale=100)
+    units = np.sort(np.floor(vals * 100).astype(np.int64))
+    for q, v in zip(got.column("q").to_pylist(), got.column("value_units").to_pylist()):
+        assert v == units[math.ceil(q * len(units)) - 1], q
+        # contract: within 1/scale of the true float quantile
+        assert abs(v / 100.0 - np.quantile(vals, q, method="inverted_cdf")) <= 0.01 + 1e-9

@@ -30,7 +30,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["value_histogram", "exact_quantiles", "group_quantiles"]
+__all__ = ["value_histogram", "exact_quantiles", "group_quantiles", "float_quantiles"]
 
 
 def value_histogram(ds, col: str):
@@ -135,3 +135,32 @@ def group_quantiles(ds, col: str, qs: list[float], *, key_col: str):
         .groupby(key_col)
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def float_quantiles(ds, col: str, qs: list[float], *, scale: int = 100):
+    """Exact quantiles of a float column at a declared quantization:
+    values are floored to ``1/scale`` units (int64) and the histogram
+    machinery of :func:`exact_quantiles` runs on those units. The result
+    is the EXACT quantile of floor(x·scale)/scale — a contract with a
+    known ±1/scale bound, rather than a sketch with a rank-error bound.
+    This is the honest scale-path for unbounded float columns: the
+    histogram size is bounded by the value range × scale, independent of
+    row count, and the floor(x·scale) rule is exactly reproducible in
+    SQL (CAST(floor(col * scale) AS BIGINT)) so results hash-match.
+
+    Returns pa.Table (q, <col>_units) where units are int64 multiples
+    of 1/scale (kept integer so the correctness gate compares exactly;
+    divide by ``scale`` for display).
+    """
+
+    def to_units(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        units = pc.cast(
+            pc.floor(pc.multiply(t.column(col), float(scale))), pa.int64()
+        )
+        return pa.table({f"{col}_units": units})
+
+    units_ds = ds.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_quantiles(units_ds, f"{col}_units", qs)
+    return out

@@ -86,6 +86,17 @@ def test_components_random_graphs(ray_session):
         assert got == _union_find(pairs), f"trial {trial}"
 
 
+def test_components_contraction_across_batches(ray_session):
+    """A chain split across many blocks: local contraction collapses the
+    within-block runs to stars, the global rounds must still merge across
+    blocks to the single component min."""
+    pairs = [(i, i + 1) for i in range(60)]
+    ds = _pairs_ds(pairs).repartition(8)
+    got = _labels(connected_components(ds, buckets=8, driver_threshold=0))
+    assert got == _union_find(pairs)
+    assert set(got.values()) == {0}
+
+
 def test_components_empty(ray_session):
     ds = _pairs_ds([])
     assert connected_components(ds).count() == 0

@@ -190,15 +190,30 @@ def connected_components(
     the fully-distributed star rounds run (the 100-TB path; pair sets at
     high dup rates are O(corpus) and must never land on one machine).
     """
-    pairs = pairs_ds.map_batches(
-        lambda t: distinct_pair_table(
+    def canon_contract(t: pa.Table) -> pa.Table:
+        # canonicalize, then LOCAL CONTRACTION (Kiveris et al. §6 "local
+        # aggregation"): union-find within the batch and emit each local
+        # component as a star to its local min. Connectivity (hence final
+        # min-labels) is preserved, while pair count and graph diameter
+        # drop before anything is shuffled — batches that already hold a
+        # whole component collapse it to its final star here, often
+        # cutting the global star rounds to the convergence check alone.
+        tbl = distinct_pair_table(
             np.minimum(t.column("a").to_numpy(zero_copy_only=False),
                        t.column("b").to_numpy(zero_copy_only=False)),
             np.maximum(t.column("a").to_numpy(zero_copy_only=False),
                        t.column("b").to_numpy(zero_copy_only=False)),
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+        if tbl.num_rows == 0:
+            return tbl
+        lbl = _union_find_labels(tbl)
+        node = lbl.column("node").to_numpy(zero_copy_only=False)
+        comp = lbl.column("comp").to_numpy(zero_copy_only=False)
+        keep = node != comp
+        return distinct_pair_table(comp[keep], node[keep])
+
+    pairs = pairs_ds.map_batches(
+        canon_contract, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     prev = _checksum(pairs)
     if prev[0] == 0:

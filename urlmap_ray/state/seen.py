@@ -15,6 +15,16 @@ from Parquet checkpoints after a failure (see pipelines/crawl.py). At
 cluster scale the shard count is sized so each exact set fits one worker's
 heap (10^10 URLs / 4096 shards ≈ 2.4M URLs/shard ≈ 200MB).
 
+Failure model — deliberately FAIL-STOP at wave granularity: shards are
+created WITHOUT ``max_restarts``, so a dead shard raises out of the next
+``ray.get`` instead of being silently replaced by an empty restart (a
+fresh shard would drop its claims → re-crawled URLs → duplicate output,
+the one wrongness the engine may never emit). The crash-consistent unit
+is the WAVE: the journals checkpoint at each wave boundary, and resume
+(``restore_from_journals``, shard-local reads) replays the crawl from the
+last complete wave with the identical final output (test-pinned by
+test_resume_identical).
+
 This is the one deliberately non-Dataset piece of the engine: a shared
 mutable index that map_batches tasks consult mid-stream cannot be expressed
 as a Dataset op without materializing an anti-join per wave. (The bulk

@@ -366,6 +366,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=100,
         )
 
+    def doc_tfidf(sf_dir):
+        # Top-5 TF-IDF keywords per doc: one pre-aggregated term shuffle
+        # builds the df vocabulary, then scoring/top-k is row-local (see
+        # functions/ranking.py for the broadcast-vocabulary contract).
+        # Integer-only output — the float score is recomputed identically
+        # on both sides from (tf, df, N).
+        import ray.data
+
+        from urlmap_ray.functions.ranking import tfidf_topk
+
+        # metadata-only row count (a count() on the mapped ds would re-scan)
+        n_docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).count()
+        return tfidf_topk(
+            _docs(sf_dir).map_batches(
+                lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+            ),
+            k=5,
+            n_docs=n_docs,
+        )
+
+    def docs_bm25(sf_dir):
+        # BM25 top-10 for a fixed 3-term query; two streaming passes, zero
+        # shuffle (per-batch partial top-k merged on the driver, like
+        # topk_cosine). The SQL oracle mirrors the float expression tree
+        # term-by-term (ordered conditional-aggregation pivot).
+        from urlmap_ray.functions.ranking import bm25_topk
+
+        return bm25_topk(
+            _docs(sf_dir).map_batches(
+                lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+            ),
+            ["spark", "window", "vector"],
+            k=10,
+        )
+
+    def events_daily_users(sf_dir):
+        # Distinct users per day via the keyed KMV sketch (bottom-k per
+        # key); exact below k=2048 distinct users/day, which COUNT(DISTINCT)
+        # certifies at test scale (max observed: 141 at sf0.01, 1356 at
+        # sf0.1). The exchange is ≤k 8-byte hashes per (batch, day).
+        import ray.data
+
+        from urlmap_ray.functions.sketch import kmv_distinct_per_key
+
+        def day(t: pa.Table) -> pa.Table:
+            us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            d = pa.compute.multiply(
+                pa.compute.divide(us, 86_400_000_000), 86_400_000_000
+            )
+            return pa.table(
+                {
+                    "window_start": d.cast(pa.timestamp("us")),
+                    "user_id": t.column("user_id"),
+                }
+            )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+        ).map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+        return kmv_distinct_per_key(ev, key_col="window_start", col="user_id", k=2048)
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1070,6 +1133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "docs_decontam": docs_decontam,
         "vocab_top100": vocab_top100,
+        "doc_tfidf": doc_tfidf,
+        "docs_bm25": docs_bm25,
         "docs_pipeline": docs_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -1093,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_purchase": events_last_purchase,
         "events_session_join": events_session_join,
         "events_distinct_users": events_distinct_users,
+        "events_daily_users": events_daily_users,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -1393,6 +1459,62 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontam": decontam_sql,
         "doc_repetition": repetition_sql,
         "vocab_top100": vocab_sql,
+        # TF-IDF keywords: same tokenizer CTE as vocab; rank rule
+        # tf*ln(N/df) DESC, term ASC — ln() is bit-identical between
+        # CPython math.log and DuckDB on this toolchain (tested in
+        # tests/test_ranking.py), and the hashed columns are all integer.
+        "doc_tfidf": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                            ORDER BY tf.tf * ln(n.n / df.df) DESC,
+                                                     tf.term) AS rnk
+                  FROM tf JOIN df USING (term), n)
+            SELECT doc_id, term, tf, df, rnk FROM s WHERE rnk <= 5
+        """,
+        # BM25 (Lucene idf, k1=1.2 b=0.75): the float expression tree is
+        # written with the SAME parenthesization as the Python side, and
+        # the per-term contributions are summed in query order via the
+        # ordered conditional-aggregation pivot (each inner max() sees at
+        # most one row) — so the integer (doc_id, dl, rnk) output matches
+        # bit-exactly.
+        "docs_bm25": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), d AS (SELECT doc_id, len(w) AS dl FROM toks),
+            t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                   WHERE term IN ('spark', 'window', 'vector') GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+            c AS (SELECT tf.doc_id, tf.term,
+                         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * (1.2 + 1.0))
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS wgt
+                  FROM tf JOIN df USING (term) JOIN d USING (doc_id), s),
+            sc AS (SELECT doc_id,
+                          COALESCE(max(CASE WHEN term = 'spark' THEN wgt END), 0)
+                          + COALESCE(max(CASE WHEN term = 'window' THEN wgt END), 0)
+                          + COALESCE(max(CASE WHEN term = 'vector' THEN wgt END), 0)
+                              AS score
+                   FROM c GROUP BY 1)
+            SELECT sc.doc_id, d.dl,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, sc.doc_id) AS rnk
+            FROM sc JOIN d ON sc.doc_id = d.doc_id
+            ORDER BY rnk LIMIT 10
+        """,
         "docs_pipeline": docs_pipeline_sql,
         "ann_topk_ivf": ann_topk_sql,
         # LSH top-k: with n_planes=8 and multiprobe=2 the probed buckets
@@ -1755,6 +1877,15 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events
+        """,
+        # Keyed KMV: exact below k=2048 distinct users per day (max
+        # observed 141 at the sf0.01 gate), so COUNT(DISTINCT) GROUP BY
+        # certifies the sketch fold per key.
+        "events_daily_users": """
+            SELECT make_timestamp((epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS window_start,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

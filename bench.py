@@ -111,6 +111,8 @@ def run_bench() -> dict:
         "doc_repetition",
         "docs_decontam",
         "vocab_top100",
+        "doc_tfidf",
+        "docs_bm25",
         "page_links",
         "lineitem_agg",
         "events_daily",
@@ -121,6 +123,7 @@ def run_bench() -> dict:
         "events_last_purchase",
         "events_session_join",
         "events_distinct_users",
+        "events_daily_users",
         "orders_cust_nation",
         "custs_no_urgent",
         "supps_with_big_returns",

@@ -1,0 +1,207 @@
+"""TF-IDF keyword extraction, BM25 retrieval, and the keyed KMV sketch.
+
+The float-free-oracle trick these operators rely on — recomputing the
+float score identically on both sides from integer inputs — is only sound
+if CPython's math.log and DuckDB's ln() agree bit-for-bit on this
+toolchain, so that parity is itself a test here.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def test_ln_bit_parity_python_vs_duckdb():
+    """Load-bearing for the doc_tfidf/docs_bm25 oracles."""
+    import duckdb
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(7)
+    vals = list(rng.random(500) * 1000.0 + 1e-6) + [1.5, 2.0, (500 - 3 + 0.5) / 3.5 + 1]
+    for v in vals:
+        d = con.execute("SELECT ln(?::DOUBLE)", [float(v)]).fetchone()[0]
+        assert struct.pack("d", d) == struct.pack("d", math.log(v))
+
+
+def _pure_tfidf(rows, k=5, min_df=1):
+    """Single-process reference: same tokenizer, same rank rule."""
+    df: Counter = Counter()
+    toks = {}
+    for did, txt in rows:
+        toks[did] = (txt or "").lower().split()
+        df.update(set(toks[did]))
+    n = len(rows)
+    out = []
+    for did, _ in rows:
+        c = Counter(toks[did])
+        scored = sorted(
+            (-(tf * math.log(n / df[t])), t, tf, df[t])
+            for t, tf in c.items()
+            if df[t] >= min_df
+        )
+        for rnk, (_, t, tf, dfv) in enumerate(scored[:k], 1):
+            out.append((did, t, tf, dfv, rnk))
+    return sorted(out)
+
+
+def test_tfidf_topk_matches_pure(ray_session, docs_ds):
+    import pyarrow.parquet as pq
+
+    from urlmap_ray.functions.ranking import tfidf_topk
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    expected = _pure_tfidf(rows, k=5)
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["rnk"])
+        for r in tfidf_topk(docs_ds, k=5).take_all()
+    )
+    assert got == expected
+
+
+def test_tfidf_min_df_prunes_candidates(ray_session, docs_ds):
+    from urlmap_ray.functions.ranking import tfidf_topk
+
+    got = tfidf_topk(docs_ds, k=3, min_df=50).take_all()
+    assert got, "pruned run must still produce keywords"
+    assert all(r["df"] >= 50 for r in got)
+    per_doc: Counter = Counter(r["doc_id"] for r in got)
+    assert max(per_doc.values()) <= 3
+
+
+def _pure_bm25(rows, qt, k=10, k1=1.2, b=0.75):
+    toks = {did: (txt or "").lower().split() for did, txt in rows}
+    n = len(rows)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfs = [sum(1 for w in toks.values() if t in set(w)) for t in qt]
+    scored = []
+    for did, _ in rows:
+        c = Counter(toks[did])
+        s, hit = 0.0, False
+        for j, term in enumerate(qt):
+            tf = c.get(term, 0)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log((n - dfs[j] + 0.5) / (dfs[j] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(toks[did]) / avgdl))
+        if hit:
+            scored.append((-s, did, len(toks[did])))
+    scored.sort()
+    return [(did, dl, rnk) for rnk, (_, did, dl) in enumerate(scored[:k], 1)]
+
+
+def test_bm25_topk_matches_pure(ray_session, docs_ds):
+    import pyarrow.parquet as pq
+
+    from urlmap_ray.functions.ranking import bm25_topk
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    qt = ["spark", "window", "vector"]
+    expected = _pure_bm25(rows, qt, k=10)
+    out = bm25_topk(docs_ds, qt, k=10)
+    got = list(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("dl").to_pylist(),
+            out.column("rnk").to_pylist(),
+        )
+    )
+    assert got == expected
+
+
+def test_bm25_rejects_bad_query(ray_session, docs_ds):
+    from urlmap_ray.functions.ranking import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs_ds, [], k=3)
+    with pytest.raises(ValueError):
+        bm25_topk(docs_ds, ["a", "a"], k=3)
+
+
+def test_bm25_no_match_returns_empty(ray_session, docs_ds):
+    from urlmap_ray.functions.ranking import bm25_topk
+
+    out = bm25_topk(docs_ds, ["zzznotaterm"], k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "dl", "rnk"]
+
+
+def test_kmv_per_key_exact_below_saturation(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_distinct_per_key
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 7, size=20_000)
+    vals = rng.integers(0, 400, size=20_000)  # ≤400 distinct per key < k
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(8)
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in kmv_distinct_per_key(ds, key_col="k", col="v", k=1024).take_all()
+    }
+    expected = {
+        int(kk): len({int(v) for v, key in zip(vals, keys) if key == kk})
+        for kk in set(keys.tolist())
+    }
+    assert got == expected
+
+
+def test_kmv_per_key_string_keys_and_nulls(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_distinct_per_key
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "b", "b", "a"], pa.string()),
+            "v": pa.array(["x", "y", "x", None, "x", "x"], pa.string()),
+        }
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in kmv_distinct_per_key(
+            ray.data.from_arrow(t), key_col="k", col="v", k=16
+        ).take_all()
+    }
+    assert got == {"a": 2, "b": 1}  # nulls don't count as a distinct value
+
+
+def test_kmv_per_key_saturated_error_bound(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_distinct_per_key
+
+    rng = np.random.default_rng(11)
+    n_true = 30_000
+    vals = rng.permutation(n_true).repeat(2)
+    keys = np.zeros(len(vals), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(6)
+    k = 1024
+    est = kmv_distinct_per_key(ds, key_col="k", col="v", k=k).take_all()[0][
+        "n_distinct"
+    ]
+    rel = abs(est - n_true) / n_true
+    assert rel < 5.0 / math.sqrt(k - 2)  # 5σ of the KMV error bound

@@ -1,0 +1,238 @@
+"""Term-weighting / ranked retrieval over the documents table.
+
+The reference engine has no text ranking (it is a crawler); these are the
+training-data-pipeline extensions a crawl corpus feeds next: TF-IDF keyword
+extraction (per-doc salient terms — corpus labeling, topic routing) and
+BM25 ranked retrieval (query → top-k documents — eval-set mining, hard
+negatives). Both share the whitespace tokenizer the dedup/vocab family
+pins against DuckDB (`lower().split()` ≡ `regexp_split_to_array(trim(...),
+'\\s+')`), and both keep the driver's value-hash gate float-free: every
+output column is integer; the float score is recomputed identically on
+both sides from integer inputs (tf, df, dl, N — libm `ln` bit-matches
+between CPython and DuckDB on this toolchain, verified in tests).
+
+Scale shapes
+------------
+- ``tfidf_topk``: the ONLY exchange is the vocabulary build — per-batch
+  (term, df) partials pre-aggregate before one term-keyed groupby, so a
+  hot term ("the") contributes n_batches partial rows, never n_docs. The
+  folded df table broadcasts once via ``ray.put`` (the Spark-MLlib IDF
+  model assumption: the *pruned* vocabulary fits in worker memory —
+  ``min_df`` bounds it; at 100 TB run with min_df >= 5). Scoring + per-doc
+  top-k are then entirely row-local (a document's terms live in its own
+  row), so the second pass streams with ZERO shuffle.
+- ``bm25_topk``: two streaming passes, no shuffle at all. Pass 1 folds
+  per-batch partials (doc count, token count, per-query-term document
+  frequencies — a fixed Q+2 integers per batch) through one tiny global
+  aggregate; pass 2 broadcasts those stats and keeps a per-batch partial
+  top-k, merged on the driver (blocks × k rows) exactly like
+  ``similarity.topk_cosine``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _tokens(text: str | None) -> list[str]:
+    """The corpus tokenizer, shared with vocab/repetition (textstats.py):
+    lowercase + whitespace split, pinned to DuckDB's
+    regexp_split_to_array(trim(lower(text)), '\\s+')."""
+    return (text or "").lower().split()
+
+
+def tfidf_topk(
+    ds,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    n_docs: int | None = None,
+):
+    """Top-k TF-IDF keywords per document.
+
+    Returns a Dataset of (doc_id, term, tf, df, rnk) — integer-only apart
+    from the term itself; rnk is 1..k per doc ordered by
+    ``tf * ln(N/df)`` descending, ties broken by term ascending (the exact
+    rule the SQL oracle reproduces with ROW_NUMBER). Terms with
+    ``df < min_df`` are not keyword candidates (sklearn's min_df
+    convention) — that is what bounds the broadcast vocabulary at scale.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n = int(n_docs)
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            df.update(set(_tokens(txt)))
+        terms = sorted(df)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([df[w] for w in terms], pa.int64()),
+            }
+        )
+
+    df_rows = (
+        ds.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    df_map = {r["term"]: int(r["df"]) for r in df_rows if int(r["df"]) >= min_df}
+    df_ref = ray.put(df_map)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        out_id: list[int] = []
+        out_term: list[str] = []
+        out_tf: list[int] = []
+        out_df: list[int] = []
+        out_rnk: list[int] = []
+        ids = t.column(id_col).to_pylist()
+        for did, txt in zip(ids, t.column(text_col).to_pylist()):
+            c = Counter(_tokens(txt))
+            scored = []
+            for term, tf in c.items():
+                df = dfm.get(term)
+                if df is None:
+                    continue
+                # negated score sorts descending; float negation is exact,
+                # so ties fall through to the term-ascending tiebreak
+                scored.append((-(tf * math.log(n / df)), term, tf, df))
+            scored.sort()
+            for rnk, (_, term, tf, df) in enumerate(scored[:k], 1):
+                out_id.append(did)
+                out_term.append(term)
+                out_tf.append(tf)
+                out_df.append(df)
+                out_rnk.append(rnk)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+                "rnk": pa.array(out_rnk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """BM25 (Robertson/Lucene idf) top-k documents for one term query.
+
+    Returns an Arrow table (doc_id, dl, rnk), rnk 1..k by score descending
+    with doc_id-ascending tiebreak; docs matching no query term are
+    excluded. Float arithmetic is mirrored expression-by-expression in the
+    SQL oracle (same parenthesization, per-term contributions summed in
+    query order via an ordered conditional-aggregation pivot), so the
+    integer output hash-matches bit-exactly.
+    """
+    import ray
+
+    qt = list(query_terms)
+    if not qt or len(set(qt)) != len(qt):
+        raise ValueError("query_terms must be a non-empty list of distinct terms")
+    df_cols = [f"df_{j}" for j in range(len(qt))]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n_docs = 0
+        n_tokens = 0
+        dfs = [0] * len(qt)
+        for txt in t.column(text_col).to_pylist():
+            toks = _tokens(txt)
+            n_docs += 1
+            n_tokens += len(toks)
+            s = set(toks)
+            for j, term in enumerate(qt):
+                if term in s:
+                    dfs[j] += 1
+        cols = {"n_docs": [n_docs], "n_tokens": [n_tokens]}
+        cols.update({c: [dfs[j]] for j, c in enumerate(df_cols)})
+        return pa.table({kk: pa.array(v, pa.int64()) for kk, v in cols.items()})
+
+    totals = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n_docs", "n_tokens", *df_cols])
+    n = int(totals["sum(n_docs)"])
+    avgdl = int(totals["sum(n_tokens)"]) / n  # exact ints < 2^53 → one IEEE divide
+    dfs = [int(totals[f"sum({c})"]) for c in df_cols]
+    params_ref = ray.put((qt, dfs))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_terms, q_dfs = ray.get(params_ref)
+        rows: list[tuple[float, int, int]] = []
+        ids = t.column(id_col).to_pylist()
+        for did, txt in zip(ids, t.column(text_col).to_pylist()):
+            toks = _tokens(txt)
+            dl = len(toks)
+            c = Counter(toks)
+            score = 0.0
+            hit = False
+            for j, term in enumerate(q_terms):
+                tf = c.get(term, 0)
+                if tf == 0:
+                    continue
+                hit = True
+                df = q_dfs[j]
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                score += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+            if hit:
+                rows.append((score, did, dl))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:k]
+        return pa.table(
+            {
+                id_col: pa.array([r[1] for r in rows], pa.int64()),
+                "dl": pa.array([r[2] for r in rows], pa.int64()),
+                "score": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [ray.get(r) for r in parts.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(tables)
+    order = pc.sort_indices(
+        merged,
+        sort_keys=[("score", "descending"), (id_col, "ascending")],
+    )
+    merged = merged.take(order[: min(k, len(order))])
+    return pa.table(
+        {
+            id_col: merged.column(id_col),
+            "dl": merged.column("dl"),
+            "rnk": pa.array(np.arange(1, merged.num_rows + 1), pa.int64()),
+        }
+    )

@@ -126,3 +126,72 @@ def kmv_distinct(ds, *, col: str, k: int = 1024):
     )
     hs = signed.view(_U64) ^ flip
     return pa.table({"n_distinct": pa.array([kmv_estimate(hs, k)], pa.int64())})
+
+
+def kmv_distinct_per_key(ds, *, key_col: str, col: str, k: int = 2048):
+    """Per-key distinct counts via keyed bottom-k sketches.
+
+    Returns a Dataset of ``(key_col, n_distinct)``. The grouped analogue of
+    :func:`kmv_distinct`, with the same mergeable/exact-below-saturation
+    contract applied per key: each batch ships at most ``k`` 8-byte hashes
+    PER KEY IN THE BATCH (pre-deduped, vectorized lexsort + run scan — no
+    Python loop over rows), the single ``groupby(key)`` folds sketches
+    whose group size is bounded by k × n_batches, and no stage ever holds
+    a key's full value set. Exact while a key's true cardinality < k —
+    the regime the COUNT(DISTINCT ...) GROUP BY oracle certifies at test
+    scale; ±1/sqrt(k-2) relative error per key beyond it.
+    """
+    flip = _U64(1 << 63)
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, col])
+        if t.num_rows and t.column(col).null_count:
+            t = t.filter(pc.is_valid(t.column(col)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t.column(key_col).combine_chunks(),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        keyc = t.column(key_col).combine_chunks()
+        signed = (hash64_column(t.column(col)) ^ flip).view(np.int64)
+        codes = (
+            pc.dictionary_encode(keyc)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.lexsort((signed, codes))
+        sc, sh = codes[order], signed[order]
+        first = np.ones(len(sc), dtype=bool)  # distinct (key, hash) pairs
+        first[1:] = (sc[1:] != sc[:-1]) | (sh[1:] != sh[:-1])
+        sc, sh, oidx = sc[first], sh[first], order[first]
+        newk = np.ones(len(sc), dtype=bool)
+        newk[1:] = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(newk)
+        runlen = np.diff(np.append(starts, len(sc)))
+        rank = np.arange(len(sc)) - np.repeat(starts, runlen)
+        keep = rank < k  # hashes are sorted within a key → bottom-k
+        return pa.table(
+            {
+                key_col: keyc.take(pa.array(oidx[keep])),
+                "h": pa.array(sh[keep], pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        hs = (
+            group.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(_U64) ^ flip
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1).combine_chunks(),
+                "n_distinct": pa.array([kmv_estimate(hs, k)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -429,6 +429,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
         return kmv_distinct_per_key(ev, key_col="window_start", col="user_id", k=2048)
 
+    def events_pivot(sf_dir):
+        # long→wide pivot: per-user event-type counts over the DECLARED
+        # category set (schema can't depend on data without a blocking
+        # distinct scan — see functions/pivot.py); one wide partial row
+        # per (batch, key) crosses the single key shuffle.
+        import ray.data
+
+        from urlmap_ray.functions.pivot import pivot_counts
+
+        return pivot_counts(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "event_type"],
+            ),
+            key_col="user_id",
+            cat_col="event_type",
+            categories=["click", "view", "purchase", "signup", "error"],
+        )
+
+    def events_running(sf_dir):
+        # per-user cumulative spend in event-time order — the windowed
+        # SCAN (SUM OVER ... ROWS UNBOUNDED PRECEDING); integer cents so
+        # prefix sums are exact at any parallelism.
+        import ray.data
+
+        from urlmap_ray.functions.windows import running_total
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_id": t.column("event_id"),
+                    "ts": t.column("ts"),
+                    "cents": c.cast(pa.int64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        return running_total(
+            ds, key_col="user_id", ts_col="ts", sum_col="cents",
+            tiebreak_col="event_id",
+        )
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1159,6 +1206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": events_session_join,
         "events_distinct_users": events_distinct_users,
         "events_daily_users": events_daily_users,
+        "events_pivot": events_pivot,
+        "events_running": events_running,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -1886,6 +1935,26 @@ def oracle_sql() -> dict[str, str]:
                                   * 86400000000) AS window_start,
                    count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   count(*) FILTER (WHERE event_type NOT IN
+                       ('click', 'view', 'purchase', 'signup', 'error'))
+                       AS n_other
+            FROM events GROUP BY 1
+        """,
+        "events_running": """
+            SELECT user_id, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+            FROM events
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

@@ -124,6 +124,8 @@ def run_bench() -> dict:
         "events_session_join",
         "events_distinct_users",
         "events_daily_users",
+        "events_pivot",
+        "events_running",
         "orders_cust_nation",
         "custs_no_urgent",
         "supps_with_big_returns",

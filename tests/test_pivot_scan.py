@@ -1,0 +1,143 @@
+"""Pivot (long→wide counts) and running-total (per-key ordered scan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_pivot_counts_matches_pandas(ray_session, events_pd):
+    import ray.data
+
+    from urlmap_ray.functions.pivot import pivot_counts
+
+    cats = ["click", "view", "purchase", "signup", "error"]
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_type"]
+    )
+    got = (
+        pivot_counts(ds, key_col="user_id", cat_col="event_type", categories=cats)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pv = (
+        events_pd.pivot_table(
+            index="user_id",
+            columns="event_type",
+            values="event_id",
+            aggfunc="count",
+            fill_value=0,
+        )
+        .reindex(columns=cats, fill_value=0)
+        .reset_index()
+    )
+    pv.columns = ["user_id"] + [f"n_{c}" for c in cats]
+    pv["n_other"] = 0
+    got = got[pv.columns.tolist()]
+    assert got.astype("int64").equals(pv.astype("int64"))
+    # totals reconcile: every event landed somewhere
+    assert int(got.drop(columns="user_id").to_numpy().sum()) == len(events_pd)
+
+
+def test_pivot_counts_other_and_strict(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.pivot import pivot_counts
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "c": pa.array(["a", "b", "a", "zzz", "zzz"], pa.string()),
+        }
+    )
+    got = {
+        r["k"]: (r["n_a"], r["n_other"])
+        for r in pivot_counts(
+            ray.data.from_arrow(t), key_col="k", cat_col="c", categories=["a"]
+        ).take_all()
+    }
+    assert got == {1: (1, 1), 2: (1, 2)}
+    with pytest.raises((ValueError, Exception)):
+        pivot_counts(
+            ray.data.from_arrow(t),
+            key_col="k",
+            cat_col="c",
+            categories=["a"],
+            other_col=None,
+        ).take_all()
+    with pytest.raises(ValueError):
+        pivot_counts(ray.data.from_arrow(t), key_col="k", cat_col="c", categories=[])
+
+
+def test_running_total_matches_pandas(ray_session, events_pd):
+    import ray.data
+
+    from urlmap_ray.functions.windows import running_total
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.floor(pc.multiply(t.column("value"), 100.0))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "cents": c.cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    got = (
+        running_total(
+            ds, key_col="user_id", ts_col="ts", sum_col="cents",
+            tiebreak_col="event_id",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = events_pd.copy()
+    exp["cents"] = np.floor(exp["value"] * 100.0).astype("int64")
+    exp = exp.sort_values(["user_id", "ts", "event_id"])
+    exp["run_cents"] = exp.groupby("user_id")["cents"].cumsum()
+    exp = (
+        exp[["user_id", "event_id", "cents", "run_cents"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(exp.astype("int64"))
+
+
+def test_running_total_rejects_float_sum(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.windows import running_total
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+            "v": pa.array([1.5, 2.5], pa.float64()),
+        }
+    )
+    with pytest.raises(Exception, match="must be integer"):
+        running_total(
+            ray.data.from_arrow(t), key_col="user_id", ts_col="ts",
+            sum_col="v", tiebreak_col="event_id",
+        ).take_all()

@@ -1,0 +1,87 @@
+"""Pivot (long → wide) over a declared category set.
+
+The reference engine has no relational pivot; a training-data pipeline
+reaches for it constantly (per-user event-type counts, per-source language
+histograms — feature tables for sampling/weighting decisions). The
+categories must be DECLARED up front: a distributed table's schema cannot
+depend on the data without a blocking distinct-scan, so the engine makes
+the contract explicit instead of hiding a materialization (pass the output
+of a cheap ``groupby().count()`` if you genuinely don't know them).
+
+Scale shape (the tumbling-window partial pattern): each batch pre-combines
+to ONE wide partial row per key in the batch via an Arrow hash-aggregate +
+vectorized scatter, so the single key shuffle moves ``keys-per-batch``
+rows of Q+1 integers — never events. Unknown categories are counted into
+``n_other`` (loud, not dropped), keeping row totals reconcilable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pivot_counts(
+    ds,
+    *,
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+    other_col: str | None = "n_other",
+):
+    """Count rows per (key, category) pivoted to one row per key with a
+    column ``n_<category>`` per declared category (plus ``other_col`` for
+    undeclared values, if not None). All counts int64; column order is the
+    declared order, so results are schema-stable at any parallelism.
+    """
+    cats = list(categories)
+    if not cats or len(set(cats)) != len(cats):
+        raise ValueError("categories must be a non-empty list of distinct values")
+    cat_cols = [f"n_{c}" for c in cats]
+    out_cols = cat_cols + ([other_col] if other_col else [])
+    cat_index = {c: j for j, c in enumerate(cats)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        local = (
+            t.select([key_col, cat_col])
+            .group_by([key_col, cat_col])
+            .aggregate([([], "count_all")])
+        )
+        keys = local.column(key_col).combine_chunks()
+        n = local.column("count_all").to_numpy(zero_copy_only=False)
+        # one wide row per distinct key in the batch: dictionary-encode the
+        # key for row indices, scatter counts into the (keys × Q+1) matrix
+        kenc = keys.dictionary_encode()
+        rows = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        col_of = np.fromiter(
+            (cat_index.get(c, len(cats)) for c in local.column(cat_col).to_pylist()),
+            dtype=np.int64,
+            count=local.num_rows,
+        )
+        width = len(cats) + 1
+        mat = np.zeros((len(kenc.dictionary), width), dtype=np.int64)
+        np.add.at(mat, (rows, col_of), n)
+        if other_col is None and mat[:, len(cats)].any():
+            bad = {
+                c
+                for c in local.column(cat_col).to_pylist()
+                if c not in cat_index
+            }
+            raise ValueError(
+                f"pivot_counts saw undeclared categories {sorted(bad)} and "
+                "other_col=None — declare them or keep an overflow column"
+            )
+        cols = {key_col: kenc.dictionary}
+        for j, name in enumerate(cat_cols):
+            cols[name] = pa.array(mat[:, j], pa.int64())
+        if other_col:
+            cols[other_col] = pa.array(mat[:, len(cats)], pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
+    )

@@ -278,3 +278,46 @@ def top_n_per_key(
         .groupby(key_col)
         .map_groups(per_key, batch_format="pyarrow")
     )
+
+
+def running_total(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    sum_col: str,
+    tiebreak_col: str = "event_id",
+):
+    """Per-key cumulative sum in event-time order — the windowed SCAN
+    (``SUM(x) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS UNBOUNDED
+    PRECEDING)``), the one window shape the aggregate family can't express
+    because every output row depends on an ordered prefix.
+
+    One key shuffle co-locates each key's events; the per-group pass is a
+    vectorized lexsort + ``np.cumsum``. ``sum_col`` must be integer
+    (quantize floats upstream) — integer prefix sums are exact at any
+    parallelism, float ones are not. ``tiebreak_col`` must be a unique
+    integer column (event id) so equal timestamps order deterministically.
+    Returns (key, tiebreak, sum_col, ``run_<sum_col>``).
+    """
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(g.column(sum_col).type):
+            raise TypeError(
+                f"running_total sum_col {sum_col!r} must be integer "
+                "(quantize floats upstream for exact prefix sums)"
+            )
+        ts = (
+            g.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        v = g.column(sum_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts))
+        run = np.cumsum(v[order])
+        out = g.select([key_col, tiebreak_col, sum_col]).take(pa.array(order))
+        return out.append_column(f"run_{sum_col}", pa.array(run, pa.int64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -476,6 +476,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak_col="event_id",
         )
 
+    def docs_rollup(sf_dir):
+        # GROUP BY ROLLUP(source, lang) in one pass: finest-level local
+        # hash-agg, coarser levels derived batch-locally, one single-key
+        # global combine. Rolled-up cells carry '(all)' (docs have no null
+        # source/lang — functions/pivot.py documents the contract).
+        import ray.data
+
+        from urlmap_ray.functions.pivot import rollup_counts
+
+        return rollup_counts(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "lang"],
+            ),
+            keys=["source", "lang"],
+        )
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1182,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": vocab_top100,
         "doc_tfidf": doc_tfidf,
         "docs_bm25": docs_bm25,
+        "docs_rollup": docs_rollup,
         "docs_pipeline": docs_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -1935,6 +1953,13 @@ def oracle_sql() -> dict[str, str]:
                                   * 86400000000) AS window_start,
                    count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "docs_rollup": """
+            SELECT coalesce(source, '(all)') AS source,
+                   coalesce(lang, '(all)') AS lang,
+                   CAST(2 - grouping(source) - grouping(lang) AS BIGINT) AS lvl,
+                   count(*) AS n_rows
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "events_pivot": """
             SELECT user_id,

@@ -113,6 +113,7 @@ def run_bench() -> dict:
         "vocab_top100",
         "doc_tfidf",
         "docs_bm25",
+        "docs_rollup",
         "page_links",
         "lineitem_agg",
         "events_daily",

@@ -141,3 +141,38 @@ def test_running_total_rejects_float_sum(ray_session):
             ray.data.from_arrow(t), key_col="user_id", ts_col="ts",
             sum_col="v", tiebreak_col="event_id",
         ).take_all()
+
+
+def test_rollup_counts_matches_pandas(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.pivot import rollup_counts
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["source", "lang"])
+    df = docs.to_pandas()
+    ds = ray.data.from_arrow(docs).repartition(5)
+    got = {
+        (r["source"], r["lang"], r["lvl"]): r["n_rows"]
+        for r in rollup_counts(ds, keys=["source", "lang"]).take_all()
+    }
+    exp: dict = {}
+    for (s, l), n in df.groupby(["source", "lang"]).size().items():
+        exp[(s, l, 2)] = int(n)
+    for s, n in df.groupby("source").size().items():
+        exp[(s, "(all)", 1)] = int(n)
+    exp[("(all)", "(all)", 0)] = len(df)
+    assert got == exp
+
+
+def test_rollup_counts_guards(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.pivot import rollup_counts
+
+    t = pa.table({"a": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError):
+        rollup_counts(ray.data.from_arrow(t), keys=[])
+    with pytest.raises(Exception, match="string column"):
+        rollup_counts(ray.data.from_arrow(t), keys=["a"]).take_all()

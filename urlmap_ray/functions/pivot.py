@@ -85,3 +85,71 @@ def pivot_counts(
         .groupby(key_col)
         .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
     )
+
+
+def rollup_counts(ds, *, keys: list[str], all_label: str = "(all)"):
+    """GROUP BY ROLLUP(*keys): row counts at every prefix level of ``keys``
+    — (k1, k2), (k1,), () for two keys — in one pass. Rolled-up positions
+    carry ``all_label`` (not NULL: a distributed value-hash gate and many
+    sinks treat NULL ambiguously; callers with genuine NULL key values
+    must clean them first). Output: (*keys, lvl, n_rows) with lvl = number
+    of concrete key columns in the row.
+
+    Scale shape: each batch hash-aggregates at the FINEST level only, then
+    derives every coarser level locally from that already-small partial
+    (the hopping-window trick — expansion happens batch-locally,
+    pre-combined). The global combine is ONE single-key groupby on a
+    composite string key (multi-key Dataset aggregates are pathologically
+    slow — see BASELINE.md), folded by a vectorized per-group sum.
+    """
+    if not keys or len(set(keys)) != len(keys):
+        raise ValueError("keys must be a non-empty list of distinct columns")
+    sep = "\x1f"  # unit separator: cannot appear in sane key text
+
+    def partial(t: pa.Table) -> pa.Table:
+        for c in keys:
+            if not (
+                pa.types.is_string(t.column(c).type)
+                or pa.types.is_large_string(t.column(c).type)
+            ):
+                raise TypeError(f"rollup_counts key {c!r} must be a string column")
+        fine = t.select(keys).group_by(keys).aggregate([([], "count_all")])
+        n = fine.column("count_all").to_numpy(zero_copy_only=False)
+        vals = [fine.column(c).to_pylist() for c in keys]
+        gks: list[str] = []
+        counts: list[int] = []
+        lvls: list[int] = []
+        for lvl in range(len(keys), -1, -1):
+            agg: dict[str, int] = {}
+            for i in range(fine.num_rows):
+                gk = sep.join(
+                    [str(lvl)]
+                    + [vals[j][i] if j < lvl else all_label for j in range(len(keys))]
+                )
+                agg[gk] = agg.get(gk, 0) + int(n[i])
+            gks.extend(agg)
+            counts.extend(agg.values())
+            lvls.extend([lvl] * len(agg))
+        return pa.table(
+            {
+                "gk": pa.array(gks, pa.string()),
+                "lvl": pa.array(lvls, pa.int64()),
+                "n_partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        parts = g.column("gk").to_pylist()[0].split(sep)
+        total = int(
+            pa.compute.sum(g.column("n_partial")).as_py()  # ints: order-free
+        )
+        cols = {c: pa.array([parts[1 + j]], pa.string()) for j, c in enumerate(keys)}
+        cols["lvl"] = pa.array([int(parts[0])], pa.int64())
+        cols["n_rows"] = pa.array([total], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gk")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -476,6 +476,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak_col="event_id",
         )
 
+    def doc_compression(sf_dir):
+        # compression-ratio quality signal (row-local zlib, integer
+        # outputs); the oracle is a precomputed single-process ground
+        # truth — SQL cannot express zlib (same trust model as the
+        # kmeans/hits expected tables).
+        from urlmap_ray.expected import ensure_compression_expected
+
+        ensure_compression_expected(sf_dir)
+        return _docs(sf_dir).map_batches(
+            lambda t: ts.compression_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     def docs_rollup(sf_dir):
         # GROUP BY ROLLUP(source, lang) in one pass: finest-level local
         # hash-agg, coarser levels derived batch-locally, one single-key
@@ -1200,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": doc_tfidf,
         "docs_bm25": docs_bm25,
         "docs_rollup": docs_rollup,
+        "doc_compression": doc_compression,
         "docs_pipeline": docs_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -1954,6 +1969,10 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
         """,
+        "doc_compression": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/compression.parquet')"
+        ),
         "docs_rollup": """
             SELECT coalesce(source, '(all)') AS source,
                    coalesce(lang, '(all)') AS lang,

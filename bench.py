@@ -109,6 +109,7 @@ def run_bench() -> dict:
         "docs_clean",
         "doc_token_counts",
         "doc_repetition",
+        "doc_compression",
         "docs_decontam",
         "vocab_top100",
         "doc_tfidf",

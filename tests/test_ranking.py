@@ -205,3 +205,23 @@ def test_kmv_per_key_saturated_error_bound(ray_session):
     ]
     rel = abs(est - n_true) / n_true
     assert rel < 5.0 / math.sqrt(k - 2)  # 5σ of the KMV error bound
+
+
+def test_compression_batch_signal(ray_session):
+    from urlmap_ray.functions.textstats import compression_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["abc " * 500, "the quick brown fox", ""], pa.string()),
+        }
+    )
+    out = compression_batch(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    # highly repetitive text compresses below 1/4 → flagged
+    assert rows[1]["comp_flag"] == 1 and rows[1]["n_zlib"] * 4 < rows[1]["n_bytes"]
+    assert rows[2]["comp_flag"] == 0
+    assert rows[3]["n_bytes"] == 0 and rows[3]["comp_flag"] == 0
+    # deterministic: same input → same compressed size
+    again = compression_batch(t)
+    assert out.equals(again)

@@ -266,6 +266,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     ensure_hits_expected(info)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)
+        ensure_compression_expected(sf_dir)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         ensure_kmeans_expected(sf_dir)
 
@@ -289,6 +290,42 @@ def ensure_simhash_sigs(sf_dir: str, max_docs: int = 1000) -> str:
     from .functions.dedup import simhash_batch
 
     _write_atomic(simhash_batch(docs), path)
+    return path
+
+
+def ensure_compression_expected(sf_dir: str, max_docs: int = 1000) -> str:
+    """Expected (doc_id, n_bytes, n_zlib, comp_flag) computed by a direct
+    single-process zlib loop (not the batch function) — deterministic for
+    the pinned (CPython zlib, level 6) pair, which both sides share. The
+    doc_compression oracle reads this table; SQL cannot express zlib."""
+    import zlib
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "compression.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if docs.num_rows > max_docs:
+        return path
+    ids = docs.column("doc_id").to_pylist()
+    rows = []
+    for did, txt in zip(ids, docs.column("text").to_pylist()):
+        raw = (txt or "").encode("utf-8")
+        nz = len(zlib.compress(raw, 6))
+        rows.append((did, len(raw), nz, int(nz * 4 < len(raw))))
+    _write_atomic(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "n_bytes": pa.array([r[1] for r in rows], pa.int64()),
+                "n_zlib": pa.array([r[2] for r in rows], pa.int64()),
+                "comp_flag": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
     return path
 
 

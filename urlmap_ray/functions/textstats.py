@@ -218,3 +218,27 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     out = out.append_column("fp_md5", pa.array(md5s, pa.string()))
     out = out.append_column("fp_rolling", pa.array(rolls, pa.int64()))
     return out
+
+
+def compression_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Compression-ratio quality signal (the CCNet/Gopher-family
+    "too-compressible ⇒ boilerplate/repetition" filter): per document,
+    utf-8 byte count, zlib-level-6 compressed byte count, and the pinned
+    integer rejection rule ``comp_flag = n_zlib * 4 < n_bytes`` (ratio
+    below 0.25). Counts stay integer so the value-hash gate compares
+    exactly; zlib level is pinned because compressed size is only
+    deterministic for a fixed (library, level) pair — both sides of the
+    oracle run the same CPython zlib."""
+    import zlib
+
+    n_bytes: list[int] = []
+    n_zlib: list[int] = []
+    for txt in batch.column(text_col).to_pylist():
+        raw = (txt or "").encode("utf-8")
+        n_bytes.append(len(raw))
+        n_zlib.append(len(zlib.compress(raw, 6)))
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_bytes", pa.array(n_bytes, pa.int64()))
+    out = out.append_column("n_zlib", pa.array(n_zlib, pa.int64()))
+    flags = [int(z * 4 < b) for z, b in zip(n_zlib, n_bytes)]
+    return out.append_column("comp_flag", pa.array(flags, pa.int64()))

@@ -507,6 +507,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             keys=["source", "lang"],
         )
 
+    def events_lag(sf_dir):
+        # per-user previous/next spend (LAG/LEAD OVER (PARTITION BY user
+        # ORDER BY ts, event_id)) — integer sentinel -1 at the boundaries
+        # so the hash gate never compares NULLs.
+        import ray.data
+
+        from urlmap_ray.functions.windows import lag_lead
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_id": t.column("event_id"),
+                    "ts": t.column("ts"),
+                    "cents": c.cast(pa.int64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        return lag_lead(
+            ds, key_col="user_id", ts_col="ts", val_col="cents",
+            tiebreak_col="event_id", default=-1,
+        )
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1241,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_users": events_daily_users,
         "events_pivot": events_pivot,
         "events_running": events_running,
+        "events_lag": events_lag,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -1999,6 +2028,19 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
             FROM events
+        """,
+        "events_lag": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, event_id, cents,
+                   lag(cents, 1, CAST(-1 AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_cents,
+                   lead(cents, 1, CAST(-1 AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next_cents
+            FROM e
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

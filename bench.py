@@ -128,6 +128,7 @@ def run_bench() -> dict:
         "events_daily_users",
         "events_pivot",
         "events_running",
+        "events_lag",
         "orders_cust_nation",
         "custs_no_urgent",
         "supps_with_big_returns",

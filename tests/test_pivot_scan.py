@@ -176,3 +176,47 @@ def test_rollup_counts_guards(ray_session):
         rollup_counts(ray.data.from_arrow(t), keys=[])
     with pytest.raises(Exception, match="string column"):
         rollup_counts(ray.data.from_arrow(t), keys=["a"]).take_all()
+
+
+def test_lag_lead_matches_pandas(ray_session, events_pd):
+    import ray.data
+
+    from urlmap_ray.functions.windows import lag_lead
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.floor(pc.multiply(t.column("value"), 100.0))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "cents": c.cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    got = (
+        lag_lead(
+            ds, key_col="user_id", ts_col="ts", val_col="cents",
+            tiebreak_col="event_id", default=-1,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = events_pd.copy()
+    exp["cents"] = np.floor(exp["value"] * 100.0).astype("int64")
+    exp = exp.sort_values(["user_id", "ts", "event_id"])
+    g = exp.groupby("user_id")["cents"]
+    exp["prev_cents"] = g.shift(1, fill_value=-1).astype("int64")
+    exp["next_cents"] = g.shift(-1, fill_value=-1).astype("int64")
+    exp = (
+        exp[["user_id", "event_id", "cents", "prev_cents", "next_cents"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(exp.astype("int64"))

@@ -321,3 +321,44 @@ def running_total(
         return out.append_column(f"run_{sum_col}", pa.array(run, pa.int64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def lag_lead(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str,
+    tiebreak_col: str = "event_id",
+    default: int = -1,
+):
+    """Per-key LAG/LEAD in event-time order: for each row, the previous
+    and next value of ``val_col`` within its key (``LAG/LEAD(val, 1,
+    default) OVER (PARTITION BY key ORDER BY ts, tiebreak)``). The scan
+    family's second shape — same one-key-shuffle + vectorized per-group
+    pass as :func:`running_total`. ``val_col`` must be integer and the
+    boundary default is an integer sentinel (not NULL: the value-hash
+    gate and Arrow integer columns stay null-free).
+    Returns (key, tiebreak, val, ``prev_<val>``, ``next_<val>``).
+    """
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(g.column(val_col).type):
+            raise TypeError(f"lag_lead val_col {val_col!r} must be integer")
+        ts = (
+            g.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        v = g.column(val_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts))
+        sv = v[order]
+        prev = np.concatenate(([default], sv[:-1])) if len(sv) else sv
+        nxt = np.concatenate((sv[1:], [default])) if len(sv) else sv
+        out = g.select([key_col, tiebreak_col, val_col]).take(pa.array(order))
+        out = out.append_column(f"prev_{val_col}", pa.array(prev, pa.int64()))
+        return out.append_column(f"next_{val_col}", pa.array(nxt, pa.int64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

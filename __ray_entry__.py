@@ -543,80 +543,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster → deterministic content-hash train/val/test split. Output
         (doc_id, split). One extra single-key exchange does BOTH the
         cluster-label attach and the split carry (pad→union→groupby) — no
-        driver-side keep/drop sets."""
-        import ray
-        from ray.data.aggregate import Max, Min
+        driver-side keep/drop sets. Delegates to the library entry point
+        (pipelines/prep.py), which the prep CLI also drives."""
+        from urlmap_ray.pipelines.prep import prep_docs
 
-        from urlmap_ray.functions import sampling as sp2
-        from urlmap_ray.functions.components import connected_components
-        from urlmap_ray.functions.decontam import gate_batch
-
-        ev_ref = ray.put(_eval_hashes(sf_dir))
-
-        def gate(b: pa.Table) -> pa.Table:
-            # vectorized metadata gate first, then the fused row-local
-            # gate (ONE tokenization per doc feeds repetition + overlap)
-            b = b.filter(pa.compute.equal(b.column("lang"), "en"))
-            return gate_batch(
-                b.select(["doc_id", "text"]), ray.get(ev_ref), min_words=10
-            )
-
-        gated = (
-            _docs(sf_dir)
-            .map_batches(
-                lambda b: b.select(["doc_id", "text", "lang"]),
-                batch_format="pyarrow",
-            )
-            .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-            .materialize()  # consumed twice: pair mining + split/label rows
+        return prep_docs(
+            _docs(sf_dir),
+            eval_hashes=_eval_hashes(sf_dir),
+            lang="en",
+            min_words=10,
+            threshold=0.8,
+            fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+            cc_buckets=64,
         )
-        pairs = dd.dedup_minhash_lsh(gated, threshold=0.8)
-        cc = connected_components(pairs, buckets=64)
-
-        def split_rows(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": b.column("doc_id").cast(pa.int64()),
-                    "comp": b.column("doc_id").cast(pa.int64()),
-                    "split": b.column("split"),
-                }
-            )
-
-        def label_rows(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0 or "node" not in b.column_names:
-                return pa.table(
-                    {
-                        "node": pa.array([], pa.int64()),
-                        "comp": pa.array([], pa.int64()),
-                        "split": pa.array([], pa.string()),
-                    }
-                )
-            return pa.table(
-                {
-                    "node": b.column("node"),
-                    "comp": b.column("comp"),
-                    "split": pa.array([""] * b.num_rows, pa.string()),
-                }
-            )
-
-        fused = (
-            sp2.hash_split(gated, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
-            .map_batches(split_rows, batch_format="pyarrow")
-            .union(cc.map_batches(label_rows, batch_format="pyarrow"))
-            .groupby("node")
-            .aggregate(Min("comp", alias_name="comp"), Max("split", alias_name="split"))
-        )
-        return fused.map_batches(
-            lambda b: pa.table(
-                {
-                    "doc_id": b.column("node"),
-                    "split": b.column("split"),
-                }
-            ).filter(
-                pa.compute.equal(b.column("comp"), b.column("node"))
-            ),
-            batch_format="pyarrow",
-        ).sort("doc_id")
 
     def dedup_exact(sf_dir):
         return dd.dedup_exact(_docs(sf_dir))

@@ -1,0 +1,118 @@
+"""CLI for the composed pre-training data-prep pipeline.
+
+    python -m urlmap_ray.prep_cli --input docs.parquet --output /tmp/prep \
+        [--lang en] [--min-words 10] [--threshold 0.8] \
+        [--fractions train=0.8,val=0.1,test=0.1] \
+        [--eval-parquet bench.parquet [--eval-text-col text]] [--quiet]
+
+Runs gates → near-dup clustering → canonical selection → deterministic
+split (pipelines/prep.py) over a documents Parquet table (columns
+doc_id:int64, text:string[, lang:string]) and writes (doc_id, split) as
+RESUMABLE split-partitioned Parquet — re-running after a failure writes
+only the missing split partitions (sinks.write_resumable_parquet).
+
+Owns its Ray session (driver-managed sessions never import this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="urlmap-ray-prep", description="pre-training corpus prep pipeline"
+    )
+    p.add_argument("--input", required=True, help="documents parquet file/dir")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--lang", default="en",
+                   help="keep only this lang value ('' disables the gate)")
+    p.add_argument("--min-words", type=int, default=10)
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="near-dup Jaccard threshold")
+    p.add_argument("--fractions", default="train=0.8,val=0.1,test=0.1",
+                   help="split fractions as name=frac[,name=frac...]")
+    p.add_argument("--eval-parquet", default=None,
+                   help="benchmark eval-set parquet for decontamination")
+    p.add_argument("--eval-text-col", default="text")
+    p.add_argument("--quiet", "-q", action="store_true")
+    return p
+
+
+def parse_fractions(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, frac = part.partition("=")
+        if not name or not frac:
+            raise SystemExit(f"bad --fractions entry: {part!r}")
+        out[name.strip()] = float(frac)
+    if abs(sum(out.values()) - 1.0) > 1e-9:
+        raise SystemExit(f"--fractions must sum to 1.0, got {sum(out.values())}")
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    fractions = parse_fractions(args.fractions)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    try:
+        import ray.data
+
+        eval_hashes = None
+        if args.eval_parquet:
+            import pyarrow.parquet as pq
+
+            from urlmap_ray.functions.decontam import eval_ngram_hashes
+
+            texts = (
+                pq.read_table(args.eval_parquet, columns=[args.eval_text_col])
+                .column(args.eval_text_col)
+                .to_pylist()
+            )
+            eval_hashes = eval_ngram_hashes(texts)
+            if not args.quiet:
+                print(
+                    f"decontamination: {len(texts)} eval docs, "
+                    f"{len(eval_hashes)} shingle hashes",
+                    file=sys.stderr,
+                )
+
+        from urlmap_ray.pipelines.prep import prep_docs
+        from urlmap_ray.sinks import write_resumable_parquet
+
+        docs = ray.data.read_parquet(args.input)
+        result = prep_docs(
+            docs,
+            eval_hashes=eval_hashes,
+            lang=args.lang or None,
+            min_words=args.min_words,
+            threshold=args.threshold,
+            fractions=fractions,
+        )
+        manifest = write_resumable_parquet(
+            result, args.output, partition_col="split"
+        )
+        if not args.quiet:
+            for r in manifest.sort_by("partition").to_pylist():
+                print(
+                    f"split={r['partition']}: {r['n_rows']} docs -> {r['path']}",
+                    file=sys.stderr,
+                )
+            print(
+                f"kept {sum(r['n_rows'] for r in manifest.to_pylist())} canonical "
+                f"docs into {args.output}",
+                file=sys.stderr,
+            )
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -535,6 +535,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak_col="event_id", default=-1,
         )
 
+    def user_event_seq(sf_dir):
+        # per-user ordered collect of distinct event types — the
+        # sequence-building shape, pinned to lexicographic order so the
+        # string is identical at any parallelism.
+        import ray.data
+
+        from urlmap_ray.functions.windows import collect_sorted
+
+        return collect_sorted(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "event_type"],
+            ),
+            key_col="user_id",
+            val_col="event_type",
+            sep=",",
+            distinct=True,
+        )
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1209,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": events_pivot,
         "events_running": events_running,
         "events_lag": events_lag,
+        "user_event_seq": user_event_seq,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -1980,6 +2000,13 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        AS next_cents
             FROM e
+        """,
+        "user_event_seq": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                       AS vals,
+                   count(DISTINCT event_type) AS n_vals
+            FROM events GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

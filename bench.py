@@ -129,6 +129,7 @@ def run_bench() -> dict:
         "events_pivot",
         "events_running",
         "events_lag",
+        "user_event_seq",
         "orders_cust_nation",
         "custs_no_urgent",
         "supps_with_big_returns",

@@ -220,3 +220,45 @@ def test_lag_lead_matches_pandas(ray_session, events_pd):
         .reset_index(drop=True)
     )
     assert got.astype("int64").equals(exp.astype("int64"))
+
+
+def test_collect_sorted_matches_pandas(ray_session, events_pd):
+    import ray.data
+
+    from urlmap_ray.functions.windows import collect_sorted
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_type"]
+    ).repartition(7)
+    got = {
+        r["user_id"]: (r["vals"], r["n_vals"])
+        for r in collect_sorted(
+            ds, key_col="user_id", val_col="event_type", distinct=True
+        ).take_all()
+    }
+    exp = {
+        int(u): (",".join(sorted(set(g))), len(set(g)))
+        for u, g in events_pd.groupby("user_id")["event_type"]
+    }
+    assert got == exp
+
+
+def test_collect_sorted_guards(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.windows import collect_sorted
+
+    t = pa.table(
+        {"k": pa.array([1, 1], pa.int64()), "v": pa.array(["a,b", "c"], pa.string())}
+    )
+    with pytest.raises(Exception, match="separator"):
+        collect_sorted(
+            ray.data.from_arrow(t), key_col="k", val_col="v"
+        ).take_all()
+    t2 = pa.table(
+        {"k": pa.array([1], pa.int64()), "v": pa.array([3], pa.int64())}
+    )
+    with pytest.raises(Exception, match="must be string"):
+        collect_sorted(
+            ray.data.from_arrow(t2), key_col="k", val_col="v"
+        ).take_all()

@@ -175,6 +175,14 @@ def bm25_topk(
     totals = ds.map_batches(
         stats_partial, batch_format="pyarrow", zero_copy_batch=True
     ).sum(["n_docs", "n_tokens", *df_cols])
+    if not totals or not totals.get("sum(n_docs)"):
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
     n = int(totals["sum(n_docs)"])
     avgdl = int(totals["sum(n_tokens)"]) / n  # exact ints < 2^53 → one IEEE divide
     dfs = [int(totals[f"sum({c})"]) for c in df_cols]

@@ -362,3 +362,49 @@ def lag_lead(
         return out.append_column(f"next_{val_col}", pa.array(nxt, pa.int64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def collect_sorted(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    sep: str = ",",
+    distinct: bool = False,
+):
+    """Per-key ordered collect: concatenate each key's values into one
+    string in lexicographic value order (optionally distinct) — the
+    sequence-building shape (per-user event histories, per-document token
+    streams for sequence datasets), pinned to a deterministic order so the
+    output is identical at any parallelism (an UNORDERED collect_list is
+    not reproducible across shuffles and the engine refuses to offer it).
+
+    One key shuffle; the per-group pass is an Arrow sort + join. Values
+    must be strings and must not contain ``sep`` (checked loudly — a
+    silent ambiguity would corrupt downstream parsing).
+    Returns (key, ``vals``: string, ``n_vals``: int64).
+    """
+
+    def per_key(g: pa.Table) -> pa.Table:
+        vc = g.column(val_col)
+        if not (
+            pa.types.is_string(vc.type) or pa.types.is_large_string(vc.type)
+        ):
+            raise TypeError(f"collect_sorted val_col {val_col!r} must be string")
+        if pc.any(pc.match_substring(vc, sep)).as_py():
+            raise ValueError(
+                f"collect_sorted: a {val_col!r} value contains the separator "
+                f"{sep!r} — pick a separator outside the value alphabet"
+            )
+        vals = sorted(vc.to_pylist())
+        if distinct:
+            vals = sorted(set(vals))
+        return pa.table(
+            {
+                key_col: g.column(key_col).slice(0, 1).combine_chunks(),
+                "vals": pa.array([sep.join(vals)], pa.string()),
+                "n_vals": pa.array([len(vals)], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -554,6 +554,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             distinct=True,
         )
 
+    def events_cube(sf_dir):
+        # GROUP BY CUBE(event_type, day): all 2^K grouping sets in one
+        # pass — local multi-set expansion over the batch's finest
+        # partial, one single-key global combine (pivot.cube_counts).
+        import ray.data
+
+        from urlmap_ray.functions.pivot import cube_counts
+
+        def day(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "day": pa.compute.strftime(
+                        t.column("ts").cast(pa.timestamp("us")), format="%Y-%m-%d"
+                    ),
+                }
+            )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+        ).map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+        return cube_counts(ev, keys=["event_type", "day"])
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1229,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": events_running,
         "events_lag": events_lag,
         "user_event_seq": user_event_seq,
+        "events_cube": events_cube,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -2007,6 +2031,16 @@ def oracle_sql() -> dict[str, str]:
                        AS vals,
                    count(DISTINCT event_type) AS n_vals
             FROM events GROUP BY 1
+        """,
+        "events_cube": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(day, '(all)') AS day,
+                   CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT)
+                       AS grp,
+                   count(*) AS n_rows
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
+                  FROM events)
+            GROUP BY CUBE(event_type, day)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

@@ -115,6 +115,7 @@ def run_bench() -> dict:
         "doc_tfidf",
         "docs_bm25",
         "docs_rollup",
+        "events_cube",
         "page_links",
         "lineitem_agg",
         "events_daily",

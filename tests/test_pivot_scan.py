@@ -262,3 +262,28 @@ def test_collect_sorted_guards(ray_session):
         collect_sorted(
             ray.data.from_arrow(t2), key_col="k", val_col="v"
         ).take_all()
+
+
+def test_cube_counts_matches_pandas(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.pivot import cube_counts
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["source", "lang"])
+    df = docs.to_pandas()
+    ds = ray.data.from_arrow(docs).repartition(4)
+    got = {
+        (r["source"], r["lang"], r["grp"]): r["n_rows"]
+        for r in cube_counts(ds, keys=["source", "lang"]).take_all()
+    }
+    exp: dict = {}
+    for (s, l), n in df.groupby(["source", "lang"]).size().items():
+        exp[(s, l, 0)] = int(n)
+    for s, n in df.groupby("source").size().items():
+        exp[(s, "(all)", 1)] = int(n)  # lang rolled up → low bit
+    for l, n in df.groupby("lang").size().items():
+        exp[("(all)", l, 2)] = int(n)  # source rolled up → high bit
+    exp[("(all)", "(all)", 3)] = len(df)
+    assert got == exp

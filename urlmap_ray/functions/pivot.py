@@ -87,20 +87,26 @@ def pivot_counts(
     )
 
 
-def rollup_counts(ds, *, keys: list[str], all_label: str = "(all)"):
-    """GROUP BY ROLLUP(*keys): row counts at every prefix level of ``keys``
-    — (k1, k2), (k1,), () for two keys — in one pass. Rolled-up positions
-    carry ``all_label`` (not NULL: a distributed value-hash gate and many
-    sinks treat NULL ambiguously; callers with genuine NULL key values
-    must clean them first). Output: (*keys, lvl, n_rows) with lvl = number
-    of concrete key columns in the row.
+def _grouping_sets_counts(
+    ds,
+    keys: list[str],
+    masks: list[int],
+    all_label: str,
+    tag_col: str,
+    tag_of_mask,
+):
+    """Shared engine for ROLLUP/CUBE/arbitrary GROUPING SETS: row counts at
+    every grouping set in ``masks`` (bit j set ⇒ keys[j] concrete) in one
+    pass. Rolled-up positions carry ``all_label`` (not NULL: a distributed
+    value-hash gate and many sinks treat NULL ambiguously; callers with
+    genuine NULL key values must clean them first).
 
     Scale shape: each batch hash-aggregates at the FINEST level only, then
-    derives every coarser level locally from that already-small partial
+    derives every coarser set locally from that already-small partial
     (the hopping-window trick — expansion happens batch-locally,
     pre-combined). The global combine is ONE single-key groupby on a
     composite string key (multi-key Dataset aggregates are pathologically
-    slow — see BASELINE.md), folded by a vectorized per-group sum.
+    slow — see BASELINE.md), folded by a per-group integer sum.
     """
     if not keys or len(set(keys)) != len(keys):
         raise ValueError("keys must be a non-empty list of distinct columns")
@@ -112,28 +118,28 @@ def rollup_counts(ds, *, keys: list[str], all_label: str = "(all)"):
                 pa.types.is_string(t.column(c).type)
                 or pa.types.is_large_string(t.column(c).type)
             ):
-                raise TypeError(f"rollup_counts key {c!r} must be a string column")
+                raise TypeError(f"grouping-set key {c!r} must be a string column")
         fine = t.select(keys).group_by(keys).aggregate([([], "count_all")])
         n = fine.column("count_all").to_numpy(zero_copy_only=False)
         vals = [fine.column(c).to_pylist() for c in keys]
         gks: list[str] = []
         counts: list[int] = []
-        lvls: list[int] = []
-        for lvl in range(len(keys), -1, -1):
+        for mask in masks:
             agg: dict[str, int] = {}
             for i in range(fine.num_rows):
                 gk = sep.join(
-                    [str(lvl)]
-                    + [vals[j][i] if j < lvl else all_label for j in range(len(keys))]
+                    [str(mask)]
+                    + [
+                        vals[j][i] if mask & (1 << j) else all_label
+                        for j in range(len(keys))
+                    ]
                 )
                 agg[gk] = agg.get(gk, 0) + int(n[i])
             gks.extend(agg)
             counts.extend(agg.values())
-            lvls.extend([lvl] * len(agg))
         return pa.table(
             {
                 "gk": pa.array(gks, pa.string()),
-                "lvl": pa.array(lvls, pa.int64()),
                 "n_partial": pa.array(counts, pa.int64()),
             }
         )
@@ -144,7 +150,7 @@ def rollup_counts(ds, *, keys: list[str], all_label: str = "(all)"):
             pa.compute.sum(g.column("n_partial")).as_py()  # ints: order-free
         )
         cols = {c: pa.array([parts[1 + j]], pa.string()) for j, c in enumerate(keys)}
-        cols["lvl"] = pa.array([int(parts[0])], pa.int64())
+        cols[tag_col] = pa.array([tag_of_mask(int(parts[0]))], pa.int64())
         cols["n_rows"] = pa.array([total], pa.int64())
         return pa.table(cols)
 
@@ -153,3 +159,40 @@ def rollup_counts(ds, *, keys: list[str], all_label: str = "(all)"):
         .groupby("gk")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def rollup_counts(ds, *, keys: list[str], all_label: str = "(all)"):
+    """GROUP BY ROLLUP(*keys): row counts at every prefix level of ``keys``
+    — (k1, k2), (k1,), () for two keys. Output: (*keys, lvl, n_rows) with
+    lvl = number of concrete key columns in the row. See
+    :func:`_grouping_sets_counts` for the shape and NULL contract.
+    """
+    if not keys or len(set(keys)) != len(keys):
+        raise ValueError("keys must be a non-empty list of distinct columns")
+    masks = [(1 << lvl) - 1 for lvl in range(len(keys), -1, -1)]  # prefixes
+    return _grouping_sets_counts(
+        ds, keys, masks, all_label, "lvl", lambda m: bin(m).count("1")
+    )
+
+
+def cube_counts(ds, *, keys: list[str], all_label: str = "(all)"):
+    """GROUP BY CUBE(*keys): row counts at every subset of ``keys`` (2^K
+    grouping sets). Output: (*keys, grp, n_rows) with ``grp`` the DuckDB
+    GROUPING bitmask (``grouping(k1)*2^(K-1) + ... + grouping(kK)``: bit
+    set ⇒ that key is rolled up — the inverse of the internal concrete
+    mask, matching the SQL convention). See :func:`_grouping_sets_counts`
+    for the shape and NULL contract; the 2^K local expansion is over the
+    batch's already-aggregated finest partial, never its rows.
+    """
+    if not keys or len(set(keys)) != len(keys):
+        raise ValueError("keys must be a non-empty list of distinct columns")
+    kk = len(keys)
+    masks = list(range((1 << kk) - 1, -1, -1))  # all subsets, finest first
+
+    def grp(mask: int) -> int:
+        # SQL GROUPING bitmask: leftmost key = most-significant bit
+        return sum(
+            (0 if mask & (1 << j) else 1) << (kk - 1 - j) for j in range(kk)
+        )
+
+    return _grouping_sets_counts(ds, keys, masks, all_label, "grp", grp)

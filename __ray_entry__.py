@@ -715,6 +715,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_kmeans_expected(sf_dir)
         return kmeans_assign(_emb(sf_dir), k=8, iters=5)
 
+    def embedding_pca(sf_dir):
+        # distributed PCA: exact integer second-moment partials → driver
+        # eigh on the d×d covariance → streaming projection; ppb-quantized
+        # integer output is BIT-identical at any parallelism, so the
+        # oracle is the single-process reference (decomposition.py).
+        from urlmap_ray.expected import ensure_pca_expected
+        from urlmap_ray.functions.decomposition import pca_project
+
+        ensure_pca_expected(sf_dir)
+        return pca_project(_emb(sf_dir), k=4)
+
     def _docs_table(sf_dir):
         import pyarrow.parquet as pq
 
@@ -1237,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "embedding_kmeans": embedding_kmeans,
+        "embedding_pca": embedding_pca,
         "orders_cust_nation": orders_cust_nation,
         "custs_no_urgent": custs_no_urgent,
         "supps_with_big_returns": supps_with_big_returns,
@@ -1651,6 +1663,8 @@ def oracle_sql() -> dict[str, str]:
         # distributed update is associative integer math; see clustering.py)
         "embedding_kmeans": "SELECT * FROM "
         "read_parquet('/tmp/urlmap_oracle/sf0.01/kmeans_k8i5.parquet')",
+        "embedding_pca": "SELECT * FROM "
+        "read_parquet('/tmp/urlmap_oracle/sf0.01/pca_k4.parquet')",
         "media_features": media_sql,
         # Sampling family: md5-keyed decisions are exactly reproducible in
         # SQL. Thresholds are the integer literals the Python side computes

@@ -105,6 +105,7 @@ def run_bench() -> dict:
         "ann_topk",
         "ann_topk_ivf",
         "embedding_kmeans",
+        "embedding_pca",
         "doc_quality",
         "docs_clean",
         "doc_token_counts",

@@ -269,6 +269,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
         ensure_compression_expected(sf_dir)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         ensure_kmeans_expected(sf_dir)
+        ensure_pca_expected(sf_dir)
 
 
 def ensure_simhash_sigs(sf_dir: str, max_docs: int = 1000) -> str:
@@ -369,6 +370,26 @@ def ensure_kmeans_expected(sf_dir: str, *, k: int = 8, iters: int = 5,
     from .functions.clustering import kmeans_reference
 
     _write_atomic(kmeans_reference(emb, k=k, iters=iters), path)
+    return path
+
+
+def ensure_pca_expected(sf_dir: str, *, k: int = 4, max_rows: int = 10_000) -> str:
+    """Expected (vec_id, pc0..pc{k-1} ppb) from the single-process PCA
+    reference (decomposition.pca_reference). Both paths share the exact
+    integer-moment contract, so the match is BIT-equality at any
+    parallelism — same trust model as the kmeans/hits expected tables."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, f"pca_k{k}.parquet")
+    if os.path.exists(path):
+        return path
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    if emb.num_rows > max_rows:
+        return path
+    from .functions.decomposition import pca_reference
+
+    _write_atomic(pca_reference(emb, k=k), path)
     return path
 
 

@@ -577,6 +577,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
         return cube_counts(ev, keys=["event_type", "day"])
 
+    def events_rolling(sf_dir):
+        # per-user moving 5-row spend sum (ROWS BETWEEN 4 PRECEDING AND
+        # CURRENT ROW) — the rolling frame of the scan family; integer
+        # cents keep the frame sums exact.
+        import ray.data
+
+        from urlmap_ray.functions.windows import rolling_sum
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_id": t.column("event_id"),
+                    "ts": t.column("ts"),
+                    "cents": c.cast(pa.int64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        return rolling_sum(
+            ds, key_col="user_id", ts_col="ts", sum_col="cents",
+            window_rows=5, tiebreak_col="event_id",
+        )
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1265,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": events_lag,
         "user_event_seq": user_event_seq,
         "events_cube": events_cube,
+        "events_rolling": events_rolling,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -2055,6 +2084,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
                   FROM events)
             GROUP BY CUBE(event_type, day)
+        """,
+        "events_rolling": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, event_id, cents,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 4 PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                       AS roll_cents
+            FROM e
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count

@@ -131,6 +131,7 @@ def run_bench() -> dict:
         "events_pivot",
         "events_running",
         "events_lag",
+        "events_rolling",
         "user_event_seq",
         "orders_cust_nation",
         "custs_no_urgent",

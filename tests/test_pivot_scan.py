@@ -287,3 +287,52 @@ def test_cube_counts_matches_pandas(ray_session):
         exp[("(all)", l, 2)] = int(n)  # source rolled up → high bit
     exp[("(all)", "(all)", 3)] = len(df)
     assert got == exp
+
+
+def test_rolling_sum_matches_pandas(ray_session, events_pd):
+    import ray.data
+
+    from urlmap_ray.functions.windows import rolling_sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.floor(pc.multiply(t.column("value"), 100.0))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "cents": c.cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    got = (
+        rolling_sum(
+            ds, key_col="user_id", ts_col="ts", sum_col="cents",
+            window_rows=5, tiebreak_col="event_id",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = events_pd.copy()
+    exp["cents"] = np.floor(exp["value"] * 100.0).astype("int64")
+    exp = exp.sort_values(["user_id", "ts", "event_id"])
+    exp["roll_cents"] = (
+        exp.groupby("user_id")["cents"]
+        .rolling(5, min_periods=1).sum().reset_index(level=0, drop=True)
+        .astype("int64")
+    )
+    exp = (
+        exp[["user_id", "event_id", "cents", "roll_cents"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(exp.astype("int64"))
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_sum(ds, key_col="user_id", ts_col="ts", sum_col="cents",
+                    window_rows=0)

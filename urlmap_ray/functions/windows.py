@@ -408,3 +408,50 @@ def collect_sorted(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def rolling_sum(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    sum_col: str,
+    window_rows: int = 5,
+    tiebreak_col: str = "event_id",
+):
+    """Per-key moving sum over the last ``window_rows`` rows in event-time
+    order (``SUM(x) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)``) — the rolling
+    frame of the scan family (running_total is the unbounded frame,
+    lag_lead the single-offset one). Same one-key-shuffle +
+    vectorized-per-group shape: prefix sums, then a shifted difference.
+    Integer ``sum_col`` only (exact at any parallelism).
+    Returns (key, tiebreak, sum_col, ``roll_<sum_col>``).
+    """
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(g.column(sum_col).type):
+            raise TypeError(
+                f"rolling_sum sum_col {sum_col!r} must be integer "
+                "(quantize floats upstream for exact sums)"
+            )
+        ts = (
+            g.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        v = g.column(sum_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts))
+        sv = v[order]
+        csum = np.cumsum(sv)
+        roll = csum.copy()
+        if len(sv) > window_rows:
+            roll[window_rows:] = csum[window_rows:] - csum[:-window_rows]
+        out = g.select([key_col, tiebreak_col, sum_col]).take(pa.array(order))
+        return out.append_column(f"roll_{sum_col}", pa.array(roll, pa.int64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

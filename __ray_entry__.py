@@ -57,6 +57,26 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _events_cents(sf_dir: str, *, with_event_id: bool = True):
+    """events with ``value`` quantized to integer cents (floor(value*100) →
+    int64) — THE quantization rule every events oracle mirrors in SQL, so
+    it lives in exactly one place. Integer sums stay order-independent
+    across shuffles; float sums would not."""
+    import ray.data
+
+    keep = ["user_id"] + (["event_id"] if with_event_id else []) + ["ts"]
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
+        cols = {k: t.column(k) for k in keep}
+        cols["cents"] = c.cast(pa.int64())
+        return pa.table(cols)
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=keep + ["value"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _emb(sf_dir: str):
     import ray.data
 
@@ -452,25 +472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user cumulative spend in event-time order — the windowed
         # SCAN (SUM OVER ... ROWS UNBOUNDED PRECEDING); integer cents so
         # prefix sums are exact at any parallelism.
-        import ray.data
-
         from urlmap_ray.functions.windows import running_total
 
-        def cents(t: pa.Table) -> pa.Table:
-            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
-            return pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "event_id": t.column("event_id"),
-                    "ts": t.column("ts"),
-                    "cents": c.cast(pa.int64()),
-                }
-            )
-
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "events.parquet"),
-            columns=["user_id", "event_id", "ts", "value"],
-        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        ds = _events_cents(sf_dir)
         return running_total(
             ds, key_col="user_id", ts_col="ts", sum_col="cents",
             tiebreak_col="event_id",
@@ -511,25 +515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user previous/next spend (LAG/LEAD OVER (PARTITION BY user
         # ORDER BY ts, event_id)) — integer sentinel -1 at the boundaries
         # so the hash gate never compares NULLs.
-        import ray.data
-
         from urlmap_ray.functions.windows import lag_lead
 
-        def cents(t: pa.Table) -> pa.Table:
-            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
-            return pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "event_id": t.column("event_id"),
-                    "ts": t.column("ts"),
-                    "cents": c.cast(pa.int64()),
-                }
-            )
-
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "events.parquet"),
-            columns=["user_id", "event_id", "ts", "value"],
-        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        ds = _events_cents(sf_dir)
         return lag_lead(
             ds, key_col="user_id", ts_col="ts", val_col="cents",
             tiebreak_col="event_id", default=-1,
@@ -581,25 +569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user moving 5-row spend sum (ROWS BETWEEN 4 PRECEDING AND
         # CURRENT ROW) — the rolling frame of the scan family; integer
         # cents keep the frame sums exact.
-        import ray.data
-
         from urlmap_ray.functions.windows import rolling_sum
 
-        def cents(t: pa.Table) -> pa.Table:
-            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
-            return pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "event_id": t.column("event_id"),
-                    "ts": t.column("ts"),
-                    "cents": c.cast(pa.int64()),
-                }
-            )
-
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "events.parquet"),
-            columns=["user_id", "event_id", "ts", "value"],
-        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        ds = _events_cents(sf_dir)
         return rolling_sum(
             ds, key_col="user_id", ts_col="ts", sum_col="cents",
             window_rows=5, tiebreak_col="event_id",
@@ -1016,45 +988,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tumbling 6h windows per user: count + exact integer sum (value
         # quantized to cents BEFORE the shuffle so the sum is
         # order-independent — float sums across a shuffle are not).
-        import ray.data
-
         from urlmap_ray.functions.windows import tumbling_window
 
-        def cents(t: pa.Table) -> pa.Table:
-            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
-            return pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "ts": t.column("ts"),
-                    "cents": c.cast(pa.int64()),
-                }
-            )
-
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
-        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        ds = _events_cents(sf_dir, with_event_id=False)
         return tumbling_window(ds, width_s=6 * 3600, sum_col="cents")
 
     def events_hopping(sf_dir):
         # Hopping 6h windows every 2h (each event lands in 3 windows):
         # batch-local expansion + Arrow pre-combine, partials shuffle
-        import ray.data
-
         from urlmap_ray.functions.windows import hopping_window
 
-        def cents(t: pa.Table) -> pa.Table:
-            c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
-            return pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "ts": t.column("ts"),
-                    "cents": c.cast(pa.int64()),
-                }
-            )
-
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
-        ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        ds = _events_cents(sf_dir, with_event_id=False)
         return hopping_window(ds, width_s=6 * 3600, hop_s=2 * 3600, sum_col="cents")
 
     def events_top3(sf_dir):

@@ -72,5 +72,9 @@ def test_prep_cli_end_to_end_and_resume(tmp_path):
     train_mtime = (out_dir / "split=train" / "data.parquet").stat().st_mtime
     subprocess.run(cmd, check=True, cwd="/root/repo", timeout=240)
     val_after = pq.read_table(out_dir / "split=val" / "data.parquet")
-    assert val_after.equals(val_before)
+    # row-set equality: within-partition order is not part of the sink's
+    # contract (the prep CLI skips the global sort — the groupby reshuffles)
+    assert sorted(val_after.to_pylist(), key=str) == sorted(
+        val_before.to_pylist(), key=str
+    )
     assert (out_dir / "split=train" / "data.parquet").stat().st_mtime == train_mtime

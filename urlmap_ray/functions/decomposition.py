@@ -80,6 +80,14 @@ def pca_project(
     import ray
 
     def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty blocks: _to_matrix returns (0,), not (0, d)
+            return pa.table(
+                {
+                    "xtx": pa.array([], pa.list_(pa.int64())),
+                    "colsum": pa.array([], pa.list_(pa.int64())),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         q = _quantize(_to_matrix(t, emb_col))
         xtx = q.T @ q  # int64: |q| <= 2^20 ⇒ safe to ~2^22 rows per batch
         return pa.table(
@@ -113,6 +121,11 @@ def pca_project(
 
     def project(t: pa.Table) -> pa.Table:
         m, c = ray.get(mc_ref)
+        if t.num_rows == 0:
+            out = {id_col: t.column(id_col)}
+            for j in range(c.shape[1]):
+                out[f"pc{j}"] = pa.array([], pa.int64())
+            return pa.table(out)
         # the SAME quantized values pass 1 measured; /_SCALE is exact
         x = _quantize(_to_matrix(t, emb_col)).astype(np.float64) / _SCALE
         scores = (x - m) @ c

@@ -113,12 +113,21 @@ def _grouping_sets_counts(
     sep = "\x1f"  # unit separator: cannot appear in sane key text
 
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         for c in keys:
             if not (
                 pa.types.is_string(t.column(c).type)
                 or pa.types.is_large_string(t.column(c).type)
             ):
                 raise TypeError(f"grouping-set key {c!r} must be a string column")
+            if t.num_rows and pc.any(
+                pc.match_substring(t.column(c), sep)
+            ).as_py():
+                raise ValueError(
+                    f"grouping-set key {c!r} contains the composite-key "
+                    "separator \\x1f — clean the column first"
+                )
         fine = t.select(keys).group_by(keys).aggregate([([], "count_all")])
         n = fine.column("count_all").to_numpy(zero_copy_only=False)
         vals = [fine.column(c).to_pylist() for c in keys]

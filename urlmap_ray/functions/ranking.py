@@ -39,6 +39,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# ray.get on a plasma object re-UNPICKLES Python dicts on every call (only
+# numpy buffers are zero-copy), so each worker memoizes the broadcast
+# vocabulary by object-ref — one deserialization per worker, not per batch.
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    v = _BROADCAST_CACHE.get(key)
+    if v is None:
+        import ray
+
+        if len(_BROADCAST_CACHE) > 4:  # bound worker heap across queries
+            _BROADCAST_CACHE.clear()
+        v = _BROADCAST_CACHE[key] = ray.get(ref)
+    return v
+
+
 def _tokens(text: str | None) -> list[str]:
     """The corpus tokenizer, shared with vocab/repetition (textstats.py):
     lowercase + whitespace split, pinned to DuckDB's
@@ -93,7 +111,7 @@ def tfidf_topk(
     df_ref = ray.put(df_map)
 
     def score_batch(t: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
+        dfm = _cached_get(df_ref)
         out_id: list[int] = []
         out_term: list[str] = []
         out_tf: list[int] = []
@@ -189,7 +207,7 @@ def bm25_topk(
     params_ref = ray.put((qt, dfs))
 
     def partial_topk(t: pa.Table) -> pa.Table:
-        q_terms, q_dfs = ray.get(params_ref)
+        q_terms, q_dfs = _cached_get(params_ref)
         rows: list[tuple[float, int, int]] = []
         ids = t.column(id_col).to_pylist()
         for did, txt in zip(ids, t.column(text_col).to_pylist()):

@@ -31,6 +31,7 @@ def prep_docs(
     threshold: float = 0.8,
     fractions: dict[str, float] | None = None,
     cc_buckets: int = 64,
+    sort: bool = True,
 ):
     """Run the composed prep flow over a documents Dataset.
 
@@ -39,7 +40,9 @@ def prep_docs(
     ``eval_hashes`` is the sorted benchmark shingle-hash array from
     :func:`urlmap_ray.functions.decontam.eval_ngram_hashes`; ``None``
     disables the decontamination gate (the other gates still run).
-    Returns a Dataset (doc_id, split) sorted by doc_id.
+    Returns a Dataset (doc_id, split), globally sorted by doc_id unless
+    ``sort=False`` (skip it when the consumer re-shuffles anyway, e.g. a
+    partitioned write).
     """
     import ray
     from ray.data.aggregate import Max, Min
@@ -104,9 +107,12 @@ def prep_docs(
         .groupby("node")
         .aggregate(Min("comp", alias_name="comp"), Max("split", alias_name="split"))
     )
-    return fused.map_batches(
+    out = fused.map_batches(
         lambda b: pa.table(
             {"doc_id": b.column("node"), "split": b.column("split")}
         ).filter(pc.equal(b.column("comp"), b.column("node"))),
         batch_format="pyarrow",
-    ).sort("doc_id")
+    )
+    # the global sort exists for sorted-output consumers (the driver
+    # contract); sinks that re-shuffle (partitioned writes) skip it
+    return out.sort("doc_id") if sort else out

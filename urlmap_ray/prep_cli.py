@@ -46,7 +46,13 @@ def parse_fractions(spec: str) -> dict[str, float]:
         name, _, frac = part.partition("=")
         if not name or not frac:
             raise SystemExit(f"bad --fractions entry: {part!r}")
-        out[name.strip()] = float(frac)
+        try:
+            f = float(frac)
+        except ValueError:
+            raise SystemExit(f"bad --fractions value: {part!r}") from None
+        if not 0.0 < f <= 1.0:
+            raise SystemExit(f"--fractions values must be in (0, 1]: {part!r}")
+        out[name.strip()] = f
     if abs(sum(out.values()) - 1.0) > 1e-9:
         raise SystemExit(f"--fractions must sum to 1.0, got {sum(out.values())}")
     return out
@@ -58,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR", log_to_driver=False)
     try:
@@ -94,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
             min_words=args.min_words,
             threshold=args.threshold,
             fractions=fractions,
+            sort=False,  # the partition groupby reshuffles anyway
         )
         manifest = write_resumable_parquet(
             result, args.output, partition_col="split"
@@ -111,7 +119,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a caller's session
+            ray.shutdown()
 
 
 if __name__ == "__main__":

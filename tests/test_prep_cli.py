@@ -78,3 +78,33 @@ def test_prep_cli_end_to_end_and_resume(tmp_path):
         val_before.to_pylist(), key=str
     )
     assert (out_dir / "split=train" / "data.parquet").stat().st_mtime == train_mtime
+
+
+def test_prep_cli_warc_input(tmp_path):
+    from urlmap_ray.sources.warc import write_warc
+
+    para = "<p>" + " ".join(f"word{i}" for i in range(30)) + "</p>"
+    dup = "<p>" + " ".join(f"tok{i}" for i in range(40)) + "</p>"
+    records = [
+        {"url": f"https://ex.org/p{i}", "html": f"<html><body>{para if i < 2 else dup}</body></html>"}
+        for i in range(5)
+    ]
+    warc = write_warc(str(tmp_path / "in.warc.gz"), records)
+    out_dir = tmp_path / "prep"
+    subprocess.run(
+        [
+            sys.executable, "-m", "urlmap_ray.prep_cli",
+            "--input", warc, "--input-format", "warc",
+            "--output", str(out_dir),
+            "--lang", "",            # disable the lang gate (synthetic text)
+            "--min-words", "5",
+            "-q",
+        ],
+        check=True, cwd="/root/repo", timeout=240,
+    )
+    rows = []
+    for d in out_dir.iterdir():
+        rows.extend(pq.read_table(d / "data.parquet").to_pylist())
+    # docs 0-1 are one identical pair, docs 2-4 another → 2 canonical docs
+    assert len(rows) == 2
+    assert all(set(r) == {"doc_id", "split"} for r in rows)

@@ -24,7 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="urlmap-ray-prep", description="pre-training corpus prep pipeline"
     )
-    p.add_argument("--input", required=True, help="documents parquet file/dir")
+    p.add_argument("--input", required=True,
+                   help="documents parquet file/dir, or WARC file(s)/dir")
+    p.add_argument("--input-format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="'warc' ingests Common-Crawl-style archives: "
+                        "html → paragraph text, doc_id = url hash, "
+                        "lang via the n-gram identifier")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--lang", default="en",
                    help="keep only this lang value ('' disables the gate)")
@@ -38,6 +44,50 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-text-col", default="text")
     p.add_argument("--quiet", "-q", action="store_true")
     return p
+
+
+def warc_documents(paths):
+    """WARC archive(s) → streaming Dataset in the documents schema
+    (doc_id:int64, text, lang): html records only, paragraph-text
+    extraction (the engine's text operator), doc_id = low-63-bit md5 of
+    the URL (deterministic at any cluster size), lang via the n-gram
+    identifier. All row-local — file-level read parallelism carries
+    straight into the prep gates with zero shuffles."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from urlmap_ray.extract import extract_text
+    from urlmap_ray.functions.textstats import lang_id
+    from urlmap_ray.sources.warc import read_warc
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        texts: list[str] = []
+        langs: list[str] = []
+        for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            if not h:
+                continue
+            txt = extract_text(h)
+            ids.append(
+                int.from_bytes(
+                    hashlib.md5((u or "").encode("utf-8")).digest()[:8], "little"
+                )
+                >> 1
+            )
+            texts.append(txt)
+            langs.append(lang_id(txt))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return read_warc(paths).map_batches(
+        to_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def parse_fractions(spec: str) -> dict[str, float]:
@@ -93,7 +143,10 @@ def main(argv: list[str] | None = None) -> int:
         from urlmap_ray.pipelines.prep import prep_docs
         from urlmap_ray.sinks import write_resumable_parquet
 
-        docs = ray.data.read_parquet(args.input)
+        if args.input_format == "warc":
+            docs = warc_documents(args.input)
+        else:
+            docs = ray.data.read_parquet(args.input)
         result = prep_docs(
             docs,
             eval_hashes=eval_hashes,

@@ -1,0 +1,166 @@
+"""Property-based invariants for the aggregate/scan operator families.
+
+Each property is checked on randomized small tables AND across different
+partitionings — the load-bearing claim for every operator here is that
+results are independent of how Ray splits the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _events(rng_seed: int, n: int) -> pa.Table:
+    rng = np.random.default_rng(rng_seed)
+    return pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 6, n), pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**9, n), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "cents": pa.array(rng.integers(-500, 500, n), pa.int64()),
+            "cat": pa.array(
+                [["a", "b", "c"][i] for i in rng.integers(0, 3, n)], pa.string()
+            ),
+        }
+    )
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(2, 300), parts=st.integers(1, 7))
+def test_pivot_reconciles_and_partition_independent(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.pivot import pivot_counts
+
+    t = _events(seed, n)
+    ds = ray.data.from_arrow(t).repartition(parts)
+    rows = pivot_counts(
+        ds, key_col="user_id", cat_col="cat", categories=["a", "b"]
+    ).take_all()
+    # every input row lands in exactly one output cell
+    assert sum(r["n_a"] + r["n_b"] + r["n_other"] for r in rows) == n
+    base = pivot_counts(
+        ray.data.from_arrow(t), key_col="user_id", cat_col="cat",
+        categories=["a", "b"],
+    ).take_all()
+    assert sorted(map(str, rows)) == sorted(map(str, base))
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 300), parts=st.integers(1, 7))
+def test_rollup_cube_level_sums_equal_total(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.pivot import cube_counts, rollup_counts
+
+    rng = np.random.default_rng(seed)
+    t = pa.table(
+        {
+            "x": pa.array([["p", "q"][i] for i in rng.integers(0, 2, n)]),
+            "y": pa.array([["u", "v", "w"][i] for i in rng.integers(0, 3, n)]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(parts)
+    roll = rollup_counts(ds, keys=["x", "y"]).take_all()
+    for lvl in (0, 1, 2):
+        assert sum(r["n_rows"] for r in roll if r["lvl"] == lvl) == n
+    cube = cube_counts(ds, keys=["x", "y"]).take_all()
+    for grp in (0, 1, 2, 3):
+        assert sum(r["n_rows"] for r in cube if r["grp"] == grp) == n
+    # ROLLUP ⊂ CUBE: the shared grouping sets agree cell-by-cell
+    cube_cells = {(r["x"], r["y"], r["n_rows"]) for r in cube if r["grp"] in (0, 1, 3)}
+    roll_cells = {(r["x"], r["y"], r["n_rows"]) for r in roll}
+    assert roll_cells == cube_cells
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 300), parts=st.integers(1, 7))
+def test_scan_family_invariants(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.windows import lag_lead, rolling_sum, running_total
+
+    t = _events(seed, n)
+    ds = ray.data.from_arrow(t).repartition(parts)
+    import collections
+
+    run = running_total(ds, sum_col="cents").take_all()
+    # each key's full-prefix sum (its exact total) appears in its scan
+    sums: collections.Counter = collections.Counter()
+    for uid, c in zip(
+        t.column("user_id").to_pylist(), t.column("cents").to_pylist()
+    ):
+        sums[uid] += c
+    run_vals = collections.defaultdict(set)
+    for r in run:
+        run_vals[r["user_id"]].add(r["run_cents"])
+    assert set(run_vals) == set(sums)
+    for uid in sums:
+        assert sums[uid] in run_vals[uid]
+
+    # rolling with a frame >= key size degenerates to running_total
+    roll = rolling_sum(ds, sum_col="cents", window_rows=n + 1).take_all()
+    assert sorted(
+        (r["user_id"], r["event_id"], r["cents"], r["roll_cents"]) for r in roll
+    ) == sorted(
+        (r["user_id"], r["event_id"], r["cents"], r["run_cents"]) for r in run
+    )
+
+    # lag/lead: every key has at least one start (prev=default) and one
+    # end (next=default) boundary row
+    ll = lag_lead(ds, val_col="cents", default=10**9).take_all()
+    by_key = collections.defaultdict(list)
+    for r in ll:
+        by_key[r["user_id"]].append(r)
+    for rows in by_key.values():
+        assert sum(1 for r in rows if r["prev_cents"] == 10**9) == 1
+        assert sum(1 for r in rows if r["next_cents"] == 10**9) == 1
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 400), parts=st.integers(1, 7))
+def test_kmv_per_key_exact_when_unsaturated(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_distinct_per_key
+
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 4, n)
+    vals = rng.integers(0, 200, n)
+    t = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in kmv_distinct_per_key(
+            ray.data.from_arrow(t).repartition(parts), key_col="k", col="v", k=512
+        ).take_all()
+    }
+    exp: dict = {}
+    for kk, vv in zip(keys.tolist(), vals.tolist()):
+        exp.setdefault(kk, set()).add(vv)
+    assert got == {kk: len(s) for kk, s in exp.items()}
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 200), parts=st.integers(1, 7))
+def test_collect_sorted_counts(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.windows import collect_sorted
+
+    t = _events(seed, n)
+    out = collect_sorted(
+        ray.data.from_arrow(t).repartition(parts),
+        key_col="user_id",
+        val_col="cat",
+        distinct=True,
+    ).take_all()
+    for r in out:
+        vals = r["vals"].split(",")
+        assert vals == sorted(set(vals)) and r["n_vals"] == len(vals)

@@ -577,6 +577,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window_rows=5, tiebreak_col="event_id",
         )
 
+    def term_heavy_hitters(sf_dir):
+        # approximate top-20 terms via mergeable Misra-Gries summaries —
+        # the bounded-exchange counterpart of vocab_top100: each batch
+        # ships ≤capacity counter rows no matter how many distinct terms
+        # it saw; exact (oracle-matching) while true distinct terms ≤
+        # capacity (sketch.py documents the n/(capacity+1) bound beyond).
+        from urlmap_ray.functions.sketch import mg_topk
+
+        def term_rows(t: pa.Table) -> pa.Table:
+            out: list[str] = []
+            for txt in t.column("text").to_pylist():
+                out.extend((txt or "").lower().split())
+            return pa.table({"term": pa.array(out, pa.string())})
+
+        terms = _docs(sf_dir).map_batches(
+            lambda b: term_rows(b.select(["text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return mg_topk(terms, col="term", k=20, capacity=4096)
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1238,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_seq": user_event_seq,
         "events_cube": events_cube,
         "events_rolling": events_rolling,
+        "term_heavy_hitters": term_heavy_hitters,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -1538,6 +1560,21 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontam": decontam_sql,
         "doc_repetition": repetition_sql,
         "vocab_top100": vocab_sql,
+        # Misra-Gries heavy hitters: exact below capacity=4096 distinct
+        # terms (synthetic vocab is ~31), so plain GROUP BY count is the
+        # oracle; ties broken (n DESC, value ASC) on both sides.
+        "term_heavy_hitters": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+                FROM documents
+            ), t AS (SELECT unnest(w) AS term FROM toks),
+            g AS (SELECT term AS value, count(*) AS n FROM t GROUP BY 1)
+            SELECT value, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, value) AS rnk
+            FROM g ORDER BY rnk LIMIT 20
+        """,
         # TF-IDF keywords: same tokenizer CTE as vocab; rank rule
         # tf*ln(N/df) DESC, term ASC — ln() is bit-identical between
         # CPython math.log and DuckDB on this toolchain (tested in

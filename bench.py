@@ -113,6 +113,7 @@ def run_bench() -> dict:
         "doc_compression",
         "docs_decontam",
         "vocab_top100",
+        "term_heavy_hitters",
         "doc_tfidf",
         "docs_bm25",
         "docs_rollup",

@@ -225,3 +225,62 @@ def test_compression_batch_signal(ray_session):
     # deterministic: same input → same compressed size
     again = compression_batch(t)
     assert out.equals(again)
+
+
+def test_mg_topk_exact_below_capacity(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import mg_topk
+
+    rng = np.random.default_rng(5)
+    vals = [f"v{i:03d}" for i in rng.zipf(1.5, size=20_000) % 200]
+    t = pa.table({"x": pa.array(vals, pa.string())})
+    got = mg_topk(
+        ray.data.from_arrow(t).repartition(9), col="x", k=10, capacity=512
+    )
+    exp = Counter(vals).most_common()
+    exp.sort(key=lambda it: (-it[1], it[0]))
+    assert list(
+        zip(got.column("value").to_pylist(), got.column("n").to_pylist())
+    ) == exp[:10]
+    assert got.column("rnk").to_pylist() == list(range(1, 11))
+
+
+def test_mg_topk_error_bound_when_saturated(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import mg_topk
+
+    rng = np.random.default_rng(9)
+    n = 30_000
+    # one true heavy hitter (20%) over a long uniform tail of 5000 values
+    vals = ["HH" if rng.random() < 0.2 else f"t{rng.integers(0, 5000)}"
+            for _ in range(n)]
+    capacity = 256
+    got = mg_topk(
+        ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.string())}))
+        .repartition(7),
+        col="x",
+        k=5,
+        capacity=capacity,
+    )
+    true_hh = sum(1 for v in vals if v == "HH")
+    row = {v: c for v, c in zip(got.column("value").to_pylist(),
+                                got.column("n").to_pylist())}
+    assert "HH" in row and got.column("value")[0].as_py() == "HH"
+    # MG undercounts by at most n/(capacity+1) per merge level; the
+    # summary merges twice (batch → fold), so allow 2× the bound
+    assert true_hh - row["HH"] <= 2 * n // (capacity + 1) + 2
+    assert row["HH"] <= true_hh
+
+
+def test_mg_topk_guards(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import mg_topk
+
+    t = pa.table({"x": pa.array(["a"], pa.string())})
+    with pytest.raises(ValueError):
+        mg_topk(ray.data.from_arrow(t), col="x", k=0)
+    with pytest.raises(ValueError):
+        mg_topk(ray.data.from_arrow(t), col="x", k=10, capacity=5)

@@ -195,3 +195,70 @@ def kmv_distinct_per_key(ds, *, key_col: str, col: str, k: int = 2048):
         .groupby(key_col)
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def _mg_truncate(counts: dict, capacity: int) -> dict:
+    """Misra-Gries truncation: keep <= capacity counters by subtracting the
+    (capacity+1)-th largest count from all and dropping non-positives —
+    the summary-merge step of Agarwal et al. 2012 ("Mergeable summaries"),
+    which preserves the n/ (capacity+1) error bound under arbitrary merge
+    trees."""
+    if len(counts) <= capacity:
+        return counts
+    by_count = sorted(counts.values(), reverse=True)
+    cut = by_count[capacity]
+    return {v: c - cut for v, c in counts.items() if c > cut}
+
+
+def mg_topk(ds, *, col: str, k: int = 20, capacity: int = 4096):
+    """Approximate top-k heavy hitters via mergeable Misra-Gries summaries.
+
+    The bounded-exchange counterpart of the exact word count
+    (textstats.vocab_topk): each batch ships AT MOST ``capacity`` counter
+    rows no matter how many distinct values it saw, the single-key
+    groupby folds per-value partial counters, and a final MG truncation +
+    top-k runs on the <= capacity × n_batches surviving rows (driver-side,
+    provably small). Guarantees (Misra-Gries / mergeable-summaries):
+    reported count undercounts by at most n/(capacity+1), and EXACT counts
+    — hence an exact SQL-oracle match — whenever the true distinct-value
+    count is <= capacity (the documented saturation regime, same contract
+    as the KMV sketch). Ties broken by value ascending.
+    Returns an Arrow table (value, n, rnk).
+    """
+    if k < 1 or capacity < k:
+        raise ValueError(f"need 1 <= k <= capacity, got k={k} capacity={capacity}")
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        vc = pc.value_counts(c.combine_chunks())
+        counts = {
+            str(f["values"]): int(f["counts"]) for f in vc.to_pylist()
+        }
+        counts = _mg_truncate(counts, capacity)
+        vals = sorted(counts)
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.string()),
+                "n_partial": pa.array([counts[v] for v in vals], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(batch_summary, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .take_all()  # <= capacity × n_batches rows — provably bounded
+    )
+    merged = _mg_truncate({r["value"]: int(r["n"]) for r in folded}, capacity)
+    top = sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
+    return pa.table(
+        {
+            "value": pa.array([v for v, _ in top], pa.string()),
+            "n": pa.array([c for _, c in top], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+        }
+    )

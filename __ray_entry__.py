@@ -256,6 +256,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return exact_quantiles(toks, "n_tokens", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
 
+    def doc_len_quantiles_sketch(sf_dir):
+        # the mergeable quantile-summary counterpart of
+        # doc_length_quantiles (sketch.quantile_sketch): each batch ships
+        # ≤capacity (value, weight) rows; exact — same oracle — while no
+        # summary saturates (doc counts ≪ 32768 at test scale).
+        from urlmap_ray.functions.sketch import quantile_sketch
+
+        toks = _docs(sf_dir).map_batches(
+            lambda t: ts.token_count_batch(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return quantile_sketch(
+            toks, col="n_tokens", qs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+        )
+
     def event_value_quantiles(sf_dir):
         # float column → declared fixed-point units (cents), then the exact
         # histogram machinery; contract is "exact quantile of floor(x·100)"
@@ -1215,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_hits": page_hits,
         "doc_token_counts": doc_token_counts,
         "doc_length_quantiles": doc_length_quantiles,
+        "doc_len_quantiles_sketch": doc_len_quantiles_sketch,
         "doc_len_by_lang": doc_len_by_lang,
         "event_value_quantiles": event_value_quantiles,
         "doc_quality": doc_quality,
@@ -1743,6 +1760,29 @@ def oracle_sql() -> dict[str, str]:
         # inverted-empirical-CDF quantiles, same pinned rule as
         # functions/quantiles.py: v(q) = min{v : cum(v) >= ceil(q*N)}
         "doc_length_quantiles": """
+            WITH tok AS (
+                SELECT CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT n_tokens, count(*) AS n FROM tok GROUP BY 1
+            ), s AS (
+                SELECT n_tokens, sum(n) OVER (ORDER BY n_tokens) AS cum FROM c
+            ), t AS (SELECT count(*) AS tot FROM tok),
+            -- q must be DOUBLE (not DECIMAL): the rank rule rounds
+            -- ceil(q * N) in IEEE doubles on the Ray side, and decimal
+            -- q*N differs at e.g. q=0.1, N=500 (50 exact vs 50.0000...07)
+            qs AS (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+                                      AS DOUBLE[])) AS q)
+            SELECT q, min(n_tokens) AS n_tokens
+            FROM qs CROSS JOIN s CROSS JOIN t
+            WHERE cum >= ceil(q * tot)
+            GROUP BY q
+        """,
+        # same oracle as doc_length_quantiles: the sketch is exact
+        # (unsaturated) at gate scale
+        "doc_len_quantiles_sketch": """
             WITH tok AS (
                 SELECT CASE WHEN trim(text) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END

@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "pagerank_shuffle",
         "page_hits",
         "doc_length_quantiles",
+        "doc_len_quantiles_sketch",
         "doc_len_by_lang",
     ):
         t0 = time.time()

@@ -284,3 +284,53 @@ def test_mg_topk_guards(ray_session):
         mg_topk(ray.data.from_arrow(t), col="x", k=0)
     with pytest.raises(ValueError):
         mg_topk(ray.data.from_arrow(t), col="x", k=10, capacity=5)
+
+
+def test_quantile_sketch_exact_below_saturation(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.quantiles import exact_quantiles
+    from urlmap_ray.functions.sketch import quantile_sketch
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 10_000, size=5_000)
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = quantile_sketch(ds, col="x", qs=qs, capacity=32768)
+    exact = exact_quantiles(ray.data.from_arrow(t), "x", qs)
+    assert got.equals(exact)
+
+
+def test_quantile_sketch_rank_error_when_saturated(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import quantile_sketch
+
+    rng = np.random.default_rng(17)
+    n, capacity = 50_000, 512
+    vals = np.sort(rng.integers(0, 10**9, size=n))
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(rng.permutation(vals), pa.int64())})
+    ).repartition(8)
+    qs = [0.1, 0.5, 0.9]
+    got = quantile_sketch(ds, col="x", qs=qs, capacity=capacity)
+    for q, v in zip(qs, got.column("x").to_pylist()):
+        true_rank = np.searchsorted(vals, v, side="right") / n
+        # two compaction levels → rank error ≲ 2 · 1/(2·capacity) per
+        # level; allow a generous 4/capacity plus discreteness slack
+        assert abs(true_rank - q) < 4.0 / capacity + 0.01, (q, true_rank)
+
+
+def test_quantile_sketch_guards(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import quantile_sketch
+
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError):
+        quantile_sketch(ray.data.from_arrow(t), col="x", qs=[])
+    with pytest.raises(ValueError):
+        quantile_sketch(ray.data.from_arrow(t), col="x", qs=[0.5], capacity=1)
+    with pytest.raises(ValueError):
+        quantile_sketch(ray.data.from_arrow(t), col="x", qs=[1.5])

@@ -262,3 +262,83 @@ def mg_topk(ds, *, col: str, k: int = 20, capacity: int = 4096):
             "rnk": pa.array(np.arange(1, len(top) + 1), pa.int64()),
         }
     )
+
+
+def _qs_compact(vals: np.ndarray, wts: np.ndarray, capacity: int):
+    """Deterministic weighted-stride compaction of a sorted (value, weight)
+    quantile summary down to ``capacity`` entries: pick the element at each
+    of ``capacity`` evenly-spaced cumulative-weight targets, re-weighting
+    to W/capacity (remainder on the last entry). Rank error per compaction
+    <= W/(2*capacity); a no-op (exact) while len <= capacity."""
+    if len(vals) <= capacity:
+        return vals, wts
+    w_total = float(wts.sum())
+    cw = np.cumsum(wts)
+    targets = w_total * (np.arange(capacity) + 0.5) / capacity
+    idx = np.clip(np.searchsorted(cw, targets, side="left"), 0, len(vals) - 1)
+    out_w = np.full(capacity, w_total / capacity)
+    out_w[-1] += w_total - out_w.sum()  # keep total weight exact
+    return vals[idx], out_w
+
+
+def quantile_sketch(ds, *, col: str, qs: list[float], capacity: int = 32768):
+    """Approximate quantiles of an integer column via a mergeable
+    deterministic summary — the third sketch of the family (KMV:
+    cardinality, Misra-Gries: heavy hitters, this: quantiles), for when
+    even the distinct-value histogram of
+    :func:`urlmap_ray.functions.quantiles.exact_quantiles` is too wide to
+    fold (continuous-valued columns at 100 TB).
+
+    Each batch ships a summary of at most ``capacity`` (value, weight)
+    rows; the driver fold concatenates, sorts by value and re-compacts —
+    rank error grows by <= W/(2*capacity) per compaction level (two
+    levels here). While every summary stays below capacity the weights
+    are all exactly 1.0 and the fold holds EVERY value, so the estimator
+    reduces to the same pinned inverted-ECDF rule as ``exact_quantiles``
+    and the SQL oracle matches exactly (the documented saturation
+    contract). Returns pa.Table (q, <col>).
+    """
+    import math
+
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    if capacity < 2:
+        raise ValueError(f"capacity must be >= 2, got {capacity}")
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        v = np.sort(c.to_numpy(zero_copy_only=False).astype(np.int64))
+        v, w = _qs_compact(v, np.ones(len(v)), capacity)
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        batch_summary, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # <= capacity × n_batches rows — bounded, never raw rows
+    if not parts:
+        raise ValueError(f"cannot take quantiles of an empty column {col!r}")
+    vals = np.array([r["v"] for r in parts], dtype=np.int64)
+    wts = np.array([r["w"] for r in parts], dtype=np.float64)
+    order = np.lexsort((wts, vals))  # value order; weight tie-order harmless
+    vals, wts = vals[order], wts[order]
+    vals, wts = _qs_compact(vals, wts, capacity)
+    cum = np.cumsum(wts)
+    w_total = float(cum[-1])
+    # unsaturated ⇔ nothing was ever compacted ⇔ every weight is still 1.0:
+    # use exact_quantiles' pinned ceil-rank rule so the SQL oracle matches;
+    # saturated summaries use the continuous weighted rank
+    exact_regime = bool(np.all(wts == 1.0))
+    ranks = [math.ceil(q * w_total) if exact_regime else q * w_total for q in qs]
+    picks = np.clip(np.searchsorted(cum, ranks, side="left"), 0, len(vals) - 1)
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            col: pa.array(vals[picks], pa.int64()),
+        }
+    )

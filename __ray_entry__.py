@@ -614,6 +614,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mg_topk(terms, col="term", k=20, capacity=4096)
 
+    def events_ntile(sf_dir):
+        # per-user spend quartiles (NTILE(4) ORDER BY cents, event_id) —
+        # the rank family's bucketing form; SQL tie/size semantics pinned.
+        from urlmap_ray.functions.windows import ntile
+
+        return ntile(
+            _events_cents(sf_dir), key_col="user_id", order_col="cents",
+            n=4, tiebreak_col="event_id",
+        )
+
     def docs_pipeline(sf_dir):
         """The composed end-to-end pre-training prep flow — what a user of
         this engine actually runs over a crawl: row-local gates (language,
@@ -1277,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": events_cube,
         "events_rolling": events_rolling,
         "term_heavy_hitters": term_heavy_hitters,
+        "events_ntile": events_ntile,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
         "docs_split": docs_split,
@@ -2105,6 +2116,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
                   FROM events)
             GROUP BY CUBE(event_type, day)
+        """,
+        "events_ntile": """
+            WITH e AS (SELECT user_id, event_id,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, event_id, cents,
+                   CAST(NTILE(4) OVER (PARTITION BY user_id
+                                       ORDER BY cents, event_id) AS BIGINT)
+                       AS bucket
+            FROM e
         """,
         "events_rolling": """
             WITH e AS (SELECT user_id, event_id, ts,

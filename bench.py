@@ -133,6 +133,7 @@ def run_bench() -> dict:
         "events_running",
         "events_lag",
         "events_rolling",
+        "events_ntile",
         "user_event_seq",
         "orders_cust_nation",
         "custs_no_urgent",

@@ -336,3 +336,61 @@ def test_rolling_sum_matches_pandas(ray_session, events_pd):
     with pytest.raises(ValueError, match="window_rows"):
         rolling_sum(ds, key_col="user_id", ts_col="ts", sum_col="cents",
                     window_rows=0)
+
+
+def test_ntile_matches_pandas(ray_session, events_pd):
+    import ray.data
+
+    from urlmap_ray.functions.windows import ntile
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.floor(pc.multiply(t.column("value"), 100.0))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "cents": c.cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "value"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    got = (
+        ntile(ds, key_col="user_id", order_col="cents", n=4,
+              tiebreak_col="event_id")
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = events_pd.copy()
+    exp["cents"] = np.floor(exp["value"] * 100.0).astype("int64")
+    exp = exp.sort_values(["user_id", "cents", "event_id"])
+
+    def buckets(g):
+        rows = len(g)
+        base, extra = divmod(rows, 4)
+        sizes = [base + 1] * extra + [base] * (4 - extra)
+        out = []
+        for b, s in enumerate(sizes, 1):
+            out.extend([b] * s)
+        return out[:rows]
+
+    exp["bucket"] = [b for _, g in exp.groupby("user_id") for b in buckets(g)]
+    exp = (
+        exp[["user_id", "event_id", "cents", "bucket"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(exp.astype("int64"))
+    # every per-key bucket histogram is balanced within 1
+    sizes = got.groupby(["user_id", "bucket"]).size()
+    for uid, g in got.groupby("user_id"):
+        per = g.groupby("bucket").size()
+        assert per.max() - per.min() <= 1
+    with pytest.raises(ValueError):
+        from urlmap_ray.functions.windows import ntile as nt
+
+        nt(ds, key_col="user_id", order_col="cents", n=0)

@@ -455,3 +455,37 @@ def rolling_sum(
         return out.append_column(f"roll_{sum_col}", pa.array(roll, pa.int64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def ntile(
+    ds,
+    *,
+    key_col: str = "user_id",
+    order_col: str,
+    n: int = 4,
+    tiebreak_col: str = "event_id",
+):
+    """Per-key NTILE(n): bucket each key's rows 1..n in ``order_col``
+    order (SQL semantics: the first ``count mod n`` buckets get the extra
+    row). The rank-family sibling of top_n_per_key (ROW_NUMBER) — same
+    one-key-shuffle + vectorized per-group pass. ``tiebreak_col`` must be
+    a unique integer column so equal order values bucket deterministically.
+    Returns (key, tiebreak, order_col, bucket).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def per_key(g: pa.Table) -> pa.Table:
+        v = g.column(order_col).to_numpy(zero_copy_only=False)
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, v))
+        rows = len(order)
+        base, extra = divmod(rows, n)
+        sizes = np.full(min(n, rows), base, dtype=np.int64)
+        sizes[:extra] += 1
+        sizes = sizes[sizes > 0]
+        bucket = np.repeat(np.arange(1, len(sizes) + 1), sizes)
+        out = g.select([key_col, tiebreak_col, order_col]).take(pa.array(order))
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

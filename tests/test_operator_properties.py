@@ -164,3 +164,26 @@ def test_collect_sorted_counts(ray_session, seed, n, parts):
     for r in out:
         vals = r["vals"].split(",")
         assert vals == sorted(set(vals)) and r["n_vals"] == len(vals)
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 300), parts=st.integers(1, 7))
+def test_ntile_partition_independent_and_balanced(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.windows import ntile
+
+    t = _events(seed, n)
+    base = ntile(
+        ray.data.from_arrow(t), order_col="cents", n=4
+    ).take_all()
+    split = ntile(
+        ray.data.from_arrow(t).repartition(parts), order_col="cents", n=4
+    ).take_all()
+    assert sorted(map(str, base)) == sorted(map(str, split))
+    import collections
+
+    per = collections.Counter((r["user_id"], r["bucket"]) for r in base)
+    for uid in {r["user_id"] for r in base}:
+        sizes = [per[(uid, b)] for b in (1, 2, 3, 4) if (uid, b) in per]
+        assert max(sizes) - min(sizes) <= 1

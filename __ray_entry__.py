@@ -1987,7 +1987,7 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                                   * 1000000) AS window_start,
                    count(*) AS n_events,
-                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
         """,
         "events_hopping": """
@@ -1999,7 +1999,7 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp((tus // 7200000000 - j) * 7200000000)
                        AS window_start,
                    count(*) AS n_events,
-                   sum(cents) AS sum_cents
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM e CROSS JOIN j
             WHERE tus % 7200000000 + j * 7200000000 < 21600000000
             GROUP BY 1, 2

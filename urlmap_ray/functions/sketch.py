@@ -210,49 +210,91 @@ def _mg_truncate(counts: dict, capacity: int) -> dict:
     return {v: c - cut for v, c in counts.items() if c > cut}
 
 
-def mg_topk(ds, *, col: str, k: int = 20, capacity: int = 4096):
-    """Approximate top-k heavy hitters via mergeable Misra-Gries summaries.
-
-    The bounded-exchange counterpart of the exact word count
-    (textstats.vocab_topk): each batch ships AT MOST ``capacity`` counter
-    rows no matter how many distinct values it saw, the single-key
-    groupby folds per-value partial counters, and a final MG truncation +
-    top-k runs on the <= capacity × n_batches surviving rows (driver-side,
-    provably small). Guarantees (Misra-Gries / mergeable-summaries):
-    reported count undercounts by at most n/(capacity+1), and EXACT counts
-    — hence an exact SQL-oracle match — whenever the true distinct-value
-    count is <= capacity (the documented saturation regime, same contract
-    as the KMV sketch). Ties broken by value ascending.
-    Returns an Arrow table (value, n, rnk).
-    """
-    if k < 1 or capacity < k:
-        raise ValueError(f"need 1 <= k <= capacity, got k={k} capacity={capacity}")
+def mg_folded(ds, *, col: str, capacity: int, n_buckets: int):
+    """The distributed part of :func:`mg_topk`: per-batch MG summaries →
+    one bucketed ``groupby(hash(value) % n_buckets).map_groups`` compaction.
+    Returns a Dataset of (value, n) with AT MOST ``n_buckets × capacity``
+    rows — the provable bound on what the driver fold ever sees (tested by
+    the ≥100-batch property test)."""
 
     def batch_summary(t: pa.Table) -> pa.Table:
         c = t.column(col)
         if c.null_count:
             c = c.drop_null()
         vc = pc.value_counts(c.combine_chunks())
-        counts = {
-            str(f["values"]): int(f["counts"]) for f in vc.to_pylist()
-        }
+        counts = {str(f["values"]): int(f["counts"]) for f in vc.to_pylist()}
+        counts = _mg_truncate(counts, capacity)
+        vals = sorted(counts)
+        arr = pa.array(vals, pa.string())
+        gb = (hash64_column(arr) % _U64(n_buckets)).astype(np.int64) if vals else []
+        return pa.table(
+            {
+                "value": arr,
+                "n_partial": pa.array([counts[v] for v in vals], pa.int64()),
+                "gb": pa.array(gb, pa.int64()),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        # All partials for a value live in this one bucket: exact sums,
+        # then MG truncation bounds the bucket's output at `capacity`.
+        summed = group.group_by("value").aggregate([("n_partial", "sum")])
+        counts = dict(
+            zip(
+                summed.column("value").to_pylist(),
+                summed.column("n_partial_sum").to_pylist(),
+            )
+        )
         counts = _mg_truncate(counts, capacity)
         vals = sorted(counts)
         return pa.table(
             {
                 "value": pa.array(vals, pa.string()),
-                "n_partial": pa.array([counts[v] for v in vals], pa.int64()),
+                "n": pa.array([counts[v] for v in vals], pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    folded = (
+    return (
         ds.map_batches(batch_summary, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("value")
-        .aggregate(Sum("n_partial", alias_name="n"))
-        .take_all()  # <= capacity × n_batches rows — provably bounded
+        .groupby("gb")
+        .map_groups(bucket_fold, batch_format="pyarrow")
     )
+
+
+def mg_topk(ds, *, col: str, k: int = 20, capacity: int = 4096, n_buckets: int = 64):
+    """Approximate top-k heavy hitters via mergeable Misra-Gries summaries.
+
+    The bounded-exchange counterpart of the exact word count
+    (textstats.vocab_topk), folded as a TWO-LEVEL merge tree so no stage —
+    driver included — ever holds more than a bounded number of rows:
+
+    1. each batch ships AT MOST ``capacity`` counter rows no matter how
+       many distinct values it saw;
+    2. ONE ``groupby(hash(value) % n_buckets).map_groups`` stage sums each
+       value's partials (every value lands in exactly one bucket) and
+       MG-truncates the bucket to <= ``capacity`` rows;
+    3. the driver folds the <= ``n_buckets × capacity`` survivors —
+       a CONSTANT bound, independent of the number of input batches
+       (the r2 single-level fold was capacity × n_batches, which at 100 TB
+       ~= 10^10 rows on the driver).
+
+    Guarantees (Misra-Gries / Agarwal et al. 2012 mergeable summaries —
+    truncation error composes additively across merge-tree levels): the
+    reported count undercounts by at most 2n/(capacity+1) (one level per
+    truncation stage), and counts are EXACT — hence an exact SQL-oracle
+    match — whenever the true distinct-value count is <= capacity (the
+    documented saturation regime: no batch, bucket, or driver truncation
+    ever fires, since a bucket holds a subset of the distinct values).
+    Ties broken by value ascending. Returns an Arrow table (value, n, rnk).
+    """
+    if k < 1 or capacity < k:
+        raise ValueError(f"need 1 <= k <= capacity, got k={k} capacity={capacity}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    folded = mg_folded(
+        ds, col=col, capacity=capacity, n_buckets=n_buckets
+    ).take_all()  # <= n_buckets × capacity rows — constant bound
     merged = _mg_truncate({r["value"]: int(r["n"]) for r in folded}, capacity)
     top = sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
     return pa.table(
@@ -281,7 +323,70 @@ def _qs_compact(vals: np.ndarray, wts: np.ndarray, capacity: int):
     return vals[idx], out_w
 
 
-def quantile_sketch(ds, *, col: str, qs: list[float], capacity: int = 32768):
+def _coalesce_weighted(vals: np.ndarray, wts: np.ndarray):
+    """Merge duplicate values by summing their weights — LOSSLESS (the
+    weighted ECDF is unchanged), so it never costs rank error and never
+    breaks the exactness contract. Returns (sorted unique values, weights)."""
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    newv = np.ones(len(vals), dtype=bool)
+    newv[1:] = vals[1:] != vals[:-1]
+    starts = np.flatnonzero(newv)
+    return vals[starts], np.add.reduceat(wts, starts)
+
+
+def quantile_summaries(ds, *, col: str, capacity: int, n_buckets: int):
+    """The distributed part of :func:`quantile_sketch`: per-batch coalesced
+    summaries → one bucketed compaction. Returns a Dataset of
+    (v, w, exact) with AT MOST ``n_buckets × capacity`` rows — the provable
+    bound on the driver fold's input (tested by the ≥100-batch property
+    test)."""
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        raw = c.to_numpy(zero_copy_only=False).astype(np.int64)
+        v, w = np.unique(raw, return_counts=True)  # lossless coalesce
+        exact = len(v) <= capacity
+        v, w = _qs_compact(v, w.astype(np.float64), capacity)
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.float64()),
+                "exact": pa.array(np.full(len(v), exact)),
+                "gb": pa.array(
+                    (_splitmix64(v) % _U64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = group.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        exact = bool(pc.all(group.column("exact")).as_py())
+        v, w = _coalesce_weighted(v, w)
+        if len(v) > capacity:
+            v, w = _qs_compact(v, w, capacity)
+            exact = False
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.float64()),
+                "exact": pa.array(np.full(len(v), exact)),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_summary, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gb")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+    )
+
+
+def quantile_sketch(
+    ds, *, col: str, qs: list[float], capacity: int = 32768, n_buckets: int = 64
+):
     """Approximate quantiles of an integer column via a mergeable
     deterministic summary — the third sketch of the family (KMV:
     cardinality, Misra-Gries: heavy hitters, this: quantiles), for when
@@ -289,14 +394,29 @@ def quantile_sketch(ds, *, col: str, qs: list[float], capacity: int = 32768):
     :func:`urlmap_ray.functions.quantiles.exact_quantiles` is too wide to
     fold (continuous-valued columns at 100 TB).
 
-    Each batch ships a summary of at most ``capacity`` (value, weight)
-    rows; the driver fold concatenates, sorts by value and re-compacts —
-    rank error grows by <= W/(2*capacity) per compaction level (two
-    levels here). While every summary stays below capacity the weights
-    are all exactly 1.0 and the fold holds EVERY value, so the estimator
-    reduces to the same pinned inverted-ECDF rule as ``exact_quantiles``
-    and the SQL oracle matches exactly (the documented saturation
-    contract). Returns pa.Table (q, <col>).
+    Folded as a TWO-LEVEL merge tree (the r2 single-level fold shipped
+    capacity × n_batches rows to the driver — ~10^11 at 100 TB):
+
+    1. each batch coalesces duplicate values (lossless) and ships at most
+       ``capacity`` (value, weight) rows;
+    2. ONE ``groupby(hash(value) % n_buckets).map_groups`` stage merges its
+       bucket's summaries — coalesce duplicates, compact to ``capacity``
+       only if still wider. Hash-scatter bucketing is valid for quantile
+       summaries because per-bucket compaction error is local to the
+       bucket's weight and rank errors add: sum_b W_b/(2·capacity)
+       = W/(2·capacity), the SAME bound as one global compaction;
+    3. the driver folds the <= ``n_buckets × capacity`` survivors
+       (constant bound) WITHOUT further compaction — it is the final
+       estimator, so total rank error is <= 2 · W/(2·capacity) (one level
+       per compacting stage).
+
+    Exactness is tracked as data: every summary row carries an ``exact``
+    flag that survives only if no lossy compaction ever fired on its path.
+    While the true distinct-value count per bucket is <= capacity the flags
+    all hold, weights are exact multiplicities, and the estimator reduces
+    to the same pinned inverted-ECDF ceil-rank rule as ``exact_quantiles``
+    — the documented saturation contract that lets the SQL oracle match
+    exactly at test scale. Returns pa.Table (q, <col>).
     """
     import math
 
@@ -304,36 +424,23 @@ def quantile_sketch(ds, *, col: str, qs: list[float], capacity: int = 32768):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
     if capacity < 2:
         raise ValueError(f"capacity must be >= 2, got {capacity}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
-    def batch_summary(t: pa.Table) -> pa.Table:
-        c = t.column(col)
-        if c.null_count:
-            c = c.drop_null()
-        v = np.sort(c.to_numpy(zero_copy_only=False).astype(np.int64))
-        v, w = _qs_compact(v, np.ones(len(v)), capacity)
-        return pa.table(
-            {
-                "v": pa.array(v, pa.int64()),
-                "w": pa.array(w, pa.float64()),
-            }
-        )
-
-    parts = ds.map_batches(
-        batch_summary, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # <= capacity × n_batches rows — bounded, never raw rows
+    parts = quantile_summaries(
+        ds, col=col, capacity=capacity, n_buckets=n_buckets
+    ).take_all()  # <= n_buckets × capacity rows — constant bound
     if not parts:
         raise ValueError(f"cannot take quantiles of an empty column {col!r}")
     vals = np.array([r["v"] for r in parts], dtype=np.int64)
     wts = np.array([r["w"] for r in parts], dtype=np.float64)
-    order = np.lexsort((wts, vals))  # value order; weight tie-order harmless
-    vals, wts = vals[order], wts[order]
-    vals, wts = _qs_compact(vals, wts, capacity)
+    exact_regime = all(r["exact"] for r in parts)
+    vals, wts = _coalesce_weighted(vals, wts)
     cum = np.cumsum(wts)
     w_total = float(cum[-1])
-    # unsaturated ⇔ nothing was ever compacted ⇔ every weight is still 1.0:
-    # use exact_quantiles' pinned ceil-rank rule so the SQL oracle matches;
-    # saturated summaries use the continuous weighted rank
-    exact_regime = bool(np.all(wts == 1.0))
+    # unsaturated ⇔ no lossy compaction anywhere ⇔ weights are exact
+    # multiplicities: use exact_quantiles' pinned ceil-rank rule so the SQL
+    # oracle matches; saturated summaries use the continuous weighted rank
     ranks = [math.ceil(q * w_total) if exact_regime else q * w_total for q in qs]
     picks = np.clip(np.searchsorted(cum, ranks, side="left"), 0, len(vals) - 1)
     return pa.table(

@@ -72,6 +72,7 @@ def tfidf_topk(
     id_col: str = "doc_id",
     min_df: int = 1,
     n_docs: int | None = None,
+    max_vocab: int = 1 << 20,
 ):
     """Top-k TF-IDF keywords per document.
 
@@ -80,11 +81,24 @@ def tfidf_topk(
     ``tf * ln(N/df)`` descending, ties broken by term ascending (the exact
     rule the SQL oracle reproduces with ROW_NUMBER). Terms with
     ``df < min_df`` are not keyword candidates (sklearn's min_df
-    convention) — that is what bounds the broadcast vocabulary at scale.
+    convention).
+
+    The broadcast vocabulary is HARD-BOUNDED at ``max_vocab`` terms — a
+    declared contract like the pivot's category cap, because Heaps' law
+    means min_df alone cannot bound a web-scale vocabulary. When the pruned
+    vocabulary overflows, the ``max_vocab`` terms with the LOWEST document
+    frequency are kept (df-ascending, term-ascending tiebreak — the rarest
+    terms carry the highest idf and are the only plausible keywords; the
+    dropped high-df tail is the stopword end, sklearn's max_df convention)
+    and a loud warning reports how many terms were cut. The selection runs
+    as a distributed ``sort + limit``, so the driver never materializes
+    more than ``max_vocab + 1`` (term, df) rows.
     """
     import ray
     from ray.data.aggregate import Sum
 
+    if max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
     if n_docs is None:
         n_docs = ds.count()
     n = int(n_docs)
@@ -101,12 +115,33 @@ def tfidf_topk(
             }
         )
 
-    df_rows = (
+    vocab = (
         ds.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
-        .take_all()
     )
+    if min_df > 1:
+        vocab = vocab.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("df"), min_df)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    df_rows = (
+        vocab.sort(["df", "term"])  # rarest first; deterministic cut
+        .limit(max_vocab + 1)
+        .take_all()  # <= max_vocab + 1 rows — the declared broadcast bound
+    )
+    if len(df_rows) > max_vocab:
+        import warnings
+
+        warnings.warn(
+            f"tfidf_topk: pruned vocabulary exceeds max_vocab={max_vocab}; "
+            f"keeping the {max_vocab} lowest-df terms and dropping the "
+            "high-df tail (max_df/stopword convention). Raise max_vocab or "
+            "min_df to change the cut.",
+            stacklevel=2,
+        )
+        df_rows = df_rows[:max_vocab]
     df_map = {r["term"]: int(r["df"]) for r in df_rows if int(r["df"]) >= min_df}
     df_ref = ray.put(df_map)
 

@@ -181,10 +181,17 @@ def ensure_graph_expected(info: CorpusInfo) -> tuple[str, str, str]:
     e_path = expected_path(info, "page_edges")
     d_path = expected_path(info, "page_degrees")
     p_path = expected_path(info, "pagerank")
+    # 3-iteration variant: the registered pagerank_shuffle query runs the
+    # >SHUFFLE_MODE_NODES formulation at 3 iterations (bit-identity vs
+    # broadcast mode is separately pinned per-iteration by
+    # test_pagerank_shuffle_mode_identical), so the bench stops paying
+    # 10 iterations × 2 all-to-all jobs of toy-scale overhead (VERDICT r2 #4)
+    p3_path = expected_path(info, "pagerank3")
     if not (
         _should_generate(info, e_path)
         or _should_generate(info, d_path)
         or _should_generate(info, p_path)
+        or _should_generate(info, p3_path)
     ):
         return e_path, d_path, p_path
     from collections import Counter
@@ -237,6 +244,16 @@ def ensure_graph_expected(info: CorpusInfo) -> tuple[str, str, str]:
             }
         ),
         p_path,
+    )
+    pr3 = pagerank_reference(urls, links_per_url, n_iters=3)
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(su, pa.string()),
+                "rank_ppb": pa.array([pr3[u] for u in su], pa.int64()),
+            }
+        ),
+        p3_path,
     )
     return e_path, d_path, p_path
 

@@ -29,18 +29,27 @@ def _corpus(sf_dir: str):
     return corpus_for_sf_dir(sf_dir)
 
 
-def _crawl(sf_dir: str, tag: str, cfg, with_expected: bool = False) -> Any:
+def _crawl(
+    sf_dir: str,
+    tag: str,
+    cfg,
+    with_expected: bool = False,
+    transient_rate: float = 0.0,
+    with_attempt: bool = False,
+) -> Any:
     import ray.data
+
+    from urlmap_ray.corpus import corpus_for_sf_dir
 
     from urlmap_ray.pipelines.crawl import CrawlEngine
 
-    info = _corpus(sf_dir)
+    info = corpus_for_sf_dir(sf_dir, transient_rate=transient_rate)
     if with_expected:
         # materialize the sequential wave-BFS oracle as Parquet so the
         # driver's DuckDB gate can read it (see urlmap_ray/expected.py)
         from urlmap_ray.expected import ensure_crawl_expected
 
-        ensure_crawl_expected(info, tag, cfg)
+        ensure_crawl_expected(info, tag, cfg, with_attempt=with_attempt)
     eng = CrawlEngine(
         info,
         cfg,
@@ -48,7 +57,7 @@ def _crawl(sf_dir: str, tag: str, cfg, with_expected: bool = False) -> Any:
         seen_shards=4,
     )
     eng.crawl(info.seeds[0])
-    return eng.visited_dataset()
+    return eng.visited_dataset(with_attempt=with_attempt)
 
 
 def _docs(sf_dir: str):
@@ -134,6 +143,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "br",
             CrawlConfig(per_host_budget=200, respect_robots=True),
             with_expected=True,
+        )
+
+    def crawl_transient(sf_dir):
+        # transient-5xx retry semantics as data (reference client.go:63-83):
+        # crawl the flaky-corpus variant (~3% of pages 503 for their first
+        # 1-3 fetches); a transient failure is re-eligible next wave at
+        # unchanged depth until CrawlConfig.max_attempts is spent. Output
+        # carries the final attempt count per URL, so the oracle checks the
+        # re-fetch accounting, not just the visited set.
+        return _crawl(
+            sf_dir,
+            "tr",
+            CrawlConfig(),
+            with_expected=True,
+            transient_rate=0.03,
+            with_attempt=True,
         )
 
     def crawl_diff(sf_dir):
@@ -1234,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
         "crawl_budget_robots": crawl_budget_robots,
+        "crawl_transient": crawl_transient,
         "crawl_diff": crawl_diff,
         "page_links": page_links,
         "page_edges": page_edges,
@@ -1670,6 +1696,13 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": f"SELECT * FROM read_parquet('{_exp('crawl-bfs')}')",
         "crawl_depth3": f"SELECT * FROM read_parquet('{_exp('crawl-d3')}')",
         "crawl_budget_robots": f"SELECT * FROM read_parquet('{_exp('crawl-br')}')",
+        # flaky-corpus variant (cached beside the stable sf0.01 corpus):
+        # ground truth includes the final per-URL fetch-attempt count
+        "crawl_transient": (
+            "SELECT * FROM read_parquet('"
+            + expected_file(SF001_CORPUS_DIR + "-transient", "crawl-tr")
+            + "')"
+        ),
         "crawl_diff": f"""
             SELECT * FROM read_parquet('{_exp('crawl-bfs')}')
             WHERE url NOT IN (SELECT url FROM read_parquet('{_exp('crawl-d3')}'))

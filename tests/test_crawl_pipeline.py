@@ -298,3 +298,87 @@ def test_error_status_pages_gate_extraction(ray_session, corpus_info, corpus_dic
     rows = {r["url"]: r["status"] for r in eng.visited_dataset().take_all()}
     for r in errs:
         assert rows[r.url] == r.status
+
+
+# -- transient-failure retries (client.go:63-83 as data, VERDICT r2 #6) ----
+
+
+@pytest.fixture(scope="module")
+def transient_info(tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus_transient")
+    return generate_corpus(str(out), N_PAGES, transient_rate=0.10)
+
+
+@pytest.fixture(scope="module")
+def transient_dict(transient_info):
+    return load_corpus_dict(transient_info.pages_path)
+
+
+def test_transient_corpus_shape(transient_info, corpus_info):
+    """flaky_fails hits only non-root 200 pages, and flakiness never
+    perturbs base content: html/text bytes equal the stable corpus's."""
+    tbl = pads.dataset(transient_info.pages_path, format="parquet").to_table()
+    flaky = {
+        u: f
+        for u, f, s in zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("flaky_fails").to_pylist(),
+            tbl.column("status").to_pylist(),
+        )
+        if f
+    }
+    assert flaky, "transient_rate=0.10 over 400 pages must mark some pages"
+    assert set(flaky.values()) <= {1, 2, 3}
+    statuses = dict(zip(tbl.column("url").to_pylist(), tbl.column("status").to_pylist()))
+    for u in flaky:
+        assert statuses[u] == 200 and not u.endswith("/")
+    base = pads.dataset(corpus_info.pages_path, format="parquet").to_table()
+    a = {u: h for u, h in zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist())}
+    b = {u: h for u, h in zip(base.column("url").to_pylist(), base.column("html").to_pylist())}
+    assert a == b
+
+
+def _final_by_url(oracle):
+    return {r.url: (r.depth, r.status, r.attempt) for r in oracle.results}
+
+
+def test_transient_oracles_agree(transient_dict, transient_info):
+    """Immediate-retry (sequential) and wave-level re-enqueue (waves) reach
+    the same final (status, attempt) per URL — retries change timing, not
+    outcomes, on an unbudgeted crawl."""
+    cfg = CrawlConfig()
+    seq = crawl_sequential(transient_dict, transient_info.seeds[0], cfg)
+    wav = crawl_waves(transient_dict, transient_info.seeds[0], cfg)
+    assert _final_by_url(seq) == _final_by_url(wav)
+    attempts = [r.attempt for r in wav.results]
+    assert max(attempts) == 3
+    exhausted = [r for r in wav.results if r.status == 503 and r.attempt == 3]
+    recovered = [r for r in wav.results if r.status == 200 and r.attempt > 1]
+    assert exhausted and recovered
+
+
+@pytest.mark.parametrize("small_wave_rows", [1000, 0])
+def test_transient_engine_matches_oracle(
+    ray_session, transient_info, transient_dict, tmp_path, small_wave_rows
+):
+    """Engine (driver-local and distributed paths) reproduces the wave
+    oracle exactly on a flaky corpus: same visited set, per-URL depth,
+    final status AND final attempt count."""
+    cfg = CrawlConfig()
+    oracle = crawl_waves(transient_dict, transient_info.seeds[0], cfg)
+    eng = _engine(
+        ray_session,
+        transient_info,
+        cfg,
+        str(tmp_path / f"ck{small_wave_rows}"),
+        small_wave_rows=small_wave_rows,
+    )
+    out = eng.crawl(transient_info.seeds[0])
+    got = {
+        r["url"]: (r["depth"], r["status"], r["attempt"])
+        for r in eng.visited_dataset(with_attempt=True).take_all()
+    }
+    assert got == _final_by_url(oracle)
+    assert sum(w.retried for w in out.waves) == sum(
+        r.attempt - 1 for r in oracle.results
+    )

@@ -22,6 +22,13 @@ class CrawlConfig:
     respect_robots: bool = False
     user_agent: str = "urlmap-ray/0.1 (+https://github.com/aoshimash/urlmap)"
     per_host_budget: int | None = None
+    # Transient-failure retry budget (reference client.go:63-83: a 5xx /
+    # network error is retried up to 3 attempts total). In the wave engine a
+    # transient failure (corpus flaky page still within its flaky_fails
+    # window) is re-eligible NEXT WAVE at unchanged depth, up to
+    # max_attempts fetches; the run that exhausts the budget is recorded as
+    # a final 503 error result (visited, links never followed).
+    max_attempts: int = 3
     # Hot-host skew salting for the budgeted politeness gate: 0 = off; k > 0
     # splits every host's wave admission across k url-hash shards, each with
     # ceil(budget/k) quota, so no single gate task owns a hot host's whole

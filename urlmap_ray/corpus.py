@@ -52,6 +52,14 @@ PAGES_SCHEMA = pa.schema(
         # links NOT followed) is exercised — error pages keep a full html
         # body with links precisely so following them would be detected.
         ("status", pa.int32()),
+        # Transient-failure model (reference client.go:63-83: 5xx/network
+        # errors are retried): the first ``flaky_fails`` fetch attempts of
+        # this page return a transient 503 with no body; attempt
+        # ``flaky_fails + 1`` serves the captured (status, html). 0 = stable
+        # page (the default; corpora opt in via transient_rate>0). Drawn
+        # from a SEPARATE rng stream so base content is identical across
+        # rates.
+        ("flaky_fails", pa.int32()),
     ]
 )
 
@@ -59,6 +67,9 @@ PAGES_SCHEMA = pa.schema(
 #: corpus manifest: bumping regenerates stale cached corpora).
 ERROR_RATE = 0.03
 _ERROR_STATUSES = (404, 410, 500, 503)
+
+#: Status served while a flaky page is still failing (Service Unavailable).
+TRANSIENT_STATUS = 503
 
 ROBOTS_SCHEMA = pa.schema([("origin", pa.string()), ("content", pa.string())])
 
@@ -201,25 +212,44 @@ def _gen_one(gid: int, starts: np.ndarray, rng: np.random.Generator, scale: int 
     return url, ts, html, text, lang, status
 
 
-def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int = 1) -> pa.Table:
+def gen_pages_batch(
+    gids: np.ndarray,
+    starts: np.ndarray,
+    seed: int,
+    scale: int = 1,
+    transient_rate: float = 0.0,
+) -> pa.Table:
     """Generate a batch of pages; usable standalone or inside map_batches.
 
-    Deterministic in (seed, gid, scale) regardless of how gids are batched:
-    each fixed 256-id chunk has its own RNG stream, and partial chunks are
-    generated in full (cheap) with only the requested rows emitted.
-    ``scale`` multiplies paragraphs and link counts (page weight: scale=1 ≈
-    1.5KB toy pages; scale=4-8 ≈ realistic web pages).
+    Deterministic in (seed, gid, scale, transient_rate) regardless of how
+    gids are batched: each fixed 256-id chunk has its own RNG stream, and
+    partial chunks are generated in full (cheap) with only the requested
+    rows emitted. ``scale`` multiplies paragraphs and link counts (page
+    weight: scale=1 ≈ 1.5KB toy pages; scale=4-8 ≈ realistic web pages).
+    ``transient_rate`` marks that fraction of non-root 200-status pages
+    flaky (flaky_fails ∈ {1,2,3}) via a separate rng stream — the base
+    content bytes are identical at every rate.
     """
     n_total = int(starts[-1])
     gids = np.sort(np.asarray(gids, dtype=np.int64))
     wanted = set(gids.tolist())
-    cols = {k: [] for k in ("url", "warc_ts", "html", "text", "lang", "status")}
+    cols = {k: [] for k in ("url", "warc_ts", "html", "text", "lang", "status", "flaky_fails")}
     for chunk_id in np.unique(gids // _CHUNK):
         rng = np.random.default_rng([seed, int(chunk_id)])
+        rng_flaky = np.random.default_rng([seed, int(chunk_id), 0x7F17])
         lo = int(chunk_id) * _CHUNK
         hi = min(lo + _CHUNK, n_total)
         for gid in range(lo, hi):
             url, ts, html, text, lang, status = _gen_one(gid, starts, rng, scale)
+            # Always consume both flaky draws so the stream stays aligned
+            # however batching and eligibility fall.
+            r, f = rng_flaky.random(), int(rng_flaky.integers(1, 4))
+            flaky = (
+                f
+                if (transient_rate > 0 and status == 200
+                    and not url.endswith("/") and r < transient_rate)
+                else 0
+            )
             if gid not in wanted:
                 continue
             cols["url"].append(url)
@@ -228,6 +258,7 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int 
             cols["text"].append(text)
             cols["lang"].append(lang)
             cols["status"].append(status)
+            cols["flaky_fails"].append(flaky)
     return pa.table(
         {
             "url": pa.array(cols["url"], pa.string()),
@@ -236,11 +267,15 @@ def gen_pages_batch(gids: np.ndarray, starts: np.ndarray, seed: int, scale: int 
             "text": pa.array(cols["text"], pa.string()),
             "lang": pa.array(cols["lang"], pa.string()),
             "status": pa.array(cols["status"], pa.int32()),
+            "flaky_fails": pa.array(cols["flaky_fails"], pa.int32()),
         }
     )
 
 
-def _gen_all(n_pages: int, starts: np.ndarray, seed: int, scale: int = 1) -> pa.Table:
+def _gen_all(
+    n_pages: int, starts: np.ndarray, seed: int, scale: int = 1,
+    transient_rate: float = 0.0,
+) -> pa.Table:
     """Generate the full pages table — in parallel Ray tasks when a session
     is up and the corpus is big (chunk-aligned spans, so bytes are identical
     to the single-process path)."""
@@ -251,7 +286,7 @@ def _gen_all(n_pages: int, starts: np.ndarray, seed: int, scale: int = 1) -> pa.
     except ImportError:
         use_ray = False
     if not use_ray:
-        return gen_pages_batch(np.arange(n_pages), starts, seed, scale)
+        return gen_pages_batch(np.arange(n_pages), starts, seed, scale, transient_rate)
 
     import ray
 
@@ -260,7 +295,7 @@ def _gen_all(n_pages: int, starts: np.ndarray, seed: int, scale: int = 1) -> pa.
 
     @ray.remote
     def _gen_span(lo: int, hi: int) -> pa.Table:
-        return gen_pages_batch(np.arange(lo, hi), starts, seed, scale)
+        return gen_pages_batch(np.arange(lo, hi), starts, seed, scale, transient_rate)
 
     futs = [
         _gen_span.remote(lo, min(lo + span, n_pages)) for lo in range(0, n_pages, span)
@@ -307,6 +342,7 @@ def generate_corpus(
     seed: int = 42,
     partitions: int = 8,
     page_scale: int = 1,
+    transient_rate: float = 0.0,
 ) -> CorpusInfo:
     """Write pages (url-hash partitioned parquet dir) + robots + manifest.
 
@@ -321,14 +357,17 @@ def generate_corpus(
         "seed": seed,
         "partitions": partitions,
         "page_scale": page_scale,
-        # Participates in the idempotence key: corpora cached before error
-        # statuses existed (or with a different rate) regenerate.
+        # Participate in the idempotence key: corpora cached before error
+        # statuses / the flaky_fails column existed (or with different
+        # rates) regenerate.
         "error_rate": ERROR_RATE,
+        "transient_rate": transient_rate,
     }
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if {k: m.get(k, 1 if k == "page_scale" else None) for k in params} == params:
+        defaults = {"page_scale": 1, "transient_rate": None}
+        if {k: m.get(k, defaults.get(k)) for k in params} == params:
             return CorpusInfo(out_dir, n_pages, n_hosts, seed, partitions, m["seeds"])
 
     starts = host_layout(n_pages, n_hosts)
@@ -345,7 +384,7 @@ def generate_corpus(
     # Hash-partition by URL so the fetch join can co-partition at scale.
     import pandas as pd
 
-    table = _gen_all(n_pages, starts, seed, page_scale)
+    table = _gen_all(n_pages, starts, seed, page_scale, transient_rate)
     buckets = (
         pd.util.hash_array(np.asarray(table.column("url").to_pylist(), dtype=object))
         % partitions
@@ -370,13 +409,20 @@ def generate_corpus(
     return CorpusInfo(out_dir, n_pages, n_hosts, seed, partitions, seeds)
 
 
-def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/urlmap_corpus") -> CorpusInfo:
+def corpus_for_sf_dir(
+    sf_dir: str,
+    cache_root: str = "/tmp/urlmap_corpus",
+    transient_rate: float = 0.0,
+) -> CorpusInfo:
     """Map a testdata sf dir (…/sf0.01) to a cached deterministic corpus of
     matching scale. The corpus is derived from (seed=42, sf) only — no
-    external data."""
+    external data. ``transient_rate > 0`` selects the flaky-page variant
+    (cached separately; base page bytes identical to the stable corpus)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
     n = sf_to_pages(sf)
+    if transient_rate > 0:
+        name = f"{name}-transient"
     out = os.path.join(cache_root, name)
     os.makedirs(out, exist_ok=True)
-    return generate_corpus(out, n)
+    return generate_corpus(out, n, transient_rate=transient_rate)

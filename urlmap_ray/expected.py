@@ -79,9 +79,13 @@ def _pages_table(info: CorpusInfo) -> pa.Table:
     )
 
 
-def ensure_crawl_expected(info: CorpusInfo, tag: str, cfg: CrawlConfig) -> str:
-    """Expected (url, depth, status) of a crawl from info.seeds[0] — the
-    wave-BFS oracle's results, sorted by url (matching visited_dataset)."""
+def ensure_crawl_expected(
+    info: CorpusInfo, tag: str, cfg: CrawlConfig, with_attempt: bool = False
+) -> str:
+    """Expected (url, depth, status[, attempt]) of a crawl from
+    info.seeds[0] — the wave-BFS oracle's results, sorted by url (matching
+    visited_dataset). ``with_attempt`` adds the final 1-based fetch-attempt
+    column (transient-retry accounting, client.go:63-83 parity)."""
     path = expected_path(info, f"crawl-{tag}")
     if not _should_generate(info, path):
         return path
@@ -96,17 +100,15 @@ def ensure_crawl_expected(info: CorpusInfo, tag: str, cfg: CrawlConfig) -> str:
         for o, c in zip(tbl.column("origin").to_pylist(), tbl.column("content").to_pylist()):
             robots.add(o, c)
     out = crawl_waves(corpus, info.seeds[0], cfg, robots=robots)
-    rows = sorted((r.url, r.depth, r.status) for r in out.results)
-    _write_atomic(
-        pa.table(
-            {
-                "url": pa.array([r[0] for r in rows], pa.string()),
-                "depth": pa.array([r[1] for r in rows], pa.int32()),
-                "status": pa.array([r[2] for r in rows], pa.int32()),
-            }
-        ),
-        path,
-    )
+    rows = sorted((r.url, r.depth, r.status, r.attempt) for r in out.results)
+    cols = {
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "depth": pa.array([r[1] for r in rows], pa.int32()),
+        "status": pa.array([r[2] for r in rows], pa.int32()),
+    }
+    if with_attempt:
+        cols["attempt"] = pa.array([r[3] for r in rows], pa.int32())
+    _write_atomic(pa.table(cols), path)
     return path
 
 

@@ -32,6 +32,9 @@ class OracleResult:
     status: int  # 200 ok, 4xx/5xx error page, 0 corpus miss ("network error")
     links: list[str] = field(default_factory=list)
     error: str | None = None
+    #: 1-based fetch attempt that produced this FINAL result (client.go:63-83
+    #: retry parity: >1 means the page was transiently failing before)
+    attempt: int = 1
 
 
 @dataclass
@@ -48,23 +51,56 @@ class OracleCrawl:
         return sorted({r.url for r in self.results})
 
 
-def _fetch_and_extract(url: str, depth: int, corpus: dict, cfg: CrawlConfig) -> OracleResult:
+def _norm_entry(entry) -> tuple[int, bytes | None, int]:
+    """Corpus values may be html, (status, html) or (status, html, flaky)."""
+    if not isinstance(entry, tuple):
+        return 200, entry, 0
+    if len(entry) == 2:
+        return entry[0], entry[1], 0
+    return entry
+
+
+def _attempt_fetch(
+    url: str, depth: int, corpus: dict, cfg: CrawlConfig, attempt: int
+) -> OracleResult | None:
+    """One fetch attempt. None = transient failure with attempts left (the
+    caller re-enqueues at attempt+1); otherwise the FINAL result."""
     entry = corpus.get(url)
     if entry is None:
-        return OracleResult(url, depth, 0, error="failed to fetch URL")
-    status, html = entry if isinstance(entry, tuple) else (200, entry)
+        # corpus miss = dangling link: deterministically absent, never
+        # retried (crawler.go:323-326 network-error record)
+        return OracleResult(url, depth, 0, error="failed to fetch URL", attempt=attempt)
+    status, html, flaky = _norm_entry(entry)
+    if attempt <= flaky:
+        # transient 503 window (client.go:63-83 as data)
+        if attempt < cfg.max_attempts:
+            return None
+        return OracleResult(
+            url, depth, 503, error="HTTP error: 503", attempt=attempt
+        )
     if status != 200:
         # crawler.go:331-334: non-2xx/3xx → error result, URL stays visited,
         # body never parsed for links.
-        return OracleResult(url, depth, status, error=f"HTTP error: {status}")
+        return OracleResult(url, depth, status, error=f"HTTP error: {status}", attempt=attempt)
     try:
         if cfg.same_domain:
             links = extract_same_domain_links(url, html)
         else:
             links = extract_links(url, html)
     except URLError as e:
-        return OracleResult(url, depth, 200, error=f"failed to extract links: {e}")
-    return OracleResult(url, depth, 200, links=links)
+        return OracleResult(url, depth, 200, error=f"failed to extract links: {e}", attempt=attempt)
+    return OracleResult(url, depth, 200, links=links, attempt=attempt)
+
+
+def _fetch_and_extract(url: str, depth: int, corpus: dict, cfg: CrawlConfig) -> OracleResult:
+    """Fetch with IMMEDIATE retries (the reference's client-level loop) —
+    used by the sequential oracle; wave-level re-enqueueing in crawl_waves
+    yields the same final result per URL by construction."""
+    for attempt in range(1, max(1, cfg.max_attempts) + 1):
+        res = _attempt_fetch(url, depth, corpus, cfg, attempt)
+        if res is not None:
+            return res
+    raise AssertionError("unreachable: _attempt_fetch finalizes at max_attempts")
 
 
 def _admit(link: str, bases: list[str], cfg: CrawlConfig) -> bool:
@@ -139,35 +175,41 @@ def crawl_waves(
     bases = seeds
     for s in seeds:
         out.visited[s] = 0
-    frontier: list[tuple[str, int]] = [(s, 0) for s in seeds]
+    frontier: list[tuple[str, int, int]] = [(s, 0, 1) for s in seeds]
     while frontier:
         # Deterministic per-host admission: sort by (host, url), take first B.
         if cfg.per_host_budget is not None:
             by_host: dict[str, int] = {}
             admitted, deferred = [], []
-            for url, depth in sorted(frontier):
+            for url, depth, attempt in sorted(frontier):
                 host = extract_domain(url)
                 if by_host.get(host, 0) < cfg.per_host_budget:
                     by_host[host] = by_host.get(host, 0) + 1
-                    admitted.append((url, depth))
+                    admitted.append((url, depth, attempt))
                 else:
-                    deferred.append((url, depth))
+                    deferred.append((url, depth, attempt))
         else:
             admitted, deferred = sorted(frontier), []
 
         # Two-phase wave: process all admitted URLs, then claim candidates
         # with wave-level min depth (matching the engine's groupby-min before
         # the seen-set claim; when no budget defers rows, all candidates in a
-        # wave share one depth and this equals FIFO claim order).
+        # wave share one depth and this equals FIFO claim order). Transient
+        # fetch failures with attempts left re-enter the next wave's frontier
+        # at attempt+1, unchanged depth (the engine's "retry" verdict).
         candidates: dict[str, int] = {}
-        for url, depth in admitted:
+        retries: list[tuple[str, int, int]] = []
+        for url, depth, attempt in admitted:
             if robots is not None and cfg.respect_robots and not robots.is_allowed(url):
                 out.skipped += 1
                 continue
             if cfg.max_depth >= 0 and depth > cfg.max_depth:
                 out.skipped += 1
                 continue
-            result = _fetch_and_extract(url, depth, corpus, cfg)
+            result = _attempt_fetch(url, depth, corpus, cfg, attempt)
+            if result is None:
+                retries.append((url, depth, attempt + 1))
+                continue
             out.results.append(result)
             out.max_depth_reached = max(out.max_depth_reached, depth)
             if result.error is None:
@@ -176,28 +218,38 @@ def crawl_waves(
                         continue
                     if link not in candidates or depth + 1 < candidates[link]:
                         candidates[link] = depth + 1
-        next_frontier: list[tuple[str, int]] = list(deferred)
+        next_frontier: list[tuple[str, int, int]] = list(deferred) + retries
         for link in sorted(candidates):
             if link in out.visited:
                 continue
             out.visited[link] = candidates[link]
-            next_frontier.append((link, candidates[link]))
+            next_frontier.append((link, candidates[link], 1))
         frontier = next_frontier
     return out
 
 
-def load_corpus_dict(pages_dir: str) -> dict[str, tuple[int, bytes]]:
-    """url→(status, html) for test-scale corpora (oracle side only)."""
+def load_corpus_dict(pages_dir: str) -> dict[str, tuple[int, bytes, int]]:
+    """url→(status, html, flaky_fails) for test-scale corpora (oracle side
+    only). Pre-flaky corpora load with flaky_fails=0 (all pages stable)."""
     import pyarrow.dataset as pads
 
-    tbl = pads.dataset(pages_dir, format="parquet").to_table(
-        columns=["url", "status", "html"]
+    ds = pads.dataset(pages_dir, format="parquet")
+    cols = ["url", "status", "html"]
+    has_flaky = "flaky_fails" in ds.schema.names
+    if has_flaky:
+        cols.append("flaky_fails")
+    tbl = ds.to_table(columns=cols)
+    flaky = (
+        tbl.column("flaky_fails").to_pylist()
+        if has_flaky
+        else [0] * tbl.num_rows
     )
     return {
-        u: (s, h)
-        for u, s, h in zip(
+        u: (s, h, f or 0)
+        for u, s, h, f in zip(
             tbl.column("url").to_pylist(),
             tbl.column("status").to_pylist(),
             tbl.column("html").to_pylist(),
+            flaky,
         )
     }

@@ -60,7 +60,7 @@ from ..stages.links import claim_batch, flatten_candidates, frontier_columns
 from ..stages.politeness import PolitenessGate, gate_group, gate_rows
 from ..urlnorm import URLError, is_valid_url, normalize_url
 
-RESULTS_COLS = ["url", "depth", "host", "bucket", "verdict", "status", "links"]
+RESULTS_COLS = ["url", "depth", "attempt", "host", "bucket", "verdict", "status", "links"]
 
 
 @dataclass
@@ -74,6 +74,10 @@ class WaveStats:
     results: int = 0
     failed: int = 0
     new_urls: int = 0
+    #: transient fetch failures re-enqueued for the next wave (verdict
+    #: "retry": flaky page within its window, attempts left — client.go
+    #: :63-83 parity as data)
+    retried: int = 0
     seconds: float = 0.0
     mode: str = "ray"
 
@@ -294,7 +298,9 @@ class CrawlEngine:
             ds.map_batches(
                 _fetch_gated,
                 fn_kwargs=dict(
-                    pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
+                    pages_dir=self.corpus.pages_path,
+                    partitions=self.corpus.partitions,
+                    max_attempts=self.cfg.max_attempts,
                 ),
                 batch_format="pyarrow",
             )
@@ -384,8 +390,9 @@ class CrawlEngine:
         if os.environ.get("URLMAP_STATS") == "2":
             print(f"--- wave {d} fused stats ---\n{ds.stats()}", flush=True)
         self._tally_verdicts(results_path, stats)
+        self._append_retries(results_path, next_path)
         t_tally = time.time()
-        stats.new_urls = _count_rows(next_path)
+        stats.new_urls = _count_rows(next_path) - stats.retried
         if os.environ.get("URLMAP_STATS"):
             print(
                 f"wave {d}: setup+sort {t_exec - stats._t0:.2f}s exec {t_write - t_exec:.2f}s "
@@ -445,6 +452,7 @@ class CrawlEngine:
                 {
                     "url": rest.column("url"),
                     "depth": rest.column("depth"),
+                    "attempt": _attempt_col(rest),
                     "host": rest.column("host"),
                     "bucket": rest.column("bucket"),
                     "verdict": rest.column("verdict"),
@@ -484,12 +492,13 @@ class CrawlEngine:
         deferred = rest.filter(pc.equal(rest.column("verdict"), "defer"))
         if deferred.num_rows:
             pq.write_table(
-                _cast_frontier(deferred.select(["url", "depth", "host", "bucket"])),
+                _cast_frontier(deferred),
                 os.path.join(next_path, "part-deferred.parquet"),
                 row_group_size=512,
             )
         self._tally_verdicts(results_path, stats)
-        stats.new_urls = max(0, _count_rows(next_path) - stats.deferred)
+        self._append_retries(results_path, next_path)
+        stats.new_urls = max(0, _count_rows(next_path) - stats.deferred - stats.retried)
         return stats
 
     def _run_wave_ray_budget(self, d, frontier_path, n_frontier, seeds, seen) -> WaveStats:
@@ -537,7 +546,11 @@ class CrawlEngine:
         # the distributed sort: gated output is already materialized per wave)
         ds = ds.map_batches(
             _fetch_gated,
-            fn_kwargs=dict(pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions),
+            fn_kwargs=dict(
+                pages_dir=self.corpus.pages_path,
+                partitions=self.corpus.partitions,
+                max_attempts=self.cfg.max_attempts,
+            ),
             batch_format="pyarrow",
         ).map_batches(
             extract_links_batch,
@@ -579,7 +592,7 @@ class CrawlEngine:
         if stats.deferred:
             deferred = ray.data.read_parquet(
                 results_path,
-                columns=["url", "depth", "host", "bucket"],
+                columns=["url", "depth", "host", "bucket", "attempt"],
                 filter=pc.field("verdict") == "defer",
             ).map_batches(_cast_frontier, batch_format="pyarrow")
             survivors = survivors.union(deferred)
@@ -623,7 +636,10 @@ class CrawlEngine:
         frontier = pads.dataset(frontier_path, format="parquet").to_table()
         gated = self._gate_local(frontier)
         fetched = _fetch_gated(
-            gated, pages_dir=self.corpus.pages_path, partitions=self.corpus.partitions
+            gated,
+            pages_dir=self.corpus.pages_path,
+            partitions=self.corpus.partitions,
+            max_attempts=self.cfg.max_attempts,
         )
         results = extract_links_batch(fetched, same_domain=self.cfg.same_domain, drop_html=True)
         pq.write_table(
@@ -646,9 +662,20 @@ class CrawlEngine:
         )
         survivors = claim_batch(cands, shard_handles=seen.shards, num_shards=seen.num_shards)
         deferred = results.filter(pc.equal(results.column("verdict"), "defer")).select(
-            ["url", "depth", "host", "bucket"]
+            ["url", "depth", "host", "bucket", "attempt"]
         )
-        nxt = pa.concat_tables([survivors, _cast_frontier(deferred)])
+        retries = results.filter(pc.equal(results.column("verdict"), "retry")).select(
+            ["url", "depth", "host", "bucket", "attempt"]
+        )
+        if retries.num_rows:
+            retries = retries.set_column(
+                retries.schema.get_field_index("attempt"),
+                "attempt",
+                pc.add(pc.cast(retries.column("attempt"), pa.int32()), 1),
+            )
+        nxt = pa.concat_tables(
+            [survivors, _cast_frontier(deferred), _cast_frontier(retries)]
+        )
         if nxt.num_rows:
             # small row groups → the next distributed wave can split this
             # single file into parallel blocks
@@ -660,6 +687,35 @@ class CrawlEngine:
 
     # -- shared wave bookkeeping ------------------------------------------
 
+    def _append_retries(self, results_path: str, next_path: str) -> int:
+        """Re-enqueue this wave's transient failures (verdict "retry") into
+        the next frontier at attempt+1, unchanged depth. Columnar filtered
+        read of only the retry rows (a small fraction of results; the
+        verdict predicate prunes row groups), written as one sidecar file
+        alongside the claim stage's output — schema-identical, so the next
+        wave reads both transparently. Returns the retry count."""
+        ds = pads.dataset(results_path, format="parquet")
+        if "attempt" not in ds.schema.names:
+            return 0
+        tbl = ds.to_table(
+            columns=["url", "depth", "host", "bucket", "attempt"],
+            filter=pc.field("verdict") == "retry",
+        )
+        if tbl.num_rows == 0:
+            return 0
+        out = _cast_frontier(
+            tbl.set_column(
+                tbl.schema.get_field_index("attempt"),
+                "attempt",
+                pc.add(pc.cast(tbl.column("attempt"), pa.int32()), 1),
+            )
+        )
+        os.makedirs(next_path, exist_ok=True)
+        pq.write_table(
+            out, os.path.join(next_path, "part-retries.parquet"), row_group_size=512
+        )
+        return tbl.num_rows
+
     def _tally_verdicts(self, results_path: str, stats: WaveStats) -> None:
         tbl = pads.dataset(results_path, format="parquet").to_table(columns=["verdict", "status"])
         counts = {
@@ -667,6 +723,7 @@ class CrawlEngine:
         }
         stats.admitted = counts.get("admit", 0)
         stats.deferred = counts.get("defer", 0)
+        stats.retried = counts.get("retry", 0)
         stats.skipped_robots = counts.get("skip_robots", 0)
         stats.skipped_depth = counts.get("skip_depth", 0)
         stats.results = stats.admitted
@@ -738,18 +795,22 @@ class CrawlEngine:
 
     # -- outputs -----------------------------------------------------------
 
-    def visited_dataset(self) -> ray.data.Dataset:
+    def visited_dataset(self, with_attempt: bool = False) -> ray.data.Dataset:
         """All crawled URLs (admit verdicts, incl. fetch failures — matching
-        output.go:44-78) with depth/status, sorted lexicographically."""
+        output.go:44-78) with depth/status, sorted lexicographically.
+        Transient failures that were re-enqueued (verdict "retry") are not
+        results; each URL appears exactly once, with its FINAL attempt's
+        status (and, with with_attempt=True, how many fetches it took)."""
         paths = [
             f
             for w in sorted(os.listdir(self.ckpt))
             if w.startswith("wave-")
             for f in _files(os.path.join(self.ckpt, w, "results"))
         ]
+        cols = ["url", "depth", "status"] + (["attempt"] if with_attempt else [])
         ds = ray.data.read_parquet(
             paths,
-            columns=["url", "depth", "status"],
+            columns=cols,
             filter=pc.field("verdict") == "admit",
         )
         return ds.sort("url")
@@ -805,20 +866,37 @@ def _depth_gate(batch: pa.Table, max_depth: int) -> pa.Table:
     return batch.append_column("verdict", verdict)
 
 
-def _fetch_gated(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table:
+def _attempt_col(tbl: pa.Table) -> pa.ChunkedArray | pa.Array:
+    if "attempt" in tbl.column_names:
+        return pc.cast(tbl.column("attempt"), pa.int32())
+    return pa.array([1] * tbl.num_rows, pa.int32())
+
+
+def _fetch_gated(
+    batch: pa.Table, *, pages_dir: str, partitions: int, max_attempts: int = 3
+) -> pa.Table:
     """Fetch bodies for admitted rows; defer/skip rows pass through with
-    status=-1 and no html."""
+    status=-1 and no html. A transient failure (flaky page within its
+    window) with attempts left flips the verdict to "retry" — the engine
+    re-enqueues it next wave; the attempt that exhausts max_attempts keeps
+    verdict "admit" and lands as a final 503 error result."""
     admit_mask = pc.equal(batch.column("verdict"), "admit")
     admitted = batch.filter(admit_mask)
     rest = batch.filter(pc.invert(admit_mask))
     fetched = fetch_batch(admitted, pages_dir=pages_dir, partitions=partitions)
+    retry = pc.and_(
+        fetched.column("transient"),
+        pc.less(fetched.column("attempt"), pa.scalar(max_attempts, pa.int32())),
+    )
+    verdict = pc.if_else(retry, pa.scalar("retry"), pa.scalar("admit"))
     fetched = pa.table(
         {
             "url": fetched.column("url"),
             "depth": fetched.column("depth"),
+            "attempt": fetched.column("attempt"),
             "host": admitted.column("host"),
             "bucket": admitted.column("bucket"),
-            "verdict": admitted.column("verdict"),
+            "verdict": verdict,
             "status": fetched.column("status"),
             "html": fetched.column("html"),
         }
@@ -829,6 +907,7 @@ def _fetch_gated(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Tabl
         {
             "url": rest.column("url"),
             "depth": rest.column("depth"),
+            "attempt": _attempt_col(rest),
             "host": rest.column("host"),
             "bucket": rest.column("bucket"),
             "verdict": rest.column("verdict"),
@@ -864,6 +943,7 @@ def _cast_frontier(batch: pa.Table) -> pa.Table:
             "depth": pc.cast(batch.column("depth"), pa.int32()),
             "host": pc.cast(batch.column("host"), pa.string()),
             "bucket": pc.cast(batch.column("bucket"), pa.int32()),
+            "attempt": _attempt_col(batch),
         }
     )
 

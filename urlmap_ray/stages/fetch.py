@@ -9,13 +9,20 @@ small row groups, so parquet statistics prune most of the file. The pages
 table itself never moves; only the (small) frontier shuffles.
 
 Misses come back with ``status=0`` (the reference's network-error case,
-crawler.go:323-326: a failed URL is recorded and never retried); hits carry
-the corpus row's captured HTTP status — 200 pages flow on with their body,
-4xx/5xx pages surface as error results with html nulled (crawler.go:331-334:
-an error body is never parsed for links). The reference's HTTP retry policy
-(3x on 5xx/network, client.go:63-83) has no corpus equivalent — the status
-is capture metadata, deterministically final; worker failures are covered by
-Ray task retries instead.
+crawler.go:323-326: a dangling link deterministically never exists, so it is
+recorded failed and never retried); hits carry the corpus row's captured
+HTTP status — 200 pages flow on with their body, 4xx/5xx pages surface as
+error results with html nulled (crawler.go:331-334: an error body is never
+parsed for links).
+
+The reference's HTTP retry policy (client.go:63-83: 5xx/network errors
+retried, bounded attempts) IS represented, as data: a corpus page with
+``flaky_fails = k > 0`` returns a transient 503 (``transient=true``, no
+body) on fetch attempts 1..k and its captured row from attempt k+1 on. The
+frontier's ``attempt`` column (default 1) selects the behavior; the crawl
+engine re-enqueues transient rows for the next wave until
+``CrawlConfig.max_attempts`` is spent, then records the final 503. Worker
+failures are covered by Ray task retries instead.
 
 Used as ``map_batches(CorpusFetcher, fn_constructor_kwargs=...,
 concurrency=N, batch_format="pyarrow")`` — an actor pool so the per-bucket
@@ -65,11 +72,20 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table
         # range and only its contiguous slice is read/decompressed. Exact
         # membership is applied in memory after the pruned read.
         mm = pc.min_max(wanted)
-        loaded = _bucket_ds(pages_dir, int(b)).to_table(
-            columns=["url", "html", "status"],
+        bds = _bucket_ds(pages_dir, int(b))
+        cols = ["url", "html", "status"]
+        # pre-flaky_fails corpora (hand-built test fixtures) → all-stable
+        if "flaky_fails" in bds.schema.names:
+            cols.append("flaky_fails")
+        loaded = bds.to_table(
+            columns=cols,
             filter=(pc.field("url") >= mm["min"].as_py())
             & (pc.field("url") <= mm["max"].as_py()),
         )
+        if "flaky_fails" not in loaded.column_names:
+            loaded = loaded.append_column(
+                "flaky_fails", pa.array([0] * loaded.num_rows, pa.int32())
+            )
         hit_parts.append(
             loaded.filter(pc.is_in(loaded.column("url"), value_set=wanted.combine_chunks()))
         )
@@ -78,15 +94,28 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table
             "url": pa.array([], pa.string()),
             "html": pa.array([], pa.binary()),
             "status": pa.array([], pa.int32()),
+            "flaky_fails": pa.array([], pa.int32()),
         }
     )
     idx = pc.index_in(url_col, value_set=hits.column("url").combine_chunks())
     if hits.num_rows:
         html = pc.take(hits.column("html").combine_chunks(), idx)
         status = pc.take(hits.column("status").combine_chunks(), idx).fill_null(0)
+        flaky = pc.take(hits.column("flaky_fails").combine_chunks(), idx).fill_null(0)
     else:
         html = pa.nulls(batch.num_rows, pa.binary())
         status = pa.nulls(batch.num_rows, pa.int32()).fill_null(0)
+        flaky = pa.nulls(batch.num_rows, pa.int32()).fill_null(0)
+    # Transient-failure window (client.go:63-83 as data): while the 1-based
+    # fetch attempt is within the page's flaky_fails window, the "response"
+    # is a bodiless 503 and the row is flagged transient — the engine
+    # decides retry-vs-final from CrawlConfig.max_attempts.
+    if "attempt" in batch.column_names:
+        attempt = pc.cast(batch.column("attempt"), pa.int32())
+    else:
+        attempt = pa.array([1] * batch.num_rows, pa.int32())
+    transient = pc.less_equal(attempt, pc.cast(flaky, pa.int32()))
+    status = pc.if_else(transient, pa.scalar(503, pa.int32()), pc.cast(status, pa.int32()))
     # Reference status gate (crawler.go:331-334): a non-2xx/3xx response is
     # an error result — the URL counts as visited but its body is never
     # parsed. Nulling html here keeps the extract stage status-agnostic.
@@ -95,7 +124,9 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, partitions: int) -> pa.Table
         {
             "url": url_col,
             "depth": batch.column("depth"),
+            "attempt": attempt,
             "status": pc.cast(status, pa.int32()),
+            "transient": transient,
             "html": html,
         }
     )

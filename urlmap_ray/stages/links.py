@@ -21,6 +21,7 @@ CANDIDATE_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("host", pa.string()),
         ("bucket", pa.int32()),
+        ("attempt", pa.int32()),  # 1-based fetch attempt (transient retries)
     ]
 )
 
@@ -29,8 +30,9 @@ def empty_candidates() -> pa.Table:
     return CANDIDATE_SCHEMA.empty_table()
 
 
-def frontier_columns(urls: list[str], depths, partitions: int) -> pa.Table:
-    """Attach host + bucket columns to (url, depth) rows."""
+def frontier_columns(urls: list[str], depths, partitions: int, attempts=None) -> pa.Table:
+    """Attach host + bucket (+ attempt, default 1) columns to (url, depth)
+    rows."""
     hosts = []
     for u in urls:
         try:
@@ -38,12 +40,15 @@ def frontier_columns(urls: list[str], depths, partitions: int) -> pa.Table:
         except URLError:
             hosts.append("")
     buckets = (url_hash(urls) % partitions).astype(np.int32) if urls else np.zeros(0, np.int32)
+    if attempts is None:
+        attempts = [1] * len(urls)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "depth": pa.array(depths, pa.int32()),
             "host": pa.array(hosts, pa.string()),
             "bucket": pa.array(buckets, pa.int32()),
+            "attempt": pa.array(attempts, pa.int32()),
         }
     )
 

@@ -382,3 +382,31 @@ def test_transient_engine_matches_oracle(
     assert sum(w.retried for w in out.waves) == sum(
         r.attempt - 1 for r in oracle.results
     )
+
+
+def test_sub_wave_ticker_emits_progress(ray_session, corpus_info, tmp_path):
+    """VERDICT r2 #5: during a distributed wave the on_tick hook fires
+    periodically with fetch progress (reference progress.go:200-254)."""
+    from urlmap_ray.pipelines.crawl import CrawlEngine
+
+    ticks = []
+    eng = CrawlEngine(
+        corpus_info,
+        CrawlConfig(),
+        checkpoint_dir=str(tmp_path / "ck"),
+        seen_shards=2,
+        small_wave_rows=0,  # force the distributed path even on tiny waves
+        on_tick=ticks.append,
+        tick_seconds=0.05,
+    )
+    eng.crawl(corpus_info.seeds[0])
+    assert ticks, "distributed waves must emit sub-wave ticks"
+    for t in ticks:
+        assert set(t) == {"wave", "elapsed", "frontier", "fetched", "rate"}
+        assert t["elapsed"] > 0 and t["fetched"] >= 0
+    # fetched is monotone within a wave
+    by_wave = {}
+    for t in ticks:
+        by_wave.setdefault(t["wave"], []).append(t["fetched"])
+    for seq in by_wave.values():
+        assert seq == sorted(seq)

@@ -97,12 +97,26 @@ def main(argv: list[str] | None = None) -> int:
                 flush=True,
             )
 
+        # Sub-wave ticker (reference progress.go:200-254): during a long
+        # wave, a 500 ms heartbeat with fetch progress so multi-minute waves
+        # aren't silent between the per-wave lines above.
+        def _tick(t):
+            print(
+                f"\r  wave {t['wave']}: {t['elapsed']:.1f}s · "
+                f"{t['fetched']}/{t['frontier']} fetched · "
+                f"{t['rate']:,.0f} urls/s",
+                end="",
+                file=sys.stderr,
+                flush=True,
+            )
+
         eng = CrawlEngine(
             info,
             cfg,
             checkpoint_dir=args.checkpoint,
             seen_shards=max(1, args.concurrent // 4),
             on_wave=None if args.quiet else _progress,
+            on_tick=None if args.quiet else _tick,
         )
 
         # Graceful cancel (reference main.go:182-220): first SIGINT/SIGTERM

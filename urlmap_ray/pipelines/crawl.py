@@ -108,6 +108,68 @@ def _count_rows(path: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 
+class _WaveTicker:
+    """Sub-wave live progress (reference progress.go:200-254, which updates
+    every 500 ms with active workers / queue size): a daemon thread samples
+    the wave's results checkpoint every ``interval`` seconds while the
+    streaming execution runs and emits ``{wave, elapsed, frontier, fetched,
+    rate}``. It reads only parquet FOOTERS of completed block files —
+    O(files) metadata, no data pages — so ticking never competes with the
+    wave for bandwidth; files mid-write are skipped until complete. No-op
+    when ``emit`` is None (quiet mode, bench, tests)."""
+
+    def __init__(self, emit, wave: int, n_frontier: int, results_path: str, interval: float):
+        self.emit = emit
+        self.wave = wave
+        self.n_frontier = n_frontier
+        self.results_path = results_path
+        self.interval = interval
+        self._stop = None
+
+    def _rows_so_far(self) -> int:
+        n = 0
+        for f in _files(self.results_path):
+            try:
+                n += pq.read_metadata(f).num_rows
+            except Exception:  # footer not landed yet — count it next tick
+                pass
+        return n
+
+    def _run(self, t0: float) -> None:
+        while not self._stop.wait(self.interval):
+            elapsed = time.time() - t0
+            fetched = self._rows_so_far()
+            try:
+                self.emit(
+                    {
+                        "wave": self.wave,
+                        "elapsed": elapsed,
+                        "frontier": self.n_frontier,
+                        "fetched": fetched,
+                        "rate": fetched / elapsed if elapsed > 0 else 0.0,
+                    }
+                )
+            except Exception:
+                return  # reporting must never kill a crawl
+
+    def __enter__(self):
+        if self.emit is not None:
+            import threading
+
+            self._stop = threading.Event()
+            self._thread = threading.Thread(
+                target=self._run, args=(time.time(),), daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._stop is not None:
+            self._stop.set()
+            self._thread.join(timeout=self.interval * 4)
+        return False
+
+
 def _files(path: str) -> list[str]:
     if not os.path.isdir(path):
         return []
@@ -126,6 +188,8 @@ class CrawlEngine:
         wave_seconds: float = 300.0,
         small_wave_rows: int = 1000,
         on_wave=None,
+        on_tick=None,
+        tick_seconds: float = 0.5,
     ):
         self.corpus = corpus
         self.cfg = cfg
@@ -133,6 +197,11 @@ class CrawlEngine:
         self.seen_shards = seen_shards
         self.wave_seconds = wave_seconds
         self.small_wave_rows = small_wave_rows
+        #: Sub-wave progress hook: called every tick_seconds DURING a
+        #: distributed wave's execution with {wave, elapsed, frontier,
+        #: fetched, rate} (reference progress.go:200-254). None = off.
+        self.on_tick = on_tick
+        self.tick_seconds = tick_seconds
         self._robots_bodies: dict[str, str] | None = None
         self._robots_ref = None
         self._local_gate: PolitenessGate | None = None
@@ -328,6 +397,9 @@ class CrawlEngine:
             )
         )
 
+    def _ticker(self, d: int, n_frontier: int, results_path: str) -> _WaveTicker:
+        return _WaveTicker(self.on_tick, d, n_frontier, results_path, self.tick_seconds)
+
     def _claim_stage(self, ds, seen):
         """Seen-shard claim. Claims are side effects on the shards: a
         silently retried task would find its URLs already claimed and drop
@@ -385,7 +457,8 @@ class CrawlEngine:
             self._fetch_extract_flatten(ds, results_path, seeds), seen
         )
         t_exec = time.time()
-        ds.write_parquet(next_path, row_group_size=512)
+        with self._ticker(d, n_frontier, results_path):
+            ds.write_parquet(next_path, row_group_size=512)
         t_write = time.time()
         if os.environ.get("URLMAP_STATS") == "2":
             print(f"--- wave {d} fused stats ---\n{ds.stats()}", flush=True)
@@ -488,7 +561,8 @@ class CrawlEngine:
                     )
                 )
             ds = self._claim_stage(ds, seen)
-            ds.write_parquet(next_path, row_group_size=512)
+            with self._ticker(d, n_frontier, results_path):
+                ds.write_parquet(next_path, row_group_size=512)
         deferred = rest.filter(pc.equal(rest.column("verdict"), "defer"))
         if deferred.num_rows:
             pq.write_table(
@@ -558,7 +632,8 @@ class CrawlEngine:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        ds.write_parquet(results_path)
+        with self._ticker(d, n_frontier, results_path):
+            ds.write_parquet(results_path)
         if os.environ.get("URLMAP_STATS"):
             print(f"--- wave {d} results stats ---\n{ds.stats()}", flush=True)
         self._tally_verdicts(results_path, stats)

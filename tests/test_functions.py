@@ -213,8 +213,63 @@ def test_media_pipeline(ray_session, docs_tbl):
     f1 = MediaFeatureExtractor()._features(b"abc")
     f2 = MediaFeatureExtractor()._features(b"abc")
     assert np.array_equal(f1, f2)
-    with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(mode="real")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        # without the optional Pillow dependency, real mode stays an
+        # honestly-declared stub
+        with pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(mode="real")
+
+
+def test_media_real_decode_with_pillow(ray_session):
+    """Real decode path (optional Pillow dependency): PNG payloads →
+    image-statistic features; corrupt payloads → zero vector. Skipped where
+    Pillow isn't installed (this container)."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import ray.data
+
+    def png_bytes(rgb):
+        im = PIL_Image.new("RGB", (32, 16), rgb)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [png_bytes((255, 0, 0)), png_bytes((0, 0, 255)), b"not an image"],
+                pa.binary(),
+            ),
+            "media_type": pa.array(["image"] * 3, pa.string()),
+            "width": pa.array([32, 32, 0], pa.int32()),
+            "height": pa.array([16, 16, 0], pa.int32()),
+            "duration_ms": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs=dict(mode="real"),
+            concurrency=(1, 1),
+            batch_size=8,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    red, blue, bad = out.loc[1, "features"], out.loc[2, "features"], out.loc[3, "features"]
+    assert red[0] > 0.9 and red[2] < 0.1  # red-dominant means
+    assert blue[2] > 0.9 and blue[0] < 0.1
+    assert all(v == 0.0 for v in bad)  # corrupt payload → zero vector
 
 
 def test_media_stubs(docs_tbl):

@@ -1,11 +1,18 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The real decode kernels (PIL/ffmpeg/torchaudio) are NOT available in this
-environment — ``decode=\"real\"`` raises NotImplementedError by design. The
-``deterministic-fake`` decoder derives stable pseudo-features from the
-payload bytes so the Ray-side plumbing — schema, batch sizing for large
-binaries, actor signature, output layout — is real and testable end to end.
+Two decode modes, same output schema:
+
+- ``deterministic-fake`` (default): stable pseudo-features from the payload
+  bytes, so the Ray-side plumbing — schema, batch sizing for large
+  binaries, actor signature, output layout — is real and testable end to
+  end in environments without codec libraries, and the media_features
+  oracle is reproducible in SQL.
+- ``real``: Pillow image decode when importable (an optional dependency —
+  absent in this container, so constructing mode="real" here raises
+  NotImplementedError by design; the decode path is covered by a
+  skipped-without-Pillow test). ffmpeg/torchaudio (audio/video) remain
+  honestly unimplemented.
 
 At scale: binary payloads dominate block size, so stages here should run
 with small ``batch_size`` (32-128) and ``target_max_block_size`` tuned so
@@ -72,11 +79,22 @@ class MediaFeatureExtractor:
 
     def __init__(self, mode: str = "deterministic-fake"):
         if mode == "real":
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg, not present in this "
-                "environment — use mode='deterministic-fake'"
-            )
-        if mode != "deterministic-fake":
+            # Optional dependency: Pillow decodes image payloads when
+            # installed (once per ACTOR, here in __init__ — codec/model
+            # state never reloads per batch). Absent (this container), the
+            # stub stays honest.
+            try:
+                from PIL import Image  # noqa: F401
+
+                self._pil_image = Image
+            except ImportError:
+                raise NotImplementedError(
+                    "real media decoding requires Pillow (images) — not "
+                    "present in this environment; use "
+                    "mode='deterministic-fake' (ffmpeg/torchaudio for "
+                    "audio/video remain unimplemented)"
+                ) from None
+        elif mode != "deterministic-fake":
             raise ValueError(f"unknown decode mode: {mode}")
         self.mode = mode
 
@@ -86,8 +104,33 @@ class MediaFeatureExtractor:
             np.float32
         ) / np.float32(2**32)
 
+    def _features_real(self, payload: bytes) -> np.ndarray:
+        """Pillow decode → 8 deterministic image statistics (means/stds of
+        RGB over a 16×16 thumbnail + normalized dims). A payload that fails
+        to decode yields the zero vector — a corrupt image must not kill a
+        100 TB job; filter on ``sum(features) == 0`` downstream."""
+        import io
+
+        try:
+            with self._pil_image.open(io.BytesIO(payload or b"")) as im:
+                im = im.convert("RGB")
+                w, h = im.size
+                im.thumbnail((16, 16))
+                px = np.asarray(im, dtype=np.float32) / 255.0
+        except Exception:
+            return np.zeros(self.N_FEATURES, dtype=np.float32)
+        return np.array(
+            [
+                px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
+                px[..., 0].std(), px[..., 1].std(), px[..., 2].std(),
+                min(1.0, w / 4096.0), min(1.0, h / 4096.0),
+            ],
+            dtype=np.float32,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(p) for p in batch.column("payload").to_pylist()]
+        fn = self._features if self.mode == "deterministic-fake" else self._features_real
+        feats = [fn(p) for p in batch.column("payload").to_pylist()]
         out = batch.drop_columns(["payload"])  # shed the heavy bytes immediately
         return out.append_column(
             "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))

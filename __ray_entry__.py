@@ -145,6 +145,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             with_expected=True,
         )
 
+    def crawl_priority(sf_dir):
+        # per-host PRIORITY-QUEUE admission (north_rule "politeness/priority
+        # queue"): budgeted crawl admitting shallowest-depth URLs first
+        # within each host (url tiebreak) instead of plain lexicographic —
+        # under deferral backlog the BFS frontier advances before deep
+        # stragglers. Oracle = the wave oracle running the same priority.
+        return _crawl(
+            sf_dir,
+            "pr",
+            CrawlConfig(per_host_budget=200, priority="shallow"),
+            with_expected=True,
+        )
+
     def crawl_transient(sf_dir):
         # transient-5xx retry semantics as data (reference client.go:63-83):
         # crawl the flaky-corpus variant (~3% of pages 503 for their first
@@ -1259,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
         "crawl_budget_robots": crawl_budget_robots,
+        "crawl_priority": crawl_priority,
         "crawl_transient": crawl_transient,
         "crawl_diff": crawl_diff,
         "page_links": page_links,
@@ -1696,6 +1710,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": f"SELECT * FROM read_parquet('{_exp('crawl-bfs')}')",
         "crawl_depth3": f"SELECT * FROM read_parquet('{_exp('crawl-d3')}')",
         "crawl_budget_robots": f"SELECT * FROM read_parquet('{_exp('crawl-br')}')",
+        # shallow-first priority-queue admission, same expected-parquet scheme
+        "crawl_priority": f"SELECT * FROM read_parquet('{_exp('crawl-pr')}')",
         # flaky-corpus variant (cached beside the stable sf0.01 corpus):
         # ground truth includes the final per-URL fetch-attempt count
         "crawl_transient": (

@@ -410,3 +410,43 @@ def test_sub_wave_ticker_emits_progress(ray_session, corpus_info, tmp_path):
         by_wave.setdefault(t["wave"], []).append(t["fetched"])
     for seq in by_wave.values():
         assert seq == sorted(seq)
+
+
+# -- priority-queue admission (north_rule "politeness/priority queue") -----
+
+
+def test_priority_shallow_engine_matches_oracle(
+    ray_session, corpus_info, corpus_dict, tmp_path
+):
+    """Budgeted crawl with shallow-first per-host admission: engine
+    (hybrid budget path) == wave oracle on visited set, depth and status."""
+    cfg = CrawlConfig(per_host_budget=25, priority="shallow")
+    oracle = crawl_waves(corpus_dict, corpus_info.seeds[0], cfg)
+    eng = _engine(ray_session, corpus_info, cfg, str(tmp_path / "ck"))
+    eng.crawl(corpus_info.seeds[0])
+    got = {
+        r["url"]: (r["depth"], r["status"])
+        for r in eng.visited_dataset().take_all()
+    }
+    assert got == {r.url: (r.depth, r.status) for r in oracle.results}
+
+
+def test_priority_changes_schedule_not_set(corpus_dict, corpus_info):
+    """Without a depth limit, priority reorders waves but budget deferral
+    never drops URLs: the visited SET is priority-invariant; the schedule
+    (claim depths / wave count) genuinely differs."""
+    url_cfg = CrawlConfig(per_host_budget=25, priority="url")
+    sh_cfg = CrawlConfig(per_host_budget=25, priority="shallow")
+    a = crawl_waves(corpus_dict, corpus_info.seeds[0], url_cfg)
+    b = crawl_waves(corpus_dict, corpus_info.seeds[0], sh_cfg)
+    assert {r.url for r in a.results} == {r.url for r in b.results}
+    assert {r.url: r.status for r in a.results} == {r.url: r.status for r in b.results}
+
+
+def test_priority_guard():
+    import pytest as _pytest
+
+    from urlmap_ray.stages.politeness import PolitenessGate
+
+    with _pytest.raises(ValueError):
+        PolitenessGate({}, "ua", 10, False, -1, priority="bogus")

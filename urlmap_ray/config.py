@@ -22,6 +22,13 @@ class CrawlConfig:
     respect_robots: bool = False
     user_agent: str = "urlmap-ray/0.1 (+https://github.com/aoshimash/urlmap)"
     per_host_budget: int | None = None
+    # Budget-admission priority within a host (the north-rule "per-host
+    # politeness/priority queue"): "url" = lexicographic (reference-parity
+    # default), "shallow" = lowest depth first (url tiebreak) — under a
+    # deferral backlog the BFS frontier advances before deep stragglers.
+    # Deterministic and cluster-size-invariant either way; the wave oracle
+    # models both. No effect when per_host_budget is None (nothing defers).
+    priority: str = "url"
     # Transient-failure retry budget (reference client.go:63-83: a 5xx /
     # network error is retried up to 3 attempts total). In the wave engine a
     # transient failure (corpus flaky page still within its flaky_fails

@@ -177,11 +177,17 @@ def crawl_waves(
         out.visited[s] = 0
     frontier: list[tuple[str, int, int]] = [(s, 0, 1) for s in seeds]
     while frontier:
-        # Deterministic per-host admission: sort by (host, url), take first B.
+        # Deterministic per-host admission: iterate the frontier in priority
+        # order and take each host's first B ("url" = lexicographic;
+        # "shallow" = lowest depth first, url tiebreak — the engine's
+        # per-host priority-queue admission, politeness.py sort_keys).
         if cfg.per_host_budget is not None:
+            prio_key = (
+                None if cfg.priority == "url" else (lambda t: (t[1], t[0], t[2]))
+            )
             by_host: dict[str, int] = {}
             admitted, deferred = [], []
-            for url, depth, attempt in sorted(frontier):
+            for url, depth, attempt in sorted(frontier, key=prio_key):
                 host = extract_domain(url)
                 if by_host.get(host, 0) < cfg.per_host_budget:
                     by_host[host] = by_host.get(host, 0) + 1

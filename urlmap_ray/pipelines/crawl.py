@@ -247,6 +247,7 @@ class CrawlEngine:
             respect_robots=self.cfg.respect_robots,
             max_depth=self.cfg.max_depth,
             wave_seconds=self.wave_seconds,
+            priority=self.cfg.priority,
         )
 
     def _salted_gate_kwargs(self) -> dict:

@@ -60,13 +60,17 @@ class PolitenessGate:
         respect_robots: bool,
         max_depth: int,
         wave_seconds: float = 60.0,
+        priority: str = "url",
     ):
+        if priority not in ("url", "shallow"):
+            raise ValueError(f"priority must be 'url' or 'shallow', got {priority!r}")
         self.robots_bodies = robots_bodies
         self.user_agent = user_agent
         self.per_host_budget = per_host_budget
         self.respect_robots = respect_robots
         self.max_depth = max_depth
         self.wave_seconds = wave_seconds
+        self.priority = priority
         self._parsed: dict[str, RobotsData | None] = {}
         self._origin_set: pa.Array | None = None  # memoized is_in value_set
 
@@ -97,9 +101,16 @@ class PolitenessGate:
         # Split key is gate_key (host#salt) when hot-host salting is on —
         # splitting a salted bucket by bare host would merge a hot host's
         # salt shards back together and apply its per-shard budget once.
+        # Per-host admission order = the priority queue: budget admits the
+        # first B rows in this order, the rest defer to the next wave.
+        sort_keys = (
+            [("url", "ascending")]
+            if self.priority == "url"
+            else [("depth", "ascending"), ("url", "ascending")]
+        )
         out_tables = []
         for host_tbl in _split_by_host(group):
-            order = pc.sort_indices(host_tbl, sort_keys=[("url", "ascending")])
+            order = pc.sort_indices(host_tbl, sort_keys=sort_keys)
             host_tbl = host_tbl.take(order)
             urls = host_tbl.column("url").to_pylist()
             depths = host_tbl.column("depth").to_pylist()
@@ -207,6 +218,7 @@ def gate_group(
     respect_robots: bool,
     max_depth: int,
     wave_seconds: float,
+    priority: str = "url",
 ) -> pa.Table:
     import ray
 
@@ -217,12 +229,14 @@ def gate_group(
         respect_robots,
         max_depth,
         wave_seconds,
+        priority,
     )
     gate = _GATE_CACHE.get(key)
     if gate is None:
         bodies = ray.get(robots_ref) if isinstance(robots_ref, ray.ObjectRef) else (robots_ref or {})
         gate = PolitenessGate(
-            bodies, user_agent, per_host_budget, respect_robots, max_depth, wave_seconds
+            bodies, user_agent, per_host_budget, respect_robots, max_depth,
+            wave_seconds, priority
         )
         _GATE_CACHE[key] = gate
     if per_host_budget is None:

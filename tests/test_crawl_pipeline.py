@@ -450,3 +450,32 @@ def test_priority_guard():
 
     with _pytest.raises(ValueError):
         PolitenessGate({}, "ua", 10, False, -1, priority="bogus")
+
+
+@pytest.mark.parametrize("sort_limit", [None, 0])
+def test_transient_budget_paths_match_oracle(
+    ray_session, transient_info, transient_dict, robots_index, tmp_path, sort_limit
+):
+    """Transient retries interleaved with budget deferral: retry rows must
+    survive the hybrid (driver-gate) AND fully-distributed budget paths —
+    engine equals the wave oracle on (depth, status, attempt) per URL."""
+    cfg = CrawlConfig(per_host_budget=20, respect_robots=True)
+    oracle = crawl_waves(
+        transient_dict, transient_info.seeds[0], cfg, robots=robots_index
+    )
+    eng = _engine(
+        ray_session,
+        transient_info,
+        cfg,
+        str(tmp_path / f"ck{sort_limit}"),
+        wave_seconds=1e9,
+        small_wave_rows=0,
+    )
+    if sort_limit is not None:
+        eng.driver_sort_limit = sort_limit
+    eng.crawl(transient_info.seeds[0])
+    got = {
+        r["url"]: (r["depth"], r["status"], r["attempt"])
+        for r in eng.visited_dataset(with_attempt=True).take_all()
+    }
+    assert got == _final_by_url(oracle)

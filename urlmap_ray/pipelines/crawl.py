@@ -464,7 +464,8 @@ class CrawlEngine:
         if os.environ.get("URLMAP_STATS") == "2":
             print(f"--- wave {d} fused stats ---\n{ds.stats()}", flush=True)
         self._tally_verdicts(results_path, stats)
-        self._append_retries(results_path, next_path)
+        if stats.retried:
+            self._append_retries(results_path, next_path)
         t_tally = time.time()
         stats.new_urls = _count_rows(next_path) - stats.retried
         if os.environ.get("URLMAP_STATS"):
@@ -572,7 +573,8 @@ class CrawlEngine:
                 row_group_size=512,
             )
         self._tally_verdicts(results_path, stats)
-        self._append_retries(results_path, next_path)
+        if stats.retried:
+            self._append_retries(results_path, next_path)
         stats.new_urls = max(0, _count_rows(next_path) - stats.deferred - stats.retried)
         return stats
 
@@ -673,9 +675,11 @@ class CrawlEngine:
             ).map_batches(_cast_frontier, batch_format="pyarrow")
             survivors = survivors.union(deferred)
         survivors.write_parquet(next_path)
+        if stats.retried:
+            self._append_retries(results_path, next_path)
         if os.environ.get("URLMAP_STATS"):
             print(f"--- wave {d} survivors stats ---\n{survivors.stats()}", flush=True)
-        stats.new_urls = max(0, _count_rows(next_path) - stats.deferred)
+        stats.new_urls = max(0, _count_rows(next_path) - stats.deferred - stats.retried)
         return stats
 
     # -- driver-local wave (same stage functions, pyarrow only) ------------
@@ -814,7 +818,17 @@ class CrawlEngine:
         wdir = self._wave_dir(d)
         seen_dir = os.path.join(wdir, "seen")
         os.makedirs(seen_dir, exist_ok=True)
-        seen.checkpoint_journals(seen_dir)
+        seen_rows = seen.checkpoint_journals(seen_dir)
+        # Row counts are DERIVED from wave accounting, not re-read from
+        # footers: every gated frontier row lands in results exactly once,
+        # and the next frontier is claims + deferrals + retries. At scale a
+        # wave writes hundreds of block files per dir; three serial
+        # footer-scan passes per wave boundary were measurable driver time.
+        rows = {
+            "results": stats.frontier,
+            "next_frontier": stats.new_urls + stats.deferred + stats.retried,
+            "seen_delta": seen_rows,
+        }
         manifest = {
             "wave": d,
             "seeds": seeds,
@@ -825,7 +839,7 @@ class CrawlEngine:
                 name: {
                     "path": p,
                     "files": [os.path.basename(f) for f in _files(p)],
-                    "rows": _count_rows(p),
+                    "rows": rows[name],
                 }
                 for name, p in [
                     ("results", os.path.join(wdir, "results")),

@@ -550,6 +550,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         )
 
+    def doc_quality_model(sf_dir):
+        # hashed-n-gram linear quality-model INFERENCE (fastText-style,
+        # Joulin et al. 2016) as an actor-pool map_batches stage: the
+        # weight vector is built once per ACTOR in __init__ (a model load
+        # in deployment), scoring is vectorized, scores are integer so the
+        # result is bit-equal at any parallelism. Oracle = single-process
+        # per-doc reference (the kmeans/PCA trust model — SQL cannot
+        # express the feature hash).
+        import ray.data
+
+        from urlmap_ray.expected import ensure_quality_model_expected
+        from urlmap_ray.functions.quality_model import QualityModelScorer
+
+        ensure_quality_model_expected(sf_dir)
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(
+            QualityModelScorer,
+            concurrency=(1, 4),
+            batch_size=256,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def docs_mix(sf_dir):
+        # declared per-source training-mix rates (src0 kept whole, src1
+        # halved, src2 quartered, everything else at 10%) — deterministic
+        # content-hash decisions, zero shuffle; md5 rule is exactly
+        # reproducible in SQL like docs_sample's.
+        import ray.data
+
+        return sp.mixture_sample(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "source", "lang", "text"],
+            ),
+            rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=0.1,
+            salt="mix1",
+        ).map_batches(
+            lambda t: t.select(["doc_id", "source", "lang"]),
+            batch_format="pyarrow",
+        )
+
     def docs_rollup(sf_dir):
         # GROUP BY ROLLUP(source, lang) in one pass: finest-level local
         # hash-agg, coarser levels derived batch-locally, one single-key
@@ -1297,6 +1341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": docs_bm25,
         "docs_rollup": docs_rollup,
         "doc_compression": doc_compression,
+        "doc_quality_model": doc_quality_model,
+        "docs_mix": docs_mix,
         "docs_pipeline": docs_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -1764,6 +1810,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5('s1' || coalesce(text, '')), 1, 8)) AS BIGINT)
                   < 429496729
         """,
+        "docs_mix": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('mix1' || coalesce(text, '')), 1, 8)) AS BIGINT)
+                  < CASE source WHEN 'src0' THEN 4294967296
+                                WHEN 'src1' THEN 2147483648
+                                WHEN 'src2' THEN 1073741824
+                                ELSE 429496729 END
+        """,
+        # quality-model scores are integer sums of seeded hash-bucket
+        # weights — SQL cannot express the feature hash; the oracle reads
+        # the single-process per-doc reference (kmeans/PCA trust model).
+        "doc_quality_model": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/quality_model.parquet')"
+        ),
         "docs_split": """
             WITH h AS (
                 SELECT lang,

@@ -928,3 +928,127 @@ def test_float_quantiles_quantization_contract(ray_session):
         assert v == units[math.ceil(q * len(units)) - 1], q
         # contract: within 1/scale of the true float quantile
         assert abs(v / 100.0 - np.quantile(vals, q, method="inverted_cdf")) <= 0.01 + 1e-9
+
+
+def test_mixture_sample_rates_and_determinism(ray_session, docs_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.sampling import hash_sample, mixture_sample
+
+    ds = ray.data.from_arrow(docs_tbl)
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    rows = mixture_sample(ds, rates=rates, default_rate=0.1, salt="m").take_all()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    full = {}
+    for r in docs_tbl.to_pylist():
+        full.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by_src.get("src0") == full["src0"]  # rate 1.0 keeps everything
+    assert "src2" not in by_src  # rate 0.0 drops everything
+    assert 0 < len(by_src.get("src1", set())) < len(full["src1"])
+    # per-source decisions match hash_sample at the same rate+salt (the
+    # mixture IS a per-source Bernoulli family, one pass instead of K)
+    half = {
+        r["doc_id"]
+        for r in hash_sample(ds, rate=0.5, salt="m").take_all()
+        if r["source"] == "src1"
+    }
+    assert by_src["src1"] == half
+    # partitioning-independent
+    rows2 = mixture_sample(
+        ds.repartition(7), rates=rates, default_rate=0.1, salt="m"
+    ).take_all()
+    assert {r["doc_id"] for r in rows2} == {r["doc_id"] for r in rows}
+    with pytest.raises(ValueError):
+        mixture_sample(ds, rates={"src0": 2.0})
+
+
+def test_quality_model_matches_reference_any_parallelism(ray_session, docs_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.quality_model import (
+        QualityModelScorer,
+        quality_model_reference,
+    )
+
+    docs = docs_tbl.select(["doc_id", "text"])
+    want = {
+        r["doc_id"]: (r["model_score"], r["model_keep"])
+        for r in quality_model_reference(docs).to_pylist()
+    }
+    for parts, bs in ((1, 4096), (7, 32)):
+        got = {
+            r["doc_id"]: (r["model_score"], r["model_keep"])
+            for r in ray.data.from_arrow(docs)
+            .repartition(parts)
+            .map_batches(
+                QualityModelScorer,
+                concurrency=(1, 2),
+                batch_size=bs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .take_all()
+        }
+        assert got == want  # bit-equal at any batch size / actor count
+
+
+def test_quality_model_edge_cases():
+    import pyarrow as pa
+
+    from urlmap_ray.functions.quality_model import (
+        model_weights,
+        quality_model_reference,
+        score_batch,
+    )
+
+    w = model_weights()
+    assert (w == model_weights()).all()  # deterministic model
+    assert w.min() >= -512 and w.max() <= 511
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["", "one", "one two", None], pa.string()),
+        }
+    )
+    out = score_batch(batch, w)
+    ref = quality_model_reference(batch)
+    assert out.equals(ref)
+    scores = out.column("model_score").to_pylist()
+    assert scores[0] == 0 and scores[3] == 0  # empty/null text → score 0
+    # "one two" = unigrams of "one" + "two" plus exactly one bigram term
+    solo = score_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["one", "two"], pa.string()),
+            }
+        ),
+        w,
+    ).column("model_score")
+    uni_sum = solo[0].as_py() + solo[1].as_py()
+    assert abs(scores[2] - uni_sum) <= 512  # the bigram weight is bounded
+
+
+def test_quality_model_whitespace_parity():
+    # Arrow's split emits empty tokens at edges/runs; Python's split()
+    # doesn't — score_batch must compact them (bigram adjacency included).
+    import pyarrow as pa
+
+    from urlmap_ray.functions.quality_model import (
+        model_weights,
+        quality_model_reference,
+        score_batch,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([" x  y ", "x y", "  \t "], pa.string()),
+        }
+    )
+    out = score_batch(batch, model_weights())
+    assert out.equals(quality_model_reference(batch))
+    s = out.column("model_score").to_pylist()
+    assert s[0] == s[1] and s[2] == 0

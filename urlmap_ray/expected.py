@@ -286,6 +286,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)
         ensure_compression_expected(sf_dir)
+        ensure_quality_model_expected(sf_dir)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         ensure_kmeans_expected(sf_dir)
         ensure_pca_expected(sf_dir)
@@ -346,6 +347,27 @@ def ensure_compression_expected(sf_dir: str, max_docs: int = 1000) -> str:
         ),
         path,
     )
+    return path
+
+
+def ensure_quality_model_expected(sf_dir: str, max_docs: int = 1000) -> str:
+    """Expected (doc_id, model_score, model_keep) from the single-process
+    per-doc reference (quality_model.quality_model_reference). Scores are
+    integer sums of deterministic int64 weights, so the distributed
+    actor-pool stage is BIT-equal at any parallelism — the kmeans/PCA
+    trust model; SQL cannot express the feature hash."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "quality_model.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if docs.num_rows > max_docs:
+        return path
+    from .functions.quality_model import quality_model_reference
+
+    _write_atomic(quality_model_reference(docs), path)
     return path
 
 

@@ -31,7 +31,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_sample", "hash_split", "stratified_sample"]
+__all__ = ["hash_sample", "hash_split", "mixture_sample", "stratified_sample"]
 
 _U32_SPAN = 1 << 32
 
@@ -62,6 +62,46 @@ def hash_sample(ds, *, rate: float, text_col: str = "text", salt: str = ""):
     def keep(batch: pa.Table) -> pa.Table:
         u = _salted_u32(batch.column(text_col).to_pylist(), salt)
         return batch.filter(pa.array(u < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_sample(
+    ds,
+    *,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    key_col: str = "source",
+    text_col: str = "text",
+    salt: str = "",
+):
+    """Deterministic data-mixing sample: keep each row with the rate
+    DECLARED for its ``key_col`` value (sources absent from ``rates`` use
+    ``default_rate``) — the per-source up/down-weighting step of a training
+    mix (GPT-3/Llama-style corpus weights), decided by content hash so the
+    same document survives on any cluster size, any partitioning, resumed
+    or not. Zero shuffle: rates broadcast in the closure (a training mix is
+    a small declared table, like the pivot's category set)."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresholds = {
+        k: np.uint64(int(r * _U32_SPAN)) for k, r in rates.items()
+    }
+    default_thr = np.uint64(int(default_rate * _U32_SPAN))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = _salted_u32(batch.column(text_col).to_pylist(), salt)
+        thr = np.array(
+            [
+                thresholds.get(k, default_thr)
+                for k in batch.column(key_col).to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        return batch.filter(pa.array(u < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -187,6 +187,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(lambda t: t.select(["url"]), batch_format="pyarrow")
         return anti_join(full, shallow, on="url")
 
+    def page_anchors(sf_dir):
+        # link-text corpus: one (src, dst, anchor) row per extracted anchor
+        # — anchor text is a standard relevance/label signal for web-scale
+        # training data. Same href chain as page_links; html never leaves
+        # the extraction stage. Oracle = single-process per-page loop
+        # (expected parquet); handwritten goldens pin the parser semantics.
+        import ray.data
+
+        from urlmap_ray.expected import ensure_anchors_expected
+        from urlmap_ray.extract import extract_anchors_batch
+
+        info = _corpus(sf_dir)
+        ensure_anchors_expected(info)
+        return ray.data.read_parquet(info.pages_path).map_batches(
+            extract_anchors_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def anchor_index(sf_dir):
+        # aggregated anchor-text per target (total refs, distinct anchors,
+        # most frequent anchor with lexicographic tie-break) — per-batch
+        # pair pre-agg then ONE groupby(dst) fold. Oracle = the same
+        # aggregation in SQL over the page_anchors ground-truth table.
+        import ray.data
+
+        from urlmap_ray.expected import ensure_anchors_expected
+        from urlmap_ray.extract import extract_anchors_batch
+        from urlmap_ray.functions.graph import anchor_text_index
+
+        info = _corpus(sf_dir)
+        ensure_anchors_expected(info)
+        return anchor_text_index(
+            ray.data.read_parquet(info.pages_path).map_batches(
+                extract_anchors_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
     def page_links(sf_dir):
         import ray.data
 
@@ -1320,6 +1356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_transient": crawl_transient,
         "crawl_diff": crawl_diff,
         "page_links": page_links,
+        "page_anchors": page_anchors,
+        "anchor_index": anchor_index,
         "page_edges": page_edges,
         "page_degrees": page_degrees,
         "pagerank": pagerank,
@@ -1770,6 +1808,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE url NOT IN (SELECT url FROM read_parquet('{_exp('crawl-d3')}'))
         """,
         "page_links": f"SELECT * FROM read_parquet('{_exp('page_links')}')",
+        "page_anchors": f"SELECT * FROM read_parquet('{_exp('page_anchors')}')",
+        "anchor_index": f"""
+            WITH pc AS (
+                SELECT dst, anchor, count(*) AS cnt
+                FROM read_parquet('{_exp('page_anchors')}') GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT dst, anchor, cnt,
+                       CAST(sum(cnt) OVER (PARTITION BY dst) AS BIGINT) AS n_refs,
+                       CAST(count(*) OVER (PARTITION BY dst) AS BIGINT)
+                           AS n_unique_anchors,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY cnt DESC, anchor ASC) AS rn
+                FROM pc
+            )
+            SELECT dst, n_refs, n_unique_anchors, anchor AS top_anchor,
+                   CAST(cnt AS BIGINT) AS top_anchor_count
+            FROM ranked WHERE rn = 1
+        """,
         # graph family: ground truth from the pure extractor + the
         # single-process pagerank_reference (expected.py); the distributed
         # path under test is the shuffle-free edge build, the one-key

@@ -472,3 +472,99 @@ def test_document_order_and_duplicates():
 def test_script_content_not_parsed():
     html = '<script>var s = \'<a href="/fake">x</a>\';</script><a href="/real">r</a>'
     assert extract_links(BASE, html) == ["https://example.com/real"]
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text extraction (beyond-reference link-text corpus operator).
+
+
+def test_iter_anchors_aligns_with_iter_hrefs():
+    from urlmap_ray.htmlparse import iter_anchors, iter_hrefs
+
+    cases = [
+        '<a href="/x">hello</a>',
+        '<a href="/p2">first<div>block <a href="/p3">third</a></div>',
+        '<div><a href="/1">one</div>two',
+        '<a href="/y">one<div>two</div></a>tail',
+        '<p><a href="/a">x<p>y</p></a>',
+        "",
+        "<a>no href</a>",
+    ]
+    for c in cases:
+        assert [h for h, _ in iter_anchors(c)] == iter_hrefs(c), c
+
+
+def test_anchor_text_goldens():
+    from urlmap_ray.htmlparse import iter_anchors
+
+    def norm(html):
+        return [(h, " ".join(t.split())) for h, t in iter_anchors(html)]
+
+    # plain + nested inline markup + entity refs
+    assert norm('<a href="/x">he<b>ll</b>o</a>') == [("/x", "hello")]
+    assert norm('<a href="/x">a &amp; b</a>') == [("/x", "a & b")]
+    # block nested inside anchor stays the anchor's text (valid HTML5)
+    assert norm('<a href="/y">one<div>two</div></a>') == [("/y", "onetwo")]
+    # adoption agency via a second <a>: clone gets the block text BEFORE
+    # the new anchor; the nested anchor's text does not leak into it
+    assert norm('<a href="/p2">first<div>block <a href="/p3">third</a></div>') == [
+        ("/p2", "first"),
+        ("/p2", "block"),
+        ("/p3", "third"),
+    ]
+    # reconstruction clone after a block close gets the following text
+    assert norm('<div><a href="/1">one</div>two') == [("/1", "one"), ("/1", "two")]
+    # empty anchors and whitespace normalization
+    assert norm('<a href="/e"></a><a href="/s">  spaced\t out </a>') == [
+        ("/e", ""),
+        ("/s", "spaced out"),
+    ]
+
+
+def test_extract_anchors_href_chain_matches_extract_links():
+    from urlmap_ray.extract import extract_anchors, extract_links
+
+    html = (
+        '<a href="/rel">r</a><a href="https://other.example/p">abs</a>'
+        '<a href="javascript:x()">skip</a><a href="">empty</a>'
+        '<a href="/dir/">trail</a>'
+    )
+    base = "https://example.com/base"
+    pairs = extract_anchors(base, html)
+    assert [p[0] for p in pairs] == extract_links(base, html)
+    assert [p[1] for p in pairs] == ["r", "abs", "trail"]
+
+
+def test_extract_anchors_batch_explodes(ray_session):
+    import pyarrow as pa
+
+    from urlmap_ray.extract import extract_anchors_batch
+
+    batch = pa.table(
+        {
+            "url": pa.array(
+                ["https://h.test/", "https://h.test/p", "https://h.test/e"]
+            ),
+            "html": pa.array(
+                [
+                    b'<a href="/a">one</a><a href="/b">two</a>',
+                    b'<a href="/c">three</a>',
+                    None,
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = extract_anchors_batch(batch)
+    assert out.column_names == ["src", "dst", "anchor"]
+    assert out.column("src").to_pylist() == [
+        "https://h.test/",
+        "https://h.test/",
+        "https://h.test/p",
+    ]
+    assert out.column("dst").to_pylist() == [
+        "https://h.test/a",
+        "https://h.test/b",
+        "https://h.test/c",
+    ]
+    assert out.column("anchor").to_pylist() == ["one", "two", "three"]

@@ -120,3 +120,31 @@ def test_pagerank_rejects_bad_mode(ray_session, corpus, truth):
     urls, _, _ = truth
     with pytest.raises(ValueError):
         pagerank(_pages_ds(corpus), urls, mode="banana")
+
+
+def test_anchor_text_index_counts_and_tiebreak(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.graph import anchor_text_index
+
+    pairs = pa.table(
+        {
+            "src": pa.array([f"https://h.test/{i}" for i in range(7)]),
+            "dst": pa.array(["t"] * 5 + ["u"] * 2),
+            "anchor": pa.array(["beta", "alpha", "beta", "alpha", "gamma", "x", "x"]),
+        }
+    )
+    out = {
+        r["dst"]: r
+        for r in anchor_text_index(
+            ray.data.from_arrow(pairs).repartition(4)
+        ).take_all()
+    }
+    t = out["t"]
+    assert t["n_refs"] == 5 and t["n_unique_anchors"] == 3
+    # alpha and beta both appear twice → lexicographic tie-break
+    assert t["top_anchor"] == "alpha" and t["top_anchor_count"] == 2
+    u = out["u"]
+    assert u["n_refs"] == 2 and u["n_unique_anchors"] == 1
+    assert u["top_anchor"] == "x" and u["top_anchor_count"] == 2

@@ -132,6 +132,44 @@ def ensure_page_links_expected(info: CorpusInfo) -> str:
     return path
 
 
+def ensure_anchors_expected(info: CorpusInfo) -> str:
+    """Expected (src, dst, anchor) link-text rows via a single-process
+    per-page loop over the scalar :func:`~urlmap_ray.extract.extract_anchors`
+    (the distributed query uses the batch form — same trust model as
+    page_links; handwritten goldens in test_extract pin the anchor-text
+    parser semantics)."""
+    path = expected_path(info, "page_anchors")
+    if not _should_generate(info, path):
+        return path
+    from .extract import extract_anchors
+    from .urlnorm import URLError
+
+    tbl = _pages_table(info)
+    srcs, dsts, anchors = [], [], []
+    for url, html in zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()):
+        if html is None:
+            continue
+        try:
+            pairs = extract_anchors(url, html)
+        except URLError:
+            continue
+        for dst, text in pairs:
+            srcs.append(url)
+            dsts.append(dst)
+            anchors.append(text)
+    _write_atomic(
+        pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_spa_expected(info: CorpusInfo) -> str:
     """Expected (url, is_spa, confidence) per corpus page via detect_spa."""
     path = expected_path(info, "spa_detect")
@@ -278,6 +316,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
         info, "br", CrawlConfig(per_host_budget=200, respect_robots=True)
     )
     ensure_page_links_expected(info)
+    ensure_anchors_expected(info)
     ensure_spa_expected(info)
     ensure_spa_domains_expected(info)
     ensure_link_stats_expected(info)

@@ -49,9 +49,14 @@ class ExtractionStats:
 
 
 def _extract_core(
-    base_url: str, html_content: str, stats: ExtractionStats
-) -> tuple[list[str], list[str]]:
-    """Shared hot loop: normalized links + their hostnames, in document order.
+    base_url: str,
+    html_content: str,
+    stats: ExtractionStats,
+    *,
+    with_text: bool = False,
+) -> tuple[list[str], list[str], list[str]]:
+    """Shared hot loop: normalized links + their hostnames (and, with
+    ``with_text``, each anchor's raw descendant text), in document order.
 
     Semantics are EXACTLY the reference's per-href chain
     (skip → resolve → IsValidURL → NormalizeURL, parser.go:148-204), but
@@ -65,10 +70,19 @@ def _extract_core(
     """
     links: list[str] = []
     hosts: list[str] = []
+    texts: list[str] = []
     base_parsed: object = None  # lazily parsed once; False = parse error
     from .gourl import parse as _parse, resolve_reference
 
-    for href in iter_hrefs(html_content):
+    if with_text:
+        from .htmlparse import iter_anchors
+
+        pairs = iter_anchors(html_content)
+    else:
+        from itertools import repeat
+
+        pairs = zip(iter_hrefs(html_content), repeat(""))
+    for href, anchor_text in pairs:
         stats.total_found += 1
         href = href.strip()
         if not href:
@@ -117,8 +131,10 @@ def _extract_core(
             u.path = "/"
         links.append(str(u))
         hosts.append(u.hostname())
+        if with_text:
+            texts.append(anchor_text)
         stats.valid += 1
-    return links, hosts
+    return links, hosts, texts
 
 
 def extract_links_with_stats(
@@ -135,7 +151,7 @@ def extract_links_with_stats(
     html_content = html_content.strip()
     if not html_content:
         return [], stats
-    links, _ = _extract_core(base_url, html_content, stats)
+    links, _, _ = _extract_core(base_url, html_content, stats)
     return links, stats
 
 
@@ -168,7 +184,7 @@ def extract_same_domain_links(base_url: str, html_content: str | bytes) -> list[
         return []
     if not is_valid_url(base_url):
         raise URLError(f"invalid base URL: {base_url}")
-    links, hosts = _extract_core(base_url, html_content.strip(), ExtractionStats())
+    links, hosts, _ = _extract_core(base_url, html_content.strip(), ExtractionStats())
     if not links:
         return []
     try:
@@ -176,6 +192,30 @@ def extract_same_domain_links(base_url: str, html_content: str | bytes) -> list[
     except URLError:
         return []
     return [l for l, h in zip(links, hosts) if h.casefold() == base_domain]
+
+
+def extract_anchors(base_url: str, html_content: str | bytes) -> list[tuple[str, str]]:
+    """(normalized link, anchor text) pairs in document order — the
+    link-text corpus form (anchor text is a standard relevance/label signal
+    for web-scale training data). The href chain is EXACTLY
+    ``extract_links``' (skip → resolve → validate → normalize, so the first
+    elements equal ``extract_links`` output); text is the anchor's
+    descendant text (goquery ``.Text()``) with whitespace normalized
+    (split/join) for a stable product. Beyond-reference operator: the
+    reference stores only hrefs (parser.go:120-208)."""
+    base_url = base_url.strip()
+    if not base_url:
+        raise URLError("base URL cannot be empty")
+    if isinstance(html_content, bytes):
+        html_content = html_content.decode("utf-8", errors="replace")
+    if not html_content.strip():
+        return []
+    if not is_valid_url(base_url):
+        raise URLError(f"invalid base URL: {base_url}")
+    links, _, texts = _extract_core(
+        base_url, html_content, ExtractionStats(), with_text=True
+    )
+    return [(l, " ".join(t.split())) for l, t in zip(links, texts)]
 
 
 class _ParagraphCollector(HTMLParser):
@@ -278,3 +318,34 @@ def extract_links_batch(
                 f, pa.array([getattr(s, f) for s in stats_out], type=pa.int64())
             )
     return batch
+
+
+def extract_anchors_batch(
+    batch: pa.Table, *, url_col: str = "url", html_col: str = "html"
+) -> pa.Table:
+    """Exploded (src, dst, anchor) rows for one Arrow batch of pages — one
+    row per extracted anchor, duplicates preserved in document order. Pure
+    per-row transform (stateless ``map_batches``); the heavy html column
+    never leaves this stage."""
+    urls = batch.column(url_col).to_pylist()
+    htmls = batch.column(html_col).to_pylist()
+    srcs: list[str] = []
+    dsts: list[str] = []
+    anchors: list[str] = []
+    for base, html in zip(urls, htmls):
+        if html is None:
+            continue
+        try:
+            pairs = extract_anchors(base, html)
+        except URLError:
+            continue
+        srcs.extend([base] * len(pairs))
+        dsts.extend(p[0] for p in pairs)
+        anchors.extend(p[1] for p in pairs)
+    return pa.table(
+        {
+            "src": pa.array(srcs, pa.string()),
+            "dst": pa.array(dsts, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        }
+    )

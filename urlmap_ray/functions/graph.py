@@ -810,3 +810,54 @@ def pagerank_reference(
         ranks = new
     q = np.round(ranks * 1e9).astype(np.int64)
     return {u: int(q[i]) for i, u in enumerate(urls_sorted)}
+
+
+def anchor_text_index(pairs_ds, *, dst_col: str = "dst", anchor_col: str = "anchor"):
+    """Aggregated anchor-text signal per target URL — the classic web-corpus
+    "anchor index" (inbound link text is a relevance/label signal): for each
+    ``dst``, total references, distinct anchor strings, and the most frequent
+    anchor (ties broken lexicographically, so the result is deterministic at
+    any parallelism).
+
+    Shape: per-batch Arrow hash-agg collapses each batch to its distinct
+    (dst, anchor) pairs with partial counts — a hot target referenced by the
+    same text everywhere ships one row per batch, never one per link — then
+    ONE ``groupby(dst)`` folds each target's little histogram vectorized.
+    Nothing lands on the driver; per-key work is the target's distinct
+    anchor count. Beyond-reference operator (the reference stores raw hrefs
+    only, parser.go:120-208)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select([dst_col, anchor_col])
+            .group_by([dst_col, anchor_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([dst_col, anchor_col, "partial"])
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        merged = (
+            g.select([anchor_col, "partial"])
+            .group_by(anchor_col)
+            .aggregate([("partial", "sum")])
+        )
+        anchors = np.asarray(merged.column(anchor_col).to_pylist(), dtype=object)
+        cnts = merged.column("partial_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        top = np.lexsort((anchors, -cnts))[0]
+        return pa.table(
+            {
+                dst_col: g.column(dst_col).slice(0, 1),
+                "n_refs": pa.array([int(cnts.sum())], pa.int64()),
+                "n_unique_anchors": pa.array([len(cnts)], pa.int64()),
+                "top_anchor": pa.array([str(anchors[top])], pa.string()),
+                "top_anchor_count": pa.array([int(cnts[top])], pa.int64()),
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(dst_col)
+        .map_groups(fold, batch_format="pyarrow")
+    )

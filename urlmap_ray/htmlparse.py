@@ -58,31 +58,52 @@ _DD_DT = frozenset(["dd", "dt"])
 
 
 class _Element:
-    __slots__ = ("tag", "attrs", "href")
+    __slots__ = ("tag", "attrs", "href", "birth", "text")
 
     def __init__(self, tag: str, attrs: tuple, href: str | None):
         self.tag = tag
         self.attrs = attrs
         self.href = href
+        self.birth = 0  # insertion sequence (set by the builder)
+        self.text: list | None = None  # [(seq, chunk)] when collecting
 
 
 class _AnchorTreeBuilder(HTMLParser):
-    """Emits a[href] values in document order per the rules above."""
+    """Emits a[href] values in document order per the rules above.
 
-    def __init__(self) -> None:
+    With ``collect_text=True`` each emitted anchor also accumulates its
+    descendant text (goquery ``.Text()`` semantics): a text chunk belongs
+    to every ``a`` element open on the stack when it arrives, and the
+    adoption-agency clone takes the chunks that arrived after the furthest
+    block opened — matching where the DOM actually places them."""
+
+    def __init__(self, collect_text: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.stack: list[_Element] = []
         self.afe: list[_Element] = []  # active formatting elements
         self.hrefs: list[str] = []
+        self.anchors: list[_Element] = []
+        self._collect_text = collect_text
+        self._seq = 0
 
     # -- helpers ----------------------------------------------------------
 
     def _emit(self, el: _Element) -> None:
         if el.tag == "a" and el.href is not None:
             self.hrefs.append(el.href)
+            if self._collect_text:
+                if el.text is None:
+                    el.text = []
+                self.anchors.append(el)
+
+    def _new_element(self, tag: str, attrs: tuple, href: str | None) -> _Element:
+        el = _Element(tag, attrs, href)
+        self._seq += 1
+        el.birth = self._seq
+        return el
 
     def _push(self, tag: str, attrs: tuple, href: str | None) -> _Element:
-        el = _Element(tag, attrs, href)
+        el = self._new_element(tag, attrs, href)
         self.stack.append(el)
         self._emit(el)
         return el
@@ -149,8 +170,13 @@ class _AnchorTreeBuilder(HTMLParser):
         self.stack.remove(fmt)
         self.afe.remove(fmt)
         fb_idx = next(i for i, e in enumerate(self.stack) if e is fb)
-        clone = _Element(fmt.tag, fmt.attrs, fmt.href)
+        clone = self._new_element(fmt.tag, fmt.attrs, fmt.href)
         self._emit(clone)
+        if fmt.text is not None and clone.text is not None:
+            # DOM placement: text that arrived after the furthest block
+            # opened sits inside the block — it moves to the clone.
+            clone.text.extend(c for c in fmt.text if c[0] > fb.birth)
+            fmt.text = [c for c in fmt.text if c[0] <= fb.birth]
         self.stack.insert(fb_idx + 1, clone)
 
     def _pop_to(self, tag: str) -> None:
@@ -185,6 +211,12 @@ class _AnchorTreeBuilder(HTMLParser):
                     self.afe.remove(e)
                     if self._on_stack(e):
                         self.stack.remove(e)
+                # The AAA clone (not in the AFE) must be closed too — a new
+                # <a> never leaves an old one open. Emission already
+                # happened at insertion, so hrefs are unchanged; this only
+                # stops the nested anchor's text leaking into the clone.
+                for e in [e for e in self.stack if e.tag == "a"]:
+                    self.stack.remove(e)
             self._reconstruct()
             el = self._push(tag, tuple(attrs), href)
             self._afe_add(el)
@@ -241,6 +273,11 @@ class _AnchorTreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if data and not data.isspace():
             self._reconstruct()
+        if self._collect_text and data:
+            self._seq += 1
+            for e in self.stack:
+                if e.text is not None:
+                    e.text.append((self._seq, data))
 
 
 def iter_hrefs(html_content: str) -> list[str]:
@@ -256,3 +293,19 @@ def iter_hrefs(html_content: str) -> list[str]:
         # errors on content either).
         pass
     return builder.hrefs
+
+
+def iter_anchors(html_content: str) -> list[tuple[str, str]]:
+    """(href, raw descendant text) per anchor, in the same document order —
+    ``[h for h, _ in iter_anchors(x)] == iter_hrefs(x)`` by construction.
+    Text is the concatenated raw chunks (goquery ``.Text()``); callers
+    normalize whitespace for a stable data product."""
+    builder = _AnchorTreeBuilder(collect_text=True)
+    try:
+        builder.feed(html_content)
+        builder.close()
+    except Exception:
+        pass
+    return [
+        (el.href, "".join(c[1] for c in el.text or ())) for el in builder.anchors
+    ]

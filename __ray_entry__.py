@@ -610,6 +610,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         )
 
+    def doc_lm_score(sf_dir):
+        # CCNet-style perplexity filtering signal: hashed unigram LM
+        # trained ON the corpus (one 8-byte-key shuffle, declared
+        # max_vocab cap) then broadcast once; per-doc mean token
+        # log-probability scored row-local, ppb-quantized so the match
+        # is bit-equality. Oracle = single-process Counter reference.
+        import ray.data
+
+        from urlmap_ray.expected import ensure_lm_expected
+        from urlmap_ray.functions.lm import lm_score, lm_train
+
+        ensure_lm_expected(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        vh, vc, n_total = lm_train(docs)
+        return lm_score(docs, vh, vc, n_total)
+
     def docs_mix(sf_dir):
         # declared per-source training-mix rates (src0 kept whole, src1
         # halved, src2 quartered, everything else at 10%) — deterministic
@@ -1380,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": docs_rollup,
         "doc_compression": doc_compression,
         "doc_quality_model": doc_quality_model,
+        "doc_lm_score": doc_lm_score,
         "docs_mix": docs_mix,
         "docs_pipeline": docs_pipeline,
         "dedup_exact": dedup_exact,
@@ -1881,6 +1900,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_model": (
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/quality_model.parquet')"
+        ),
+        # unigram-LM scores involve the token hash + np.log — not SQL-
+        # expressible; the oracle reads the single-process reference.
+        "doc_lm_score": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/lm_score.parquet')"
         ),
         "docs_split": """
             WITH h AS (

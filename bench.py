@@ -119,6 +119,11 @@ def run_bench() -> dict:
         "docs_rollup",
         "events_cube",
         "page_links",
+        "page_anchors",
+        "anchor_index",
+        "doc_quality_model",
+        "doc_lm_score",
+        "docs_mix",
         "lineitem_agg",
         "events_daily",
         "events_sessions",

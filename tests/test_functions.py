@@ -1052,3 +1052,55 @@ def test_quality_model_whitespace_parity():
     assert out.equals(quality_model_reference(batch))
     s = out.column("model_score").to_pylist()
     assert s[0] == s[1] and s[2] == 0
+
+
+def test_lm_score_matches_reference_any_parallelism(ray_session, docs_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.lm import lm_reference, lm_score, lm_train
+
+    docs = docs_tbl.select(["doc_id", "text"])
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_ppb"])
+        for r in lm_reference(docs).to_pylist()
+    }
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(docs).repartition(parts)
+        vh, vc, n_total = lm_train(ds)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["logprob_ppb"])
+            for r in lm_score(ds, vh, vc, n_total).take_all()
+        }
+        assert got == want  # bit-equal train+score at any partitioning
+
+
+def test_lm_vocab_cap_and_oov(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.lm import lm_reference, lm_score, lm_train
+
+    # tiny corpus, max_vocab=2 → only the two most frequent tokens stay
+    # in-vocab; ties at the boundary break by the pinned int64-hash order
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["aa aa aa bb bb cc", "aa bb cc dd", "", None], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(3)
+    vh, vc, n_total = lm_train(ds, max_vocab=2)
+    assert len(vh) == 2 and n_total == 10
+    got = lm_score(ds, vh, vc, n_total).take_all()
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_ppb"])
+        for r in lm_reference(docs, max_vocab=2).to_pylist()
+    }
+    assert {r["doc_id"]: (r["n_tokens"], r["logprob_ppb"]) for r in got} == want
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[3]["n_tokens"] == 0 and by_id[3]["logprob_ppb"] == 0
+    assert by_id[4]["n_tokens"] == 0
+    # doc 1 (mostly in-vocab tokens) scores higher than doc 2 (more OOV)
+    assert by_id[1]["logprob_ppb"] > by_id[2]["logprob_ppb"]

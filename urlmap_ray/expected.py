@@ -326,6 +326,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
         ensure_simhash_sigs(sf_dir)
         ensure_compression_expected(sf_dir)
         ensure_quality_model_expected(sf_dir)
+        ensure_lm_expected(sf_dir)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         ensure_kmeans_expected(sf_dir)
         ensure_pca_expected(sf_dir)
@@ -407,6 +408,27 @@ def ensure_quality_model_expected(sf_dir: str, max_docs: int = 1000) -> str:
     from .functions.quality_model import quality_model_reference
 
     _write_atomic(quality_model_reference(docs), path)
+    return path
+
+
+def ensure_lm_expected(sf_dir: str, max_docs: int = 1000) -> str:
+    """Expected (doc_id, n_tokens, logprob_ppb) from the single-process
+    unigram-LM reference (lm.lm_reference): Counter train + per-doc scoring
+    over the same tokenizer/hash/np.log/reduceat contract — bit-equal to the
+    distributed lm_train+lm_score at any parallelism (kmeans/PCA trust
+    model; SQL cannot express the hash or the log)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "lm_score.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if docs.num_rows > max_docs:
+        return path
+    from .functions.lm import lm_reference
+
+    _write_atomic(lm_reference(docs), path)
     return path
 
 

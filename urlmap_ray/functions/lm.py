@@ -1,0 +1,197 @@
+"""Perplexity-style language-model quality scoring — the CCNet/Wikipedia-LM
+filtering step (Wenzek et al. 2020): score each document by its mean token
+log-probability under a unigram model trained on the corpus itself, then
+gate/bucket on the score (boilerplate and gibberish sit in the tails).
+
+Two phases, both Ray-Data-native:
+
+- ``lm_train``: hashed unigram counts (the dedup family's deterministic
+  64-bit token hash — a hashed vocabulary is the standard trick that bounds
+  state independently of Heaps' law) → per-batch ``np.unique`` partials →
+  ONE hash-keyed groupby → distributed ``sort + limit`` caps the model at a
+  DECLARED ``max_vocab`` (the tfidf/pivot bounded-broadcast contract; ties
+  at the boundary break by hash, pinned on both sides). The driver holds
+  ≤max_vocab rows; total token count folds off the same shuffled table.
+- ``lm_score``: the model broadcasts once (``ray.put``), scoring is
+  row-local — token hashes ``searchsorted`` into the sorted vocab, Laplace
+  log-probs gathered, per-doc means via cumsum differences. Zero shuffle.
+
+Determinism: probabilities derive from integer counts, both sides apply the
+same ``np.log`` kernel to the same float64 inputs and sum each doc's values
+in document order, and the emitted score is ppb-quantized int64 — the
+pagerank/PCA exactness contract, so the oracle match is bit-equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .quality_model import _doc_sums, _token_hashes
+
+DEFAULT_MAX_VOCAB = 1 << 16
+
+
+def _laplace_logp(counts: np.ndarray, n_total: int, vocab: int) -> np.ndarray:
+    """ln((c + 1) / (N + V + 1)) — Laplace smoothing; OOV uses c = 0."""
+    return np.log((counts.astype(np.float64) + 1.0) / float(n_total + vocab + 1))
+
+
+def _score_arrays(
+    uni: np.ndarray,
+    offsets: np.ndarray,
+    vocab_hashes: np.ndarray,
+    vocab_logp: np.ndarray,
+    oov_logp: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, logprob_ppb) per doc from flat token hashes + offsets."""
+    idx = np.searchsorted(vocab_hashes, uni)
+    idx_c = np.minimum(idx, max(len(vocab_hashes) - 1, 0))
+    if len(vocab_hashes):
+        hit = vocab_hashes[idx_c] == uni
+        logp = np.where(hit, vocab_logp[idx_c], oov_logp)
+    else:
+        logp = np.full(len(uni), oov_logp)
+    starts, ends = offsets[:-1], offsets[1:]
+    n_tok = ends - starts
+    # Per-doc float sums via np.add.reduceat over non-empty segments (the
+    # graph family's bit-determinism contract): each doc's sum is the
+    # sequential fold of ITS OWN values only, so the result is independent
+    # of batch composition — a cross-doc prefix-sum would not be.
+    total = np.zeros(len(n_tok), dtype=np.float64)
+    nz = n_tok > 0
+    if nz.any():
+        total[nz] = np.add.reduceat(logp, starts[nz])
+    mean = np.divide(total, n_tok, out=np.zeros(len(n_tok)), where=nz)
+    return n_tok, np.round(mean * 1e9).astype(np.int64)
+
+
+def lm_train(
+    ds, *, max_vocab: int = DEFAULT_MAX_VOCAB, text_col: str = "text"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(sorted vocab hashes, counts aligned to them, total token count).
+
+    The exchange moves each batch's DISTINCT token hashes (8-byte keys),
+    never tokens; the driver receives ≤max_vocab rows. Boundary ties break
+    by (count DESC, hash ASC) — pinned, so the model is identical at any
+    parallelism."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        uni, _ = _token_hashes(t.column(text_col))
+        h, c = np.unique(uni, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # consumed twice below; size = distinct hashes, never rows
+    )
+    n_total = counts.aggregate(Sum("cnt", alias_name="n"))["n"] or 0
+    rows = (
+        counts.sort(["cnt", "h"], descending=[True, False])
+        .limit(max_vocab)
+        .take_all()  # ≤max_vocab rows by construction — the declared cap
+    )
+    hashes = np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    cnts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.argsort(hashes)
+    return hashes[order], cnts[order], int(n_total)
+
+
+def lm_score(
+    ds,
+    vocab_hashes: np.ndarray,
+    vocab_counts: np.ndarray,
+    n_total: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, n_tokens, logprob_ppb) per doc — model broadcast once via
+    ``ray.put``, scoring row-local (zero shuffle)."""
+    import ray
+
+    vocab = len(vocab_hashes)
+    logp = _laplace_logp(vocab_counts, n_total, vocab)
+    oov = float(_laplace_logp(np.zeros(1, dtype=np.int64), n_total, vocab)[0])
+    model_ref = ray.put((vocab_hashes, logp, oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vh, vl, vo = ray.get(model_ref)
+        uni, offsets = _token_hashes(batch.column(text_col))
+        n_tok, ppb = _score_arrays(uni, offsets, vh, vl, vo)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "logprob_ppb": pa.array(ppb, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lm_reference(
+    docs: pa.Table,
+    *,
+    max_vocab: int = DEFAULT_MAX_VOCAB,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Single-process reference: per-doc Python loop over the same
+    tokenizer/hash/log contract (independent control flow — Counter train,
+    per-doc scoring). Bit-equal to lm_train + lm_score at any parallelism."""
+    import pandas as pd
+
+    from collections import Counter
+
+    counter: Counter = Counter()
+    texts = docs.column(text_col).to_pylist()
+    per_doc_hashes = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        h = (
+            pd.util.hash_array(np.asarray(toks, dtype=object))
+            if toks
+            else np.empty(0, dtype=np.uint64)
+        )
+        per_doc_hashes.append(h)
+        # int64 view = the type the distributed shuffle column carries, so
+        # the (count DESC, hash ASC) boundary tie-break orders identically.
+        counter.update(h.view(np.int64).tolist())
+    n_total = int(sum(counter.values()))
+    items = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    vh = np.array([k for k, _ in items], dtype=np.int64).view(np.uint64)
+    vc = np.array([v for _, v in items], dtype=np.int64)
+    order = np.argsort(vh)
+    vh, vc = vh[order], vc[order]
+    logp = _laplace_logp(vc, n_total, len(vh))
+    oov = float(_laplace_logp(np.zeros(1, dtype=np.int64), n_total, len(vh))[0])
+
+    ids = docs.column(id_col).to_pylist()
+    n_out, s_out = [], []
+    for h in per_doc_hashes:
+        if not len(h):
+            n_out.append(0)
+            s_out.append(0)
+            continue
+        idx = np.searchsorted(vh, h)
+        idx_c = np.minimum(idx, max(len(vh) - 1, 0))
+        hit = vh[idx_c] == h if len(vh) else np.zeros(len(h), dtype=bool)
+        lp = np.where(hit, logp[idx_c], oov) if len(vh) else np.full(len(h), oov)
+        n_out.append(int(len(h)))
+        total = np.add.reduceat(lp, np.zeros(1, dtype=np.int64))[0]
+        s_out.append(int(np.round(total / len(h) * 1e9)))
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_out, pa.int64()),
+            "logprob_ppb": pa.array(s_out, pa.int64()),
+        }
+    )

@@ -58,6 +58,17 @@ def _iter_raw(path: str):
 
         tbl = pq.read_table(path, columns=["url"])
         yield from tbl.column("url").to_pylist()
+    elif ext == ".cdxj" or path.endswith(".cdxj.gz"):
+        # Common Crawl capture index: fetchable (2xx) captures become seeds
+        from .cdxj import parse_cdxj_bytes
+
+        with open(path, "rb") as f:
+            tbl = parse_cdxj_bytes(f.read(), source=path)
+        for url, status in zip(
+            tbl.column("url").to_pylist(), tbl.column("status").to_pylist()
+        ):
+            if status is not None and 200 <= status < 300:
+                yield url
     else:
         raise URLError(f"unsupported seed file extension {ext!r} (txt/csv/jsonl/parquet)")
 

@@ -572,6 +572,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak_col="event_id",
         )
 
+    def events_zscore(sf_dir):
+        # per-user spend standardization — one key shuffle, per-group
+        # moments from INTEGER sums, the float chain pinned to single
+        # IEEE ops (mean = s1/n; num = s2 - s1*mean; std = sqrt(num/(n-1)))
+        # so the SQL oracle reproduces z bit-for-bit; ppb-quantized.
+        from urlmap_ray.functions.windows import group_zscore
+
+        return group_zscore(
+            _events_cents(sf_dir), key_col="user_id", val_col="cents",
+            id_col="event_id",
+        )
+
     def doc_compression(sf_dir):
         # compression-ratio quality signal (row-local zlib, integer
         # outputs); the oracle is a precomputed single-process ground
@@ -1397,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": docs_bm25,
         "docs_rollup": docs_rollup,
         "doc_compression": doc_compression,
+        "events_zscore": events_zscore,
         "doc_quality_model": doc_quality_model,
         "doc_lm_score": doc_lm_score,
         "docs_mix": docs_mix,
@@ -2255,6 +2268,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/compression.parquet')"
         ),
+        # z-score: moments from integer sums; the float chain below is the
+        # exact op-for-op mirror of windows.group_zscore (single IEEE-754
+        # ops on identical operands ⇒ bit-equal before the ppb round).
+        "events_zscore": """
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 s AS (SELECT user_id, count(*) AS n,
+                              CAST(sum(cents) AS BIGINT) AS s1,
+                              CAST(sum(cents * cents) AS BIGINT) AS s2
+                       FROM e GROUP BY user_id)
+            SELECT e.user_id, e.event_id, e.cents,
+                   CASE
+                     WHEN s.n < 2 THEN 0
+                     WHEN CAST(s.s2 AS DOUBLE)
+                          - CAST(s.s1 AS DOUBLE) * (CAST(s.s1 AS DOUBLE) / s.n)
+                          <= 0 THEN 0
+                     ELSE CAST(round(
+                        (e.cents - CAST(s.s1 AS DOUBLE) / s.n)
+                        / sqrt((CAST(s.s2 AS DOUBLE)
+                                - CAST(s.s1 AS DOUBLE) * (CAST(s.s1 AS DOUBLE) / s.n))
+                               / (s.n - 1))
+                        * 1000000000) AS BIGINT)
+                   END AS z_ppb
+            FROM e JOIN s USING (user_id)
+        """,
         "docs_rollup": """
             SELECT coalesce(source, '(all)') AS source,
                    coalesce(lang, '(all)') AS lang,

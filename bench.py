@@ -139,6 +139,7 @@ def run_bench() -> dict:
         "events_lag",
         "events_rolling",
         "events_ntile",
+        "events_zscore",
         "user_event_seq",
         "orders_cust_nation",
         "custs_no_urgent",

@@ -394,3 +394,42 @@ def test_ntile_matches_pandas(ray_session, events_pd):
         from urlmap_ray.functions.windows import ntile as nt
 
         nt(ds, key_col="user_id", order_col="cents", n=0)
+
+
+def test_group_zscore_exact_and_edge_cases(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.windows import group_zscore
+
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(7)), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 3, 3, 3], pa.int64()),
+            "cents": pa.array([100, 200, 300, 50, 7, 7, 7], pa.int64()),
+        }
+    )
+    out = {
+        r["event_id"]: r["z_ppb"]
+        for r in group_zscore(
+            ray.data.from_arrow(t).repartition(3), val_col="cents"
+        ).take_all()
+    }
+    # user 1: mean 200, std 100 → z = -1, 0, 1 exactly
+    assert (out[0], out[1], out[2]) == (-1_000_000_000, 0, 1_000_000_000)
+    assert out[3] == 0  # singleton key
+    assert out[4] == out[5] == out[6] == 0  # zero variance
+    # pinned float chain reproduces the hand formula
+    s1, s2, n = 600, 140000, 3
+    mean = s1 / n
+    std = math.sqrt((s2 - s1 * mean) / (n - 1))
+    assert out[2] == round((300 - mean) / std * 1e9)
+    with __import__("pytest").raises(Exception):
+        group_zscore(
+            ray.data.from_arrow(
+                pa.table({"event_id": [1], "user_id": [1], "cents": [1.5]})
+            ),
+            val_col="cents",
+        ).take_all()

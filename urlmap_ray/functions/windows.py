@@ -10,6 +10,8 @@ are small and naturally bounded (hot users would be the skew to salt).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -487,5 +489,49 @@ def ntile(
         bucket = np.repeat(np.arange(1, len(sizes) + 1), sizes)
         out = g.select([key_col, tiebreak_col, order_col]).take(pa.array(order))
         return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def group_zscore(
+    ds,
+    *,
+    key_col: str = "user_id",
+    val_col: str,
+    id_col: str = "event_id",
+):
+    """Per-key standardization (z-score) — the feature-normalization step
+    of a training pipeline: ``(x - mean_key) / std_key`` with the SAMPLE
+    standard deviation.
+
+    One key shuffle co-locates each key's rows; per group the moments come
+    from INTEGER sums (``val_col`` must be integer — quantize floats
+    upstream), and the float chain is pinned to exactly
+    ``mean = s1/n; num = s2 - s1*mean; std = sqrt(num/(n-1))`` — single
+    IEEE-754 ops a SQL oracle reproduces bit-for-bit from the same integer
+    sums. Output z is ppb-quantized int64; keys with n == 1 or zero
+    variance emit z = 0 (the SQL CASE mirrors this). Returns
+    (key, id, val, ``z_ppb``)."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(g.column(val_col).type):
+            raise TypeError(
+                f"group_zscore val_col {val_col!r} must be integer "
+                "(quantize floats upstream for exact moments)"
+            )
+        v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        out = g.select([key_col, id_col, val_col])
+        if n < 2:
+            return out.append_column("z_ppb", pa.array(np.zeros(n, np.int64)))
+        s1 = int(v.sum())
+        s2 = int((v * v).sum())
+        mean = float(s1) / n
+        num = float(s2) - float(s1) * mean
+        if num <= 0.0:  # zero variance (all values equal)
+            return out.append_column("z_ppb", pa.array(np.zeros(n, np.int64)))
+        std = math.sqrt(num / (n - 1))
+        z = np.round((v - mean) / std * 1e9).astype(np.int64)
+        return out.append_column("z_ppb", pa.array(z, pa.int64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

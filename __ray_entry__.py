@@ -572,6 +572,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak_col="event_id",
         )
 
+    def docs_pack(sf_dir):
+        # sequence packing: docs binned into ≤512-token training sequences,
+        # greedy in doc_id order within declared 100-doc buckets (bounded
+        # sequential unit ⇒ parallel, bit-identical at any cluster size;
+        # text never moves — only (id, count) rows shuffle). Oracle =
+        # the same greedy rule as a recursive CTE.
+        from urlmap_ray.functions.packing import pack_sequences
+
+        return pack_sequences(
+            _docs(sf_dir), budget=512, bucket_size=100
+        )
+
     def events_zscore(sf_dir):
         # per-user spend standardization — one key shuffle, per-group
         # moments from INTEGER sums, the float chain pinned to single
@@ -1409,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": docs_bm25,
         "docs_rollup": docs_rollup,
         "doc_compression": doc_compression,
+        "docs_pack": docs_pack,
         "events_zscore": events_zscore,
         "doc_quality_model": doc_quality_model,
         "doc_lm_score": doc_lm_score,
@@ -2268,6 +2281,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/compression.parquet')"
         ),
+        # sequence packing: the same greedy in-order rule as a recursive
+        # CTE over each declared 100-doc bucket (token rule = whitespace
+        # split, the doc_token_counts contract).
+        "docs_pack": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS bucket,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       row_number() OVER (PARTITION BY doc_id // 100
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            p AS (
+                SELECT bucket, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS seq, n_tokens AS acc
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN p.acc + t.n_tokens > 512
+                            THEN p.seq + 1 ELSE p.seq END,
+                       CASE WHEN p.acc + t.n_tokens > 512
+                            THEN t.n_tokens ELSE p.acc + t.n_tokens END
+                FROM p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, n_tokens, seq FROM p
+        """,
         # z-score: moments from integer sums; the float chain below is the
         # exact op-for-op mirror of windows.group_zscore (single IEEE-754
         # ops on identical operands ⇒ bit-equal before the ppb round).

@@ -1104,3 +1104,53 @@ def test_lm_vocab_cap_and_oov(ray_session):
     assert by_id[4]["n_tokens"] == 0
     # doc 1 (mostly in-vocab tokens) scores higher than doc 2 (more OOV)
     assert by_id[1]["logprob_ppb"] > by_id[2]["logprob_ppb"]
+
+
+def test_pack_sequences_greedy_rule(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.packing import pack_group, pack_sequences
+
+    # hand-checkable: budget 10, tokens 4+4 fit, +4 overflows; an oversize
+    # doc (12) takes its own sequence with no empty gaps
+    g = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 3, 4], pa.int64()),  # unsorted input
+            "n_tokens": pa.array([3, 4, 4, 4, 12], pa.int64()),
+        }
+    )
+    out = pack_group(g, budget=10)
+    assert out.column("doc_id").to_pylist() == [1, 2, 3, 4, 5]
+    assert out.column("seq").to_pylist() == [0, 0, 1, 2, 3]
+    # distributed: partitioning-independent, buckets never share sequences
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(250)), pa.int64()),
+            "text": pa.array(["w " * (i % 7) for i in range(250)], pa.string()),
+        }
+    )
+    a = {
+        (r["doc_id"]): (r["bucket"], r["seq"])
+        for r in pack_sequences(
+            ray.data.from_arrow(docs).repartition(5), budget=12, bucket_size=50
+        ).take_all()
+    }
+    b = {
+        (r["doc_id"]): (r["bucket"], r["seq"])
+        for r in pack_sequences(
+            ray.data.from_arrow(docs), budget=12, bucket_size=50
+        ).take_all()
+    }
+    assert a == b and len(a) == 250
+    assert {k // 50 for k in a} == {a[k][0] for k in a}  # bucket = id // 50
+    # within a bucket no sequence exceeds the budget (oversize docs exempt)
+    import collections
+
+    tot = collections.Counter()
+    toks = {i: len(("w " * (i % 7)).split()) for i in range(250)}
+    for d, (bkt, s) in a.items():
+        tot[(bkt, s)] += toks[d]
+    for (bkt, s), t in tot.items():
+        members = [d for d in a if a[d] == (bkt, s)]
+        assert t <= 12 or len(members) == 1

@@ -383,6 +383,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         )
 
+    def docs_pii(sf_dir):
+        # PII scrubbing: emails/IPs/SSNs/phones → typed tokens + per-type
+        # counts, pure Arrow RE2 (same engine as the DuckDB oracle). The
+        # synthetic corpus carries no PII, so the query first APPENDS a
+        # deterministic doc_id-derived contact line to a subset of docs —
+        # mirrored term-for-term in the oracle SQL — so the oracle
+        # genuinely exercises both engines' match/replace agreement.
+        import numpy as np
+        import pyarrow as pa
+
+        from urlmap_ray.functions.pii import redact_pii_batch
+
+        def aug_and_redact(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            sid = ids.astype("U20")
+            last4 = np.char.zfill((ids % 10000).astype("U4"), 4)
+            blank = np.full(len(ids), "", dtype="U64")
+            email = np.where(
+                ids % 3 == 0,
+                np.char.add(np.char.add(" contact user", sid), "@example.org"),
+                blank,
+            )
+            phone = np.where(
+                ids % 5 == 0, np.char.add(" call (555) 867-", last4), blank
+            )
+            ip = np.where(
+                ids % 7 == 0,
+                np.char.add(
+                    np.char.add(
+                        np.char.add(" host 10.0.", (ids % 256).astype("U3")), "."
+                    ),
+                    ((ids * 7) % 256).astype("U3"),
+                ),
+                blank,
+            )
+            ssn = np.where(
+                ids % 11 == 0, np.char.add(" ssn 123-45-", last4), blank
+            )
+            suffix = np.char.add(np.char.add(np.char.add(email, phone), ip), ssn)
+            aug = pa.compute.binary_join_element_wise(
+                t.column("text"), pa.array(suffix.astype(object), pa.string()), ""
+            )
+            return redact_pii_batch(
+                t.select(["doc_id"]).append_column("text", aug)
+            )
+
+        return _docs(sf_dir).map_batches(
+            lambda t: aug_and_redact(t.select(["doc_id", "text"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     def doc_quality(sf_dir):
         return _docs(sf_dir).map_batches(
             lambda t: ts.quality_batch(t.select(["doc_id", "text"])),
@@ -1412,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": event_value_quantiles,
         "doc_quality": doc_quality,
         "docs_clean": docs_clean,
+        "docs_pii": docs_pii,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_repetition": doc_repetition,
@@ -1977,6 +2030,65 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_raw,
                    length(text_clean) AS n_chars_clean
             FROM c
+        """,
+        # PII redaction: the same deterministic doc_id-derived injection as
+        # the Ray query, then the pinned ordered RE2 chain (email → ipv4 →
+        # ssn → phone), counting on the text each rule actually sees.
+        # Same regex engine (RE2) on both sides ⇒ byte-identical.
+        "docs_pii": """
+            WITH s0 AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                               || CAST(doc_id AS VARCHAR) || '@example.org'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' call (555) 867-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+                               || CAST(doc_id % 256 AS VARCHAR) || '.'
+                               || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS t
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) AS BIGINT) AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM s0
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                       )) AS BIGINT) AS n_ipv4,
+                       regexp_replace(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       CAST(len(regexp_extract_all(t,
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+                       regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                           '<ID>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, n_email, n_ipv4, n_ssn,
+                   CAST(len(regexp_extract_all(t,
+                       '\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}')) AS BIGINT)
+                       AS n_phone,
+                   regexp_replace(t, '\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}',
+                       '<PHONE>', 'g') AS text_redacted
+            FROM s3
         """,
         "doc_quality": f"""
             SELECT doc_id,

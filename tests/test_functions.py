@@ -1154,3 +1154,45 @@ def test_pack_sequences_greedy_rule(ray_session):
     for (bkt, s), t in tot.items():
         members = [d for d in a if a[d] == (bkt, s)]
         assert t <= 12 or len(members) == 1
+
+
+def test_redact_pii_ordered_chain(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.pii import redact_pii, redact_pii_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b+c@sub.example.co.uk or (555) 123-4567 now",
+                    "server 192.168.0.1 id 123-45-6789 backup 10.0.0.2",
+                    None,
+                    "no pii here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = redact_pii_batch(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["text_redacted"] == "mail <EMAIL> or <PHONE> now"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    # ipv4 and ssn claim their digit runs BEFORE the looser phone rule —
+    # the pinned order means phone never re-matches redacted spans
+    assert rows[2]["text_redacted"] == "server <IP> id <ID> backup <IP>"
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["n_ssn"] == 1
+    assert rows[2]["n_phone"] == 0
+    assert rows[3]["text_redacted"] is None and rows[3]["n_email"] is None
+    assert rows[4]["text_redacted"] == "no pii here"
+    assert all(rows[4][f"n_{k}"] == 0 for k in ("email", "ipv4", "ssn", "phone"))
+    # dataset wrapper: row-local, partitioning-independent
+    got = sorted(
+        redact_pii(ray.data.from_arrow(t).repartition(3)).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["text_redacted"] for r in got] == [
+        rows[i]["text_redacted"] for i in (1, 2, 3, 4)
+    ]

@@ -472,6 +472,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
         )
 
+    def docs_shuffle(sf_dir):
+        # deterministic global training-order shuffle: pos = row_number
+        # over (md5(salt+text), doc_id), shard = contiguous 16-way split
+        # of that order — hash-prefix buckets make the total order
+        # distribute (bucket order IS global order; ≤4096 offset rows)
+        return sp.hash_shuffle(
+            _docs_slim(sf_dir), n_shards=16, id_col="doc_id", salt="ord1"
+        )
+
     def docs_split(sf_dir):
         # deterministic train/val/test split → per-(split, lang) doc counts;
         # same pre-aggregate-then-groupby shape as events_daily
@@ -1514,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": events_ntile,
         "docs_prep": docs_prep,
         "docs_sample": docs_sample,
+        "docs_shuffle": docs_shuffle,
         "docs_split": docs_split,
         "docs_stratified": docs_stratified,
         "media_features": media_features,
@@ -1964,6 +1974,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('s1' || coalesce(text, '')), 1, 8)) AS BIGINT)
                   < 429496729
+        """,
+        # global shuffle: the engine's (md5 hex, id) sort order is exactly
+        # ORDER BY md5(...), doc_id; shard = contiguous range of that order
+        "docs_shuffle": """
+            WITH h AS (
+                SELECT doc_id, md5('ord1' || coalesce(text, '')) AS h
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY h, doc_id) - 1 AS pos,
+                       count(*) OVER () AS total
+                FROM h
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST((pos * 16) // total AS BIGINT) AS shard
+            FROM r
         """,
         "docs_mix": """
             SELECT doc_id, source, lang FROM documents

@@ -1196,3 +1196,50 @@ def test_redact_pii_ordered_chain(ray_session):
     assert [r["text_redacted"] for r in got] == [
         rows[i]["text_redacted"] for i in (1, 2, 3, 4)
     ]
+
+
+def test_hash_shuffle_global_order(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.sampling import hash_shuffle
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(300)), pa.int64()),
+            "text": pa.array(
+                [f"doc body {i % 97} {i % 13}" for i in range(300)], pa.string()
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in hash_shuffle(
+            ray.data.from_arrow(docs).repartition(7),
+            n_shards=4,
+            id_col="doc_id",
+            salt="t",
+        ).take_all()
+    }
+    assert len(out) == 300
+    # pos is a permutation of 0..n-1 and matches the brute-force order
+    expect = sorted(
+        range(300),
+        key=lambda i: (
+            hashlib.md5(b"t" + f"doc body {i % 97} {i % 13}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    assert [out[i][0] for i in expect] == list(range(300))
+    # shards are contiguous ranges of the shuffled order, balanced to ±1
+    assert all(out[i][1] == out[i][0] * 4 // 300 for i in out)
+    # partitioning-independent
+    out2 = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in hash_shuffle(
+            ray.data.from_arrow(docs), n_shards=4, id_col="doc_id", salt="t"
+        ).take_all()
+    }
+    assert out == out2

@@ -671,6 +671,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         )
 
+    def bpe_vocab(sf_dir):
+        # BPE tokenizer training: distributed capped word counts (the
+        # vocab_topk shape), then the incremental-index merge loop over
+        # that declared summary. Oracle = naive single-process reference
+        # (full recount per round) — SQL cannot express the recursion.
+        from urlmap_ray.expected import ensure_bpe_expected
+        from urlmap_ray.functions.bpe import train_bpe
+
+        ensure_bpe_expected(sf_dir)
+        return train_bpe(_docs(sf_dir), n_merges=80, max_words=10000)
+
+    def doc_bpe_tokens(sf_dir):
+        # subword token counting with the trained vocab: merge table
+        # broadcast once via ray.put, actor-pool encoding with per-actor
+        # word memoization — integer outputs, bit-equal at any parallelism
+        from urlmap_ray.expected import ensure_bpe_expected
+        from urlmap_ray.functions.bpe import bpe_token_counts, train_bpe
+
+        ensure_bpe_expected(sf_dir)
+        merges = train_bpe(_docs(sf_dir), n_merges=80, max_words=10000)
+        return bpe_token_counts(_docs(sf_dir), merges)
+
     def doc_quality_model(sf_dir):
         # hashed-n-gram linear quality-model INFERENCE (fastText-style,
         # Joulin et al. 2016) as an actor-pool map_batches stage: the
@@ -1486,6 +1508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack": docs_pack,
         "events_zscore": events_zscore,
         "doc_quality_model": doc_quality_model,
+        "bpe_vocab": bpe_vocab,
+        "doc_bpe_tokens": doc_bpe_tokens,
         "doc_lm_score": doc_lm_score,
         "docs_mix": docs_mix,
         "docs_pipeline": docs_pipeline,
@@ -2006,6 +2030,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_model": (
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/quality_model.parquet')"
+        ),
+        # BPE merge recursion is not SQL-expressible; the oracle reads the
+        # naive single-process reference (expected.ensure_bpe_expected).
+        "bpe_vocab": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/bpe_vocab.parquet')"
+        ),
+        "doc_bpe_tokens": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/bpe_tokens.parquet')"
         ),
         # unigram-LM scores involve the token hash + np.log — not SQL-
         # expressible; the oracle reads the single-process reference.

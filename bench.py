@@ -123,6 +123,8 @@ def run_bench() -> dict:
         "anchor_index",
         "doc_quality_model",
         "doc_lm_score",
+        "bpe_vocab",
+        "doc_bpe_tokens",
         "docs_mix",
         "lineitem_agg",
         "events_daily",
@@ -149,6 +151,9 @@ def run_bench() -> dict:
         "docs_sample",
         "docs_split",
         "docs_stratified",
+        "docs_shuffle",
+        "docs_pack",
+        "docs_pii",
         "page_edges",
         "page_degrees",
         "pagerank",

@@ -1243,3 +1243,55 @@ def test_hash_shuffle_global_order(ray_session):
         ).take_all()
     }
     assert out == out2
+
+
+def test_bpe_train_and_encode(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.bpe import (
+        bpe_token_counts,
+        encode_word,
+        merge_loop,
+        merge_word,
+        train_bpe,
+    )
+
+    # pinned left-to-right scan: "aaaa" under (a,a) -> "aa","aa"; "aaa" -> "aa","a"
+    assert merge_word(("a", "a", "a", "a"), ("a", "a")) == ("aa", "aa")
+    assert merge_word(("a", "a", "a"), ("a", "a")) == ("aa", "a")
+    # classic Sennrich example: ("e","s") wins round 1 on newest+widest
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = merge_loop(wc, n_merges=4)
+    assert merges[0][1:3] == ("e", "s") and merges[0][3] == 9
+    assert merges[1][1:3] == ("es", "t") and merges[1][3] == 9
+    assert merges[2][1:3] == ("est", "</w>")
+    # lexicographic tiebreak: equal-count pairs pick the smallest (left,right)
+    tie = merge_loop([("ab", 2), ("cd", 2)], n_merges=1)
+    assert tie[0][1:3] == ("a", "b")
+    # encode applies lowest-rank merge first; unseen words stay chars+</w>
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    assert encode_word("newest", ranks) == ("n", "e", "w", "est</w>")
+    assert len(encode_word("zzz", ranks)) == 4
+    # distributed: train over a Dataset, counts partition-independent
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(60)), pa.int64()),
+            "text": pa.array(
+                [" ".join(["low", "lower", "newest", "widest"][: 1 + i % 4]) for i in range(60)],
+                pa.string(),
+            ),
+        }
+    )
+    m1 = train_bpe(ray.data.from_arrow(docs).repartition(6), n_merges=5, max_words=100)
+    m2 = train_bpe(ray.data.from_arrow(docs), n_merges=5, max_words=100)
+    assert m1.equals(m2)
+    out = {
+        r["doc_id"]: r
+        for r in bpe_token_counts(
+            ray.data.from_arrow(docs).repartition(4), m1, concurrency=2
+        ).take_all()
+    }
+    assert len(out) == 60
+    # doc 0 = "low": trained vocab compresses it below chars+eow
+    assert out[0]["n_words"] == 1 and out[0]["n_bpe_tokens"] <= 4

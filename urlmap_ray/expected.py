@@ -512,3 +512,105 @@ def ensure_link_stats_expected(info: CorpusInfo) -> str:
         path,
     )
     return path
+
+
+def ensure_bpe_expected(
+    sf_dir: str, *, n_merges: int = 80, max_words: int = 10000, max_docs: int = 1000
+) -> tuple[str, str]:
+    """Expected BPE merge table + per-doc subword counts from a NAIVE
+    single-process reference (full pair recount every round, per-word
+    re-derivation at encode time) — deliberately a different algorithm
+    from the engine's incremental-index trainer and memoized actor
+    encoder, same pinned contract (see functions/bpe.py docstring). SQL
+    cannot express the merge recursion; the kmeans/PCA trust model."""
+    from collections import Counter
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    vocab_path = os.path.join("/tmp/urlmap_oracle", name, "bpe_vocab.parquet")
+    tok_path = os.path.join("/tmp/urlmap_oracle", name, "bpe_tokens.parquet")
+    if os.path.exists(vocab_path) and os.path.exists(tok_path):
+        return vocab_path, tok_path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if docs.num_rows > max_docs:
+        return vocab_path, tok_path
+
+    texts = docs.column("text").to_pylist()
+    wc: Counter = Counter()
+    for txt in texts:
+        wc.update((txt or "").split())
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+
+    def scan_merge(syms: list[str], pair: tuple[str, str]) -> list[str]:
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == pair[0]
+                and syms[i + 1] == pair[1]
+            ):
+                out.append(pair[0] + pair[1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = [(list(w) + ["</w>"], c) for w, c in top]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for syms, c in words:
+            for p in zip(syms, syms[1:]):
+                counts[p] += c
+        if not counts or max(counts.values()) < 2:
+            break
+        best_cnt = max(counts.values())
+        best = min(p for p, c in counts.items() if c == best_cnt)
+        merges.append((rank, best[0], best[1], best_cnt))
+        words = [(scan_merge(syms, best), c) for syms, c in words]
+
+    _write_atomic(
+        pa.table(
+            {
+                "rank": pa.array([m[0] for m in merges], pa.int64()),
+                "left": pa.array([m[1] for m in merges], pa.string()),
+                "right": pa.array([m[2] for m in merges], pa.string()),
+                "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        ),
+        vocab_path,
+    )
+
+    ranks = {(l, r): k for k, l, r, _ in merges}
+
+    def encode_len(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            cands = [
+                (ranks[p], p)
+                for p in zip(syms, syms[1:])
+                if p in ranks
+            ]
+            if not cands:
+                break
+            syms = scan_merge(syms, min(cands)[1])
+        return len(syms)
+
+    n_tok, n_words = [], []
+    for txt in texts:
+        ws = (txt or "").split()
+        n_words.append(len(ws))
+        n_tok.append(sum(encode_len(w) for w in ws))
+    _write_atomic(
+        pa.table(
+            {
+                "doc_id": docs.column("doc_id"),
+                "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+            }
+        ),
+        tok_path,
+    )
+    return vocab_path, tok_path

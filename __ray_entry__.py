@@ -671,6 +671,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         )
 
+    def doc_collocations(sf_dir):
+        # collocation mining: top bigrams by association LIFT (the PMI
+        # argument — same ranking, but only IEEE-pinned * and / touch the
+        # score, so the double is bit-identical to the SQL oracle; ln is
+        # NOT cross-engine stable and is deliberately avoided)
+        from urlmap_ray.functions.colloc import collocations
+
+        return collocations(_docs(sf_dir), min_count=5, k=100)
+
     def bpe_vocab(sf_dir):
         # BPE tokenizer training: distributed capped word counts (the
         # vocab_topk shape), then the incremental-index merge loop over
@@ -1508,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack": docs_pack,
         "events_zscore": events_zscore,
         "doc_quality_model": doc_quality_model,
+        "doc_collocations": doc_collocations,
         "bpe_vocab": bpe_vocab,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_lm_score": doc_lm_score,
@@ -2031,6 +2041,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/quality_model.parquet')"
         ),
+        # collocations: lift = (c_pair·Nu²)/(c_w1·c_w2·Nb) with the exact
+        # left-assoc op order of the engine's numpy chain — * and / are
+        # IEEE-correctly-rounded, so the doubles hash bit-equal.
+        "doc_collocations": """
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+                FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ),
+            uni AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(a) AS w FROM toks) GROUP BY w
+            ),
+            bi AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(a[1:len(a)-1]) AS w1,
+                             unnest(a[2:len(a)]) AS w2 FROM toks)
+                GROUP BY w1, w2
+            ),
+            tot AS (
+                SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS nu,
+                       CAST((SELECT sum(c) FROM bi) AS BIGINT) AS nb
+            ),
+            scored AS (
+                SELECT b.w1, b.w2, b.c AS n_pair, u1.c AS n_w1, u2.c AS n_w2,
+                       (CAST(b.c AS DOUBLE) * t.nu * t.nu) /
+                       (CAST(u1.c AS DOUBLE) * u2.c * t.nb) AS lift
+                FROM bi b
+                CROSS JOIN tot t
+                JOIN uni u1 ON u1.w = b.w1
+                JOIN uni u2 ON u2.w = b.w2
+                WHERE b.c >= 5
+            )
+            SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) - 1
+                        AS BIGINT) AS rank,
+                   w1, w2, n_pair, n_w1, n_w2, lift
+            FROM scored
+            ORDER BY rank
+            LIMIT 100
+        """,
         # BPE merge recursion is not SQL-expressible; the oracle reads the
         # naive single-process reference (expected.ensure_bpe_expected).
         "bpe_vocab": (

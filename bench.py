@@ -125,6 +125,7 @@ def run_bench() -> dict:
         "doc_lm_score",
         "bpe_vocab",
         "doc_bpe_tokens",
+        "doc_collocations",
         "docs_mix",
         "lineitem_agg",
         "events_daily",

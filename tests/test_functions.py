@@ -1295,3 +1295,49 @@ def test_bpe_train_and_encode(ray_session):
     assert len(out) == 60
     # doc 0 = "low": trained vocab compresses it below chars+eow
     assert out[0]["n_words"] == 1 and out[0]["n_bpe_tokens"] <= 4
+
+
+def test_collocations_lift_ranking(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.colloc import collocations
+
+    # "new york" always adjacent (high lift); "the cat"/"the dog" share
+    # the promiscuous "the" (low lift); singleton pairs fall to min_count
+    docs = [
+        "new york " * 3 + "the cat the dog the fish",
+        "the mat and the hat new york",
+    ] * 5
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    out = collocations(ds.repartition(4), min_count=5, k=10).take_all()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    ny = by_pair[("new", "york")]
+    cat = by_pair[("the", "cat")]
+    assert ny["n_pair"] == 20 and ny["n_w1"] == 20 and ny["n_w2"] == 20
+    assert cat["n_pair"] == 5 and cat["n_w1"] == 25 and cat["n_w2"] == 5
+    assert ny["lift"] > cat["lift"]
+    assert out[0]["rank"] == 0 and [r["rank"] for r in out] == sorted(
+        r["rank"] for r in out
+    )
+    # lift values strictly follow the pinned formula
+    n_uni = sum(len(d.split()) for d in docs)
+    n_bi = sum(len(d.split()) - 1 for d in docs)
+    import numpy as np
+
+    expect = (
+        np.float64(20) * np.float64(n_uni) * np.float64(n_uni)
+    ) / (np.float64(20) * np.float64(20) * np.float64(n_bi))
+    assert ny["lift"] == expect
+    # partitioning independence
+    out2 = collocations(ds, min_count=5, k=10).take_all()
+    assert [
+        (r["rank"], r["w1"], r["w2"], r["lift"]) for r in out
+    ] == [(r["rank"], r["w1"], r["w2"], r["lift"]) for r in out2]

@@ -374,6 +374,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_quantiles(toks, "n_tokens", [0.25, 0.5, 0.9], key_col="lang")
 
+    def events_value_hist(sf_dir):
+        # fixed-width float histogram (bin = floor(value/5), lo = bin*5):
+        # per-batch partial bin counts, one single-key shuffle; floor, /
+        # and * are IEEE-exact so bins+edges hash bit-equal to the oracle
+        import ray.data
+
+        from urlmap_ray.functions.quantiles import binned_histogram
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        )
+        return binned_histogram(ev, "value", width=5.0)
+
     def docs_clean(sf_dir):
         # Arrow RE2 kernels — same regex engine as DuckDB, so the SQL
         # oracle matches byte-for-byte; zero Python strings in the path
@@ -1502,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles_sketch": doc_len_quantiles_sketch,
         "doc_len_by_lang": doc_len_by_lang,
         "event_value_quantiles": event_value_quantiles,
+        "events_value_hist": events_value_hist,
         "doc_quality": doc_quality,
         "docs_clean": docs_clean,
         "docs_pii": docs_pii,
@@ -2256,6 +2270,17 @@ def oracle_sql() -> dict[str, str]:
             FROM qs CROSS JOIN s CROSS JOIN t
             WHERE cum >= ceil(q * tot)
             GROUP BY q
+        """,
+        # fixed-width histogram — floor(x/w) and bin*w are IEEE-exact,
+        # so integer bins AND double edges hash bit-equal cross-engine
+        "events_value_hist": """
+            WITH b AS (
+                SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(bin AS DOUBLE) * 5.0 AS lo
+            FROM b GROUP BY bin
         """,
         "event_value_quantiles": """
             WITH u AS (

@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "doc_length_quantiles",
         "doc_len_quantiles_sketch",
         "doc_len_by_lang",
+        "events_value_hist",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

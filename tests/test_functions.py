@@ -1341,3 +1341,28 @@ def test_collocations_lift_ranking(ray_session):
     assert [
         (r["rank"], r["w1"], r["w2"], r["lift"]) for r in out
     ] == [(r["rank"], r["w1"], r["w2"], r["lift"]) for r in out2]
+
+
+def test_binned_histogram(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.quantiles import binned_histogram
+
+    vals = [0.0, 4.99, 5.0, 7.5, -0.1, -5.0, float("nan"), None, 12.0]
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})
+    ).repartition(3)
+    out = {r["bin"]: (r["n"], r["lo"]) for r in binned_histogram(ds, "value", width=5.0).take_all()}
+    # floor semantics: negatives round toward -inf; NaN and null drop
+    assert out == {
+        0: (2, 0.0),
+        1: (2, 5.0),
+        -1: (2, -5.0),
+        2: (1, 10.0),
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        binned_histogram(ds, "value", width=0)

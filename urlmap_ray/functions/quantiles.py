@@ -30,7 +30,13 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["value_histogram", "exact_quantiles", "group_quantiles", "float_quantiles"]
+__all__ = [
+    "value_histogram",
+    "binned_histogram",
+    "exact_quantiles",
+    "group_quantiles",
+    "float_quantiles",
+]
 
 
 def value_histogram(ds, col: str):
@@ -50,6 +56,45 @@ def value_histogram(ds, col: str):
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(col)
         .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def binned_histogram(ds, col: str, *, width: float):
+    """Fixed-width histogram of a FLOAT column → (bin, n, lo) Dataset:
+    ``bin = floor(x / width)`` (int64), ``lo = bin * width`` (the bucket's
+    left edge). The distribution-dashboard primitive for unbounded float
+    columns where :func:`value_histogram`'s per-distinct-value rows would
+    explode. Same exchange shape: per-batch partial bin counts, one
+    single-key shuffle of O(bins × batches) rows. Both ``/`` and ``*``
+    are IEEE-correctly-rounded and ``floor`` is exact, so bins and edges
+    are bit-identical to the SQL mirror. NaN/null values drop (SQL
+    ``WHERE value IS NOT NULL`` semantics)."""
+    if not width > 0:
+        raise ValueError(f"width must be positive, got {width}")
+    from ray.data.aggregate import Sum
+
+    w = np.float64(width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        bins, counts = np.unique(np.floor(x / w).astype(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("lo", pa.array(b * w, pa.float64()))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("partial", alias_name="n"))
+        .map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 

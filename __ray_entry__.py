@@ -1244,6 +1244,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(ds, gap_s=1800.0)
 
+    def events_funnel(sf_dir):
+        # ordered-funnel conversion (view → click → purchase, greedy
+        # earliest-match, strictly-after rule): one key shuffle, per-user
+        # vectorized scan, O(steps)-row driver fold
+        import ray.data
+
+        from urlmap_ray.functions.windows import funnel
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        return funnel(ds, steps=["view", "click", "purchase"])
+
     def events_session_join(sf_dir):
         # Range (interval-containment) join: tag every event with the
         # session_id whose [session_start, session_end] interval contains
@@ -1554,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_no_urgent": custs_no_urgent,
         "supps_with_big_returns": supps_with_big_returns,
         "events_sessions": events_sessions,
+        "events_funnel": events_funnel,
         "events_windowed": events_windowed,
         "events_hopping": events_hopping,
         "events_top3": events_top3,
@@ -2431,6 +2446,33 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT l_suppkey FROM lineitem
                    WHERE l_returnflag = 'R' AND l_quantity = 50
                      AND l_discount > 0.09)
+        """,
+        # funnel: greedy earliest-match with the strictly-after rule —
+        # each step's match = min ts among that type later than the
+        # previous step's match
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_keys
+            UNION ALL
+            SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
         """,
         "events_sessions": """
             WITH x AS (

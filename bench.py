@@ -130,6 +130,7 @@ def run_bench() -> dict:
         "lineitem_agg",
         "events_daily",
         "events_sessions",
+        "events_funnel",
         "events_windowed",
         "events_hopping",
         "events_top3",

@@ -1366,3 +1366,37 @@ def test_binned_histogram(ray_session):
 
     with pytest.raises(ValueError):
         binned_histogram(ds, "value", width=0)
+
+
+def test_funnel_strictly_after_rule(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.windows import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, sec, ty):
+        return {"user_id": uid, "ts": t0 + dt.timedelta(seconds=sec), "event_type": ty}
+
+    rows = (
+        # u1 completes all three in order
+        [ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase")]
+        # u2: purchase BEFORE click — funnel stops after click
+        + [ev(2, 0, "view"), ev(2, 5, "purchase"), ev(2, 10, "click")]
+        # u3: click at the SAME µs as view — strictly-after excludes it
+        + [ev(3, 0, "view"), ev(3, 0, "click")]
+        # u4: no view at all — contributes to nothing
+        + [ev(4, 0, "click"), ev(4, 1, "purchase")]
+        # u5: greedy earliest view (t=0), later click still matches
+        + [ev(5, 50, "view"), ev(5, 0, "view"), ev(5, 60, "click")]
+    )
+    out = funnel(
+        ray.data.from_items(rows).repartition(4),
+        steps=["view", "click", "purchase"],
+    )
+    got = {r["step"]: r["n_keys"] for r in out.to_pylist()}
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+    assert out.column("step_idx").to_pylist() == [0, 1, 2]

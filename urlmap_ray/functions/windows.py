@@ -535,3 +535,75 @@ def group_zscore(
         return out.append_column("z_ppb", pa.array(z, pa.int64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def funnel(
+    ds,
+    *,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Ordered-funnel conversion counts — the product-analytics primitive:
+    how many keys performed step₀, then step₁ STRICTLY after their first
+    step₀, then step₂ strictly after that matched step₁, … (the greedy
+    earliest-match rule, pinned: each step matches its MINIMUM timestamp
+    among events later than the previous match; ties at the same µs do
+    not advance the funnel).
+
+    → (step_idx, step, n_keys) with n_keys = keys completing the prefix
+    through that step. One key shuffle of the projected (key, ts, type)
+    rows; per-group work is a len(steps)-pass vectorized scan; the fold
+    is a ≤len(steps)+1-row histogram — driver state is O(steps), never
+    O(keys).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    step_list = list(steps)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        ts = (
+            g.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        types = np.asarray(g.column(type_col).to_pylist())
+        done = 0
+        t_prev = np.iinfo(np.int64).min
+        for s in step_list:
+            m = (types == s) & (ts > t_prev)
+            if not m.any():
+                break
+            t_prev = ts[m].min()
+            done += 1
+        return pa.table({"completed": pa.array([done], pa.int64())})
+
+    hist = {
+        r["completed"]: r["count()"]
+        for r in ds.map_batches(
+            lambda t: t.select([key_col, ts_col, type_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+        .groupby("completed")
+        .count()
+        .take_all()
+    }
+    # n_keys completing ≥ i+1 steps, assembled from the ≤steps+1-row fold
+    n = len(step_list)
+    suffix = 0
+    at_least = [0] * (n + 1)
+    for depth in range(n, -1, -1):
+        suffix += hist.get(depth, 0)
+        at_least[depth] = suffix
+    return pa.table(
+        {
+            "step_idx": pa.array(range(n), pa.int64()),
+            "step": pa.array(step_list, pa.string()),
+            "n_keys": pa.array([at_least[i + 1] for i in range(n)], pa.int64()),
+        }
+    )

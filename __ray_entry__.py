@@ -66,14 +66,18 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def _events_cents(sf_dir: str, *, with_event_id: bool = True):
+def _events_cents(sf_dir: str, *, with_event_id: bool = True, with_ts: bool = True):
     """events with ``value`` quantized to integer cents (floor(value*100) →
     int64) — THE quantization rule every events oracle mirrors in SQL, so
     it lives in exactly one place. Integer sums stay order-independent
     across shuffles; float sums would not."""
     import ray.data
 
-    keep = ["user_id"] + (["event_id"] if with_event_id else []) + ["ts"]
+    keep = (
+        ["user_id"]
+        + (["event_id"] if with_event_id else [])
+        + (["ts"] if with_ts else [])
+    )
 
     def cents(t: pa.Table) -> pa.Table:
         c = pa.compute.floor(pa.compute.multiply(t.column("value"), 100.0))
@@ -1244,6 +1248,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(ds, gap_s=1800.0)
 
+    def events_ranks(sf_dir):
+        # rank family in one per-key pass: RANK / DENSE_RANK / ROW_NUMBER
+        # / PERCENT_RANK over integer cents (exact ties); pct_rank is one
+        # int-operand IEEE division so the double hashes bit-equal
+        from urlmap_ray.functions.windows import group_ranks
+
+        return group_ranks(
+            _events_cents(sf_dir, with_ts=False),
+            key_col="user_id",
+            order_col="cents",
+            id_col="event_id",
+        )
+
     def events_funnel(sf_dir):
         # ordered-funnel conversion (view → click → purchase, greedy
         # earliest-match, strictly-after rule): one key shuffle, per-user
@@ -1569,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supps_with_big_returns": supps_with_big_returns,
         "events_sessions": events_sessions,
         "events_funnel": events_funnel,
+        "events_ranks": events_ranks,
         "events_windowed": events_windowed,
         "events_hopping": events_hopping,
         "events_top3": events_top3,
@@ -2446,6 +2464,28 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT l_suppkey FROM lineitem
                    WHERE l_returnflag = 'R' AND l_quantity = 50
                      AND l_discount > 0.09)
+        """,
+        # rank family over integer cents; pct_rank mirrored as the explicit
+        # (rank-1)/(n-1) double division, not the engine-specific built-in
+        "events_ranks": """
+            WITH c AS (
+                SELECT user_id, event_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT user_id, event_id, cents,
+                   CAST(row_number() OVER w AS BIGINT) AS row_num,
+                   CAST(rank() OVER v AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER v AS BIGINT) AS dense_rnk,
+                   CASE WHEN count(*) OVER (PARTITION BY user_id) = 1
+                        THEN 0.0
+                        ELSE CAST(rank() OVER v - 1 AS DOUBLE) /
+                             CAST(count(*) OVER (PARTITION BY user_id) - 1
+                                  AS DOUBLE)
+                   END AS pct_rank
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY cents DESC, event_id),
+                   v AS (PARTITION BY user_id ORDER BY cents DESC)
         """,
         # funnel: greedy earliest-match with the strictly-after rule —
         # each step's match = min ts among that type later than the

@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "events_lag",
         "events_rolling",
         "events_ntile",
+        "events_ranks",
         "events_zscore",
         "user_event_seq",
         "orders_cust_nation",

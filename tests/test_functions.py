@@ -1400,3 +1400,38 @@ def test_funnel_strictly_after_rule(ray_session):
     got = {r["step"]: r["n_keys"] for r in out.to_pylist()}
     assert got == {"view": 4, "click": 3, "purchase": 1}
     assert out.column("step_idx").to_pylist() == [0, 1, 2]
+
+
+def test_group_ranks_tie_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.windows import group_ranks
+
+    t = pa.table(
+        {
+            "k": pa.array([1] * 5 + [2], pa.int64()),
+            "id": pa.array([10, 11, 12, 13, 14, 20], pa.int64()),
+            "v": pa.array([30, 30, 20, 20, 10, 7], pa.int64()),
+        }
+    )
+    out = sorted(
+        group_ranks(
+            ray.data.from_arrow(t).repartition(3),
+            key_col="k",
+            order_col="v",
+            id_col="id",
+        ).take_all(),
+        key=lambda r: (r["k"], r["row_num"]),
+    )
+    k1 = [(r["id"], r["row_num"], r["rnk"], r["dense_rnk"], r["pct_rank"]) for r in out[:5]]
+    # ties share rank (gaps) and dense_rank (no gaps); row_number breaks by id
+    assert k1 == [
+        (10, 1, 1, 1, 0.0),
+        (11, 2, 1, 1, 0.0),
+        (12, 3, 3, 2, 0.5),
+        (13, 4, 3, 2, 0.5),
+        (14, 5, 5, 3, 1.0),
+    ]
+    # singleton partition: pct_rank pinned to 0.0
+    assert out[5]["pct_rank"] == 0.0 and out[5]["rnk"] == 1

@@ -607,3 +607,50 @@ def funnel(
             "n_keys": pa.array([at_least[i + 1] for i in range(n)], pa.int64()),
         }
     )
+
+
+def group_ranks(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+):
+    """Per-key rank family in one pass — RANK (ties share, gaps),
+    DENSE_RANK (ties share, no gaps), ROW_NUMBER (ties broken by
+    ``id_col`` ascending) and PERCENT_RANK ((rank-1)/(n-1), the SQL
+    definition — one int-operand IEEE division, so the double is
+    bit-equal to the oracle's explicit mirror).
+
+    ``order_col`` must be integer (the repo's exact-tie contract —
+    quantize floats upstream); one key shuffle, vectorized per-group
+    lexsort + run-length scan.
+    """
+
+    def per_key(g: pa.Table) -> pa.Table:
+        v = g.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v if descending else v))
+        sv = v[order]
+        n = len(sv)
+        row_num = np.arange(1, n + 1, dtype=np.int64)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = sv[1:] != sv[:-1]
+        # RANK: the row_number at each run's start, carried across the run
+        rnk = np.maximum.accumulate(np.where(new_run, row_num, 0))
+        dense = np.cumsum(new_run).astype(np.int64)
+        if n > 1:
+            pct = (rnk - 1).astype(np.float64) / np.float64(n - 1)
+        else:
+            pct = np.zeros(1, dtype=np.float64)
+        out = g.take(pa.array(order)).select([key_col, id_col, order_col])
+        return (
+            out.append_column("row_num", pa.array(row_num, pa.int64()))
+            .append_column("rnk", pa.array(rnk, pa.int64()))
+            .append_column("dense_rnk", pa.array(dense, pa.int64()))
+            .append_column("pct_rank", pa.array(pct, pa.float64()))
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -1261,6 +1261,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             id_col="event_id",
         )
 
+    def events_retention(sf_dir):
+        # weekly cohort retention matrix: batch-local dedup to (user,
+        # period) rows before the one key shuffle; the output fold is
+        # dashboard-sized (periods² rows)
+        import ray.data
+
+        from urlmap_ray.functions.windows import cohort_retention
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+        )
+        return cohort_retention(ds, period_s=7 * 86400.0)
+
     def events_funnel(sf_dir):
         # ordered-funnel conversion (view → click → purchase, greedy
         # earliest-match, strictly-after rule): one key shuffle, per-user
@@ -1587,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events_sessions,
         "events_funnel": events_funnel,
         "events_ranks": events_ranks,
+        "events_retention": events_retention,
         "events_windowed": events_windowed,
         "events_hopping": events_hopping,
         "events_top3": events_top3,
@@ -2464,6 +2478,20 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT l_suppkey FROM lineitem
                    WHERE l_returnflag = 'R' AND l_quantity = 50
                      AND l_discount > 0.09)
+        """,
+        # retention: period = epoch-µs // week (positive ts ⇒ floor = trunc)
+        "events_retention": """
+            WITH kp AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS period
+                FROM events
+            ),
+            c AS (SELECT user_id, min(period) AS cohort FROM kp GROUP BY user_id)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort,
+                   CAST(kp.period - c.cohort AS BIGINT) AS "offset",
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM kp JOIN c ON kp.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         # rank family over integer cents; pct_rank mirrored as the explicit
         # (rank-1)/(n-1) double division, not the engine-specific built-in

@@ -144,6 +144,7 @@ def run_bench() -> dict:
         "events_rolling",
         "events_ntile",
         "events_ranks",
+        "events_retention",
         "events_zscore",
         "user_event_seq",
         "orders_cust_nation",

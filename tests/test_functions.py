@@ -1435,3 +1435,41 @@ def test_group_ranks_tie_semantics(ray_session):
     ]
     # singleton partition: pct_rank pinned to 0.0
     assert out[5]["pct_rank"] == 0.0 and out[5]["rnk"] == 1
+
+
+def test_cohort_retention(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.windows import cohort_retention
+
+    day = 86400.0
+    t0 = dt.datetime(2024, 1, 1)  # epoch-day 19723
+
+    def ev(uid, d):
+        return {"user_id": uid, "ts": t0 + dt.timedelta(days=d)}
+
+    rows = (
+        # u1: first day 0, returns day 1 and day 2 (offsets 0,1,2)
+        [ev(1, 0), ev(1, 1), ev(1, 2), ev(1, 2)]
+        # u2: same cohort, never returns
+        + [ev(2, 0)]
+        # u3: later cohort (day 2), returns day 3
+        + [ev(3, 2), ev(3, 3)]
+    )
+    out = {
+        (r["cohort"], r["offset"]): r["n_keys"]
+        for r in cohort_retention(
+            ray.data.from_items(rows).repartition(3), period_s=day
+        ).take_all()
+    }
+    base = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert out == {
+        (base, 0): 2,
+        (base, 1): 1,
+        (base, 2): 1,
+        (base + 2, 0): 1,
+        (base + 2, 1): 1,
+    }

@@ -654,3 +654,58 @@ def group_ranks(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def cohort_retention(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: float = 7 * 86400.0,
+):
+    """Cohort retention matrix — (cohort, offset, n_keys): keys whose FIRST
+    activity fell in period ``cohort`` (epoch-period index, floor-divided
+    µs) and who were also active ``offset`` periods later. offset 0 is the
+    cohort size itself.
+
+    Scale shape: a per-batch Arrow hash-agg collapses events to distinct
+    (key, period) rows BEFORE the one key shuffle; per key the cohort is
+    ``min(period)`` and each distinct active period emits one (cohort,
+    offset) row; a final small ``groupby(cohort, offset)`` count folds the
+    matrix (periods² rows at most — dashboard-sized). Events never cross
+    the wire, only the deduped key-period pairs.
+    """
+    period_us = int(period_s * 1_000_000)
+    if period_us <= 0:
+        raise ValueError(f"period_s must be positive, got {period_s}")
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        period = pc.divide(ts, period_us)  # int64 floor toward zero; epoch ts ≥ 0
+        return (
+            pa.table({key_col: t.column(key_col), "period": period})
+            .group_by([key_col, "period"])
+            .aggregate([])
+        )
+
+    def per_key(g: pa.Table) -> pa.Table:
+        periods = np.unique(g.column("period").to_numpy(zero_copy_only=False))
+        cohort = periods[0]  # np.unique sorts ascending
+        return pa.table(
+            {
+                "cohort": pa.array(
+                    np.full(len(periods), cohort, dtype=np.int64), pa.int64()
+                ),
+                "offset": pa.array(periods - cohort, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(dedup_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+        .groupby(["cohort", "offset"])
+        .aggregate(Count(alias_name="n_keys"))
+    )

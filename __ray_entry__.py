@@ -227,6 +227,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def url_templates(sf_dir):
+        # URL structure mining: digit runs → {n}, per-batch template
+        # partials, one groupby(template) fold; oracle = the same RE2
+        # replace in DuckDB over the corpus pages (byte-identical)
+        import ray.data
+
+        from urlmap_ray.functions.urlmine import url_templates as _ut
+
+        info = _corpus(sf_dir)
+        return _ut(ray.data.read_parquet(info.pages_path, columns=["url"]))
+
     def page_links(sf_dir):
         import ray.data
 
@@ -660,6 +671,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(
             _docs(sf_dir), budget=512, bucket_size=100
+        )
+
+    def docs_export_manifest(sf_dir):
+        # training-data export capstone: deterministic global shuffle →
+        # greedy packing within contiguous pos-buckets → per-bucket
+        # manifest (+ optional resumable per-bucket parquet; the query
+        # runs manifest-only)
+        from urlmap_ray.pipelines.export import export_manifest
+
+        return export_manifest(
+            _docs(sf_dir), n_shards=16, bucket_size=100, budget=512
         )
 
     def events_zscore(sf_dir):
@@ -1547,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_transient": crawl_transient,
         "crawl_diff": crawl_diff,
         "page_links": page_links,
+        "url_templates": url_templates,
         "page_anchors": page_anchors,
         "anchor_index": anchor_index,
         "page_edges": page_edges,
@@ -1573,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": docs_rollup,
         "doc_compression": doc_compression,
         "docs_pack": docs_pack,
+        "docs_export_manifest": docs_export_manifest,
         "events_zscore": events_zscore,
         "doc_quality_model": doc_quality_model,
         "doc_collocations": doc_collocations,
@@ -2011,6 +2035,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE url NOT IN (SELECT url FROM read_parquet('{_exp('crawl-d3')}'))
         """,
         "page_links": f"SELECT * FROM read_parquet('{_exp('page_links')}')",
+        # same RE2 digit-run rule in DuckDB over the raw corpus urls —
+        # a pure-SQL oracle, independent of the engine's partial-agg path
+        "url_templates": f"""
+            SELECT regexp_replace(url, '[0-9]+', '{{n}}', 'g') AS template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS example
+            FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            GROUP BY 1
+        """,
         "page_anchors": f"SELECT * FROM read_parquet('{_exp('page_anchors')}')",
         "anchor_index": f"""
             WITH pc AS (
@@ -2641,6 +2674,48 @@ def oracle_sql() -> dict[str, str]:
         # sequence packing: the same greedy in-order rule as a recursive
         # CTE over each declared 100-doc bucket (token rule = whitespace
         # split, the doc_token_counts contract).
+        # export manifest: row_number over the md5 shuffle order, then the
+        # same greedy packing recursion per contiguous pos-bucket, rolled
+        # up to one row per bucket
+        "docs_export_manifest": """
+            WITH RECURSIVE h AS (
+                SELECT doc_id, md5('ord1' || coalesce(text, '')) AS h,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS nt
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, nt,
+                       row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+                FROM h
+            ),
+            g AS (
+                SELECT doc_id, nt, pos, pos // 100 AS bucket,
+                       row_number() OVER (PARTITION BY pos // 100
+                                          ORDER BY pos) AS rn
+                FROM r
+            ),
+            p AS (
+                SELECT bucket, rn, nt, CAST(0 AS BIGINT) AS seq, nt AS acc
+                FROM g WHERE rn = 1
+                UNION ALL
+                SELECT g.bucket, g.rn, g.nt,
+                       CASE WHEN p.acc + g.nt > 512
+                            THEN p.seq + 1 ELSE p.seq END,
+                       CASE WHEN p.acc + g.nt > 512
+                            THEN g.nt ELSE p.acc + g.nt END
+                FROM p JOIN g ON g.bucket = p.bucket AND g.rn = p.rn + 1
+            ),
+            nb AS (SELECT count(DISTINCT bucket) AS n FROM g)
+            SELECT p.bucket,
+                   CAST(p.bucket * 16 // nb.n AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(max(p.seq) + 1 AS BIGINT) AS n_seqs,
+                   CAST(sum(p.nt) AS BIGINT) AS n_tokens
+            FROM p CROSS JOIN nb
+            GROUP BY p.bucket, nb.n
+        """,
         "docs_pack": """
             WITH RECURSIVE t AS (
                 SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS bucket,

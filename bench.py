@@ -158,6 +158,8 @@ def run_bench() -> dict:
         "docs_shuffle",
         "docs_pack",
         "docs_pii",
+        "docs_export_manifest",
+        "url_templates",
         "page_edges",
         "page_degrees",
         "pagerank",

@@ -1473,3 +1473,82 @@ def test_cohort_retention(ray_session):
         (base + 2, 0): 1,
         (base + 2, 1): 1,
     }
+
+
+def test_url_templates(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.urlmine import url_templates
+
+    urls = (
+        [f"https://a.example/item/{i}/view" for i in (3, 17, 240)]
+        + [f"https://a.example/item/{i}" for i in (9, 9, 12)]
+        + ["https://b.example/about"]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls, pa.string())})
+    ).repartition(3)
+    out = {r["template"]: r for r in url_templates(ds).take_all()}
+    assert out["https://a.example/item/{n}/view"]["n_urls"] == 3
+    # min url is lexicographic: "17" < "240" < "3"
+    assert out["https://a.example/item/{n}/view"]["example"].endswith("/17/view")
+    assert out["https://a.example/item/{n}"]["n_urls"] == 3
+    assert out["https://b.example/about"]["n_urls"] == 1
+    assert len(out) == 3
+
+
+def test_export_manifest_and_resumable_write(ray_session, tmp_path):
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from urlmap_ray.pipelines.export import export_manifest
+
+    texts = [("tok " * (i % 9)).strip() for i in range(120)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(120), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(5)
+    out_dir = str(tmp_path / "export")
+    rows = export_manifest(
+        ds, n_shards=4, bucket_size=50, budget=12, salt="t", out_dir=out_dir
+    ).take_all()
+    # brute-force reference: md5 order → 50-doc buckets → greedy pack
+    order = sorted(range(120), key=lambda i: (hashlib.md5(b"t" + texts[i].encode()).hexdigest(), i))
+    n_buckets = -(-120 // 50)  # 3
+    expect = {}
+    for b in range(n_buckets):
+        chunk = order[b * 50 : (b + 1) * 50]
+        seqs, acc = 1, 0
+        toks = 0
+        for j, i in enumerate(chunk):
+            nt = len(texts[i].split())
+            if j > 0 and acc + nt > 12:
+                seqs += 1
+                acc = 0
+            acc += nt
+            toks += nt
+        expect[b] = (b * 4 // n_buckets, len(chunk), seqs, toks)
+    got = {r["bucket"]: (r["shard"], r["n_docs"], r["n_seqs"], r["n_tokens"]) for r in rows}
+    assert got == expect
+    # one parquet per bucket, packed order inside
+    files = sorted(os.listdir(out_dir))
+    assert files == [f"bucket={b:06d}.parquet" for b in range(n_buckets)]
+    t0 = pq.read_table(os.path.join(out_dir, files[0]))
+    assert t0.column("pos").to_pylist() == sorted(t0.column("pos").to_pylist())
+    # resumable: delete one bucket file, re-run — it comes back, result equal
+    os.remove(os.path.join(out_dir, files[1]))
+    rows2 = export_manifest(
+        ds, n_shards=4, bucket_size=50, budget=12, salt="t", out_dir=out_dir
+    ).take_all()
+    assert sorted(map(tuple, (r.values() for r in rows2))) == sorted(
+        map(tuple, (r.values() for r in rows))
+    )
+    assert sorted(os.listdir(out_dir)) == files

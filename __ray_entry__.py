@@ -2356,7 +2356,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_hist": """
             WITH b AS (
                 SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
             )
             SELECT bin, CAST(count(*) AS BIGINT) AS n,
                    CAST(bin AS DOUBLE) * 5.0 AS lo
@@ -2680,8 +2681,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_export_manifest": """
             WITH RECURSIVE h AS (
                 SELECT doc_id, md5('ord1' || coalesce(text, '')) AS h,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       -- coalesce like the md5 above: engine counts NULL
+                       -- text as 0 tokens; bare trim(NULL) would poison
+                       -- the packing recursion with NULL accumulators
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(coalesce(text, '')), '\\s+'))
                        END AS nt
                 FROM documents
             ),
@@ -2719,8 +2724,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack": """
             WITH RECURSIVE t AS (
                 SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS bucket,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       -- coalesce: engine counts NULL text as 0 tokens;
+                       -- NULL would poison the recursion's accumulator
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(coalesce(text, '')), '\\s+'))
                        END AS n_tokens,
                        row_number() OVER (PARTITION BY doc_id // 100
                                           ORDER BY doc_id) AS rn

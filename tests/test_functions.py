@@ -1473,6 +1473,21 @@ def test_cohort_retention(ray_session):
         (base + 2, 0): 1,
         (base + 2, 1): 1,
     }
+    # pre-epoch timestamps FLOOR into the previous period (the SQL //
+    # rule), they don't truncate toward zero into period 0
+    pre = {
+        (r["cohort"], r["offset"]): r["n_keys"]
+        for r in cohort_retention(
+            ray.data.from_items(
+                [
+                    {"user_id": 9, "ts": dt.datetime(1969, 12, 31, 23, 59)},
+                    {"user_id": 9, "ts": dt.datetime(1970, 1, 1, 0, 1)},
+                ]
+            ),
+            period_s=day,
+        ).take_all()
+    }
+    assert pre == {(-1, 0): 1, (-1, 1): 1}
 
 
 def test_url_templates(ray_session):

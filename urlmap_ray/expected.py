@@ -522,7 +522,12 @@ def ensure_bpe_expected(
     re-derivation at encode time) — deliberately a different algorithm
     from the engine's incremental-index trainer and memoized actor
     encoder, same pinned contract (see functions/bpe.py docstring). SQL
-    cannot express the merge recursion; the kmeans/PCA trust model."""
+    cannot express the merge recursion; the kmeans/PCA trust model.
+
+    Like every ensure_* here, generation is GATED to small corpora and
+    silently returns the (unwritten) paths above ``max_docs`` — bench
+    runs at sf ≥ 0.1 call this and must not pay for a reference; only
+    the sf0.01 driver gate reads the files (module docstring, top)."""
     from collections import Counter
 
     name = os.path.basename(os.path.normpath(sf_dir))

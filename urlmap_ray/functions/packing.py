@@ -32,9 +32,10 @@ __all__ = ["pack_sequences"]
 def pack_group(
     g: pa.Table, *, budget: int, id_col: str = "doc_id", tok_col: str = "n_tokens"
 ) -> pa.Table:
-    """Greedy in-order packing of ONE bucket (bounded rows): adds ``seq``
-    (0-based sequence index within the bucket) and ``seq_tokens`` (the
-    doc's running position is implied by doc order)."""
+    """Greedy in-order packing of ONE bucket (bounded rows): sorts by
+    ``id_col`` and adds ``seq`` (0-based sequence index within the
+    bucket); a doc's position inside its sequence is implied by id
+    order."""
     order = pa.compute.sort_indices(g, sort_keys=[(id_col, "ascending")])
     g = g.take(order)
     toks = g.column(tok_col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -67,8 +67,10 @@ def binned_histogram(ds, col: str, *, width: float):
     explode. Same exchange shape: per-batch partial bin counts, one
     single-key shuffle of O(bins × batches) rows. Both ``/`` and ``*``
     are IEEE-correctly-rounded and ``floor`` is exact, so bins and edges
-    are bit-identical to the SQL mirror. NaN/null values drop (SQL
-    ``WHERE value IS NOT NULL`` semantics)."""
+    are bit-identical to the SQL mirror. NaN and null values both drop —
+    the SQL mirror must filter BOTH (``value IS NOT NULL AND NOT
+    isnan(value)``): a bare IS NOT NULL would pass NaN into
+    ``CAST(floor(NaN) AS BIGINT)`` and error where the engine drops."""
     if not width > 0:
         raise ValueError(f"width must be positive, got {width}")
     from ray.data.aggregate import Sum

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
+    "hash_positions",
     "hash_sample",
     "hash_shuffle",
     "hash_split",
@@ -189,6 +190,95 @@ def stratified_sample(
     )
 
 
+def hash_positions(
+    ds,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    salt: str = "",
+    bucket_hex: int = 3,
+    with_tokens: bool = False,
+):
+    """THE global-enumeration contract (shared by :func:`hash_shuffle` and
+    the export pipeline — one implementation, one place to fix): every row
+    gets its 0-based position ``pos`` in the order ``(md5(salt+text), id)``.
+
+    A global row_number is inherently a total order, but it distributes
+    cleanly because md5 buckets are uniform by construction: rows land in
+    ``16^bucket_hex`` hash-PREFIX buckets (the prefix of the sort key, so
+    bucket order IS global order), a tiny ``groupby(bucket).count()``
+    yields per-bucket offsets (≤ 4096 rows on the driver — declared,
+    bounded, skew-free), and each bucket then sorts locally and numbers
+    itself from its offset inside ``groupby(bucket).map_groups``. One key
+    shuffle of (id, hash) rows — text never moves; the slim projection is
+    materialized once so the count pass and the enumerate pass don't both
+    recompute the md5s (id+hash rows are ~50 B each, spillable).
+
+    Returns ``(positions, total)``: a Dataset of (id, pos[, n_tokens])
+    and the global row count. ``with_tokens=True`` carries whitespace
+    token counts (the doc_token_counts contract) through the shuffle so
+    downstream packing never touches text again.
+    """
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    import pyarrow.compute as pc
+    import ray
+
+    pre = salt.encode("utf-8")
+
+    def hashed(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        hx = [
+            hashlib.md5(pre + (x or "").encode("utf-8")).hexdigest()
+            for x in texts
+        ]
+        cols = {
+            id_col: t.column(id_col),
+            "h": pa.array(hx, pa.string()),
+            "bucket": pa.array([int(x[:bucket_hex], 16) for x in hx], pa.int64()),
+        }
+        if with_tokens:
+            cols["n_tokens"] = pa.array(
+                [len((x or "").split()) for x in texts], pa.int64()
+            )
+        return pa.table(cols)
+
+    slim = ds.map_batches(
+        hashed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    counts = slim.groupby("bucket").count().take_all()  # ≤ 16^bucket_hex rows
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["bucket"]):
+        offsets[row["bucket"]] = acc
+        acc += row["count()"]
+    total = acc
+    off_ref = ray.put(offsets)
+
+    def enum_group(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("h", "ascending"), (id_col, "ascending")]
+            )
+        )
+        pos = off[g.column("bucket")[0].as_py()] + np.arange(
+            len(g), dtype=np.int64
+        )
+        cols = {
+            id_col: g.column(id_col),
+            "pos": pa.array(pos, pa.int64()),
+        }
+        if with_tokens:
+            cols["n_tokens"] = g.column("n_tokens")
+        return pa.table(cols)
+
+    positions = slim.groupby("bucket").map_groups(
+        enum_group, batch_format="pyarrow"
+    )
+    return positions, total
+
+
 def hash_shuffle(
     ds,
     *,
@@ -203,71 +293,21 @@ def hash_shuffle(
     contiguous output shard ``shard = pos * n_shards // total`` — the
     "shuffle once, shard contiguously" step that fixes an LLM run's data
     order up front (same order on any cluster size, any partitioning,
-    resumed or not).
-
-    A global row_number is inherently a total order, but it distributes
-    cleanly because md5 buckets are uniform by construction: rows land in
-    ``16^bucket_hex`` hash-PREFIX buckets (the prefix of the sort key, so
-    bucket order IS global order), a tiny ``groupby(bucket).count()``
-    yields per-bucket offsets (≤ 4096 rows on the driver — declared,
-    bounded, skew-free), and each bucket then sorts locally and numbers
-    itself from its offset inside ``groupby(bucket).map_groups``. One key
-    shuffle of (id, hash) rows — text never moves; the slim projection is
-    materialized once so the count pass and the enumerate pass don't both
-    recompute the md5s (id+hash rows are ~50 B each, spillable).
+    resumed or not). Enumeration contract: :func:`hash_positions`.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    if not 1 <= bucket_hex <= 8:
-        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
-    import pyarrow.compute as pc
-    import ray
+    positions, total = hash_positions(
+        ds, id_col=id_col, text_col=text_col, salt=salt, bucket_hex=bucket_hex
+    )
+    total = max(total, 1)  # guard the empty-dataset division
 
-    pre = salt.encode("utf-8")
-
-    def hashed(t: pa.Table) -> pa.Table:
-        hx = [
-            hashlib.md5(pre + (x or "").encode("utf-8")).hexdigest()
-            for x in t.column(text_col).to_pylist()
-        ]
-        return pa.table(
-            {
-                id_col: t.column(id_col),
-                "h": pa.array(hx, pa.string()),
-                "bucket": pa.array(
-                    [int(x[:bucket_hex], 16) for x in hx], pa.int64()
-                ),
-            }
+    def shard(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array(pos * n_shards // total, pa.int64())
         )
 
-    slim = ds.map_batches(
-        hashed, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    counts = slim.groupby("bucket").count().take_all()  # ≤ 16^bucket_hex rows
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["bucket"]):
-        offsets[row["bucket"]] = acc
-        acc += row["count()"]
-    total = max(acc, 1)  # guard the empty-dataset division
-    off_ref = ray.put(offsets)
-
-    def enum_group(g: pa.Table) -> pa.Table:
-        off = ray.get(off_ref)
-        g = g.take(
-            pc.sort_indices(
-                g, sort_keys=[("h", "ascending"), (id_col, "ascending")]
-            )
-        )
-        pos = off[g.column("bucket")[0].as_py()] + np.arange(
-            len(g), dtype=np.int64
-        )
-        return pa.table(
-            {
-                id_col: g.column(id_col),
-                "pos": pa.array(pos, pa.int64()),
-                "shard": pa.array(pos * n_shards // total, pa.int64()),
-            }
-        )
-
-    return slim.groupby("bucket").map_groups(enum_group, batch_format="pyarrow")
+    return positions.map_batches(
+        shard, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -680,8 +680,15 @@ def cohort_retention(
         raise ValueError(f"period_s must be positive, got {period_s}")
 
     def dedup_partial(t: pa.Table) -> pa.Table:
-        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
-        period = pc.divide(ts, period_us)  # int64 floor toward zero; epoch ts ≥ 0
+        ts = (
+            t.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # numpy // FLOORS (Arrow divide truncates toward zero) — matching
+        # SQL's // so pre-epoch timestamps land in the right period
+        period = pa.array(ts // period_us, pa.int64())
         return (
             pa.table({key_col: t.column(key_col), "period": period})
             .group_by([key_col, "period"])

@@ -26,12 +26,9 @@ missing buckets (the resumable-sink contract, sinks.py).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 __all__ = ["export_manifest"]
 
@@ -53,58 +50,31 @@ def export_manifest(
     holding (pos, doc_id, seq) — the packed training order."""
     if min(n_shards, bucket_size, budget) <= 0:
         raise ValueError("n_shards, bucket_size and budget must be positive")
-    import ray
-
     from ..functions.packing import pack_group
+    from ..functions.sampling import hash_positions
 
-    pre = salt.encode("utf-8")
-
-    def hashed(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        hx, n_tok = [], []
-        for x in texts:
-            hx.append(hashlib.md5(pre + (x or "").encode("utf-8")).hexdigest())
-            n_tok.append(len((x or "").split()))
-        return pa.table(
-            {
-                id_col: t.column(id_col),
-                "h": pa.array(hx, pa.string()),
-                "hb": pa.array([int(x[:bucket_hex], 16) for x in hx], pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-            }
-        )
-
-    slim = ds.map_batches(
-        hashed, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    counts = slim.groupby("hb").count().take_all()  # ≤ 16^bucket_hex rows
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["hb"]):
-        offsets[row["hb"]] = acc
-        acc += row["count()"]
-    total = acc
+    # ONE implementation of the global-order contract, shared with
+    # hash_shuffle — the export order IS the docs_shuffle order by
+    # construction, not by parallel maintenance of two copies.
+    positions, total = hash_positions(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        salt=salt,
+        bucket_hex=bucket_hex,
+        with_tokens=True,
+    )
     n_buckets = max(-(-total // bucket_size), 1)
-    off_ref = ray.put(offsets)
 
-    def enum_group(g: pa.Table) -> pa.Table:
-        off = ray.get(off_ref)
-        g = g.take(
-            pc.sort_indices(
-                g, sort_keys=[("h", "ascending"), (id_col, "ascending")]
-            )
-        )
-        pos = off[g.column("hb")[0].as_py()] + np.arange(len(g), dtype=np.int64)
-        return pa.table(
-            {
-                id_col: g.column(id_col),
-                "pos": pa.array(pos, pa.int64()),
-                "bucket": pa.array(pos // bucket_size, pa.int64()),
-                "n_tokens": g.column("n_tokens"),
-            }
+    def bucketize(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(pos // bucket_size, pa.int64())
         )
 
-    positioned = slim.groupby("hb").map_groups(enum_group, batch_format="pyarrow")
+    positioned = positions.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def pack_bucket(g: pa.Table) -> pa.Table:
         packed = pack_group(g, budget=budget, id_col="pos")

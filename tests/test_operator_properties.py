@@ -187,3 +187,55 @@ def test_ntile_partition_independent_and_balanced(ray_session, seed, n, parts):
     for uid in {r["user_id"] for r in base}:
         sizes = [per[(uid, b)] for b in (1, 2, 3, 4) if (uid, b) in per]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_task_failure_retry_is_bit_deterministic(ray_session, tmp_path):
+    """A map_batches task whose WORKER DIES on its first attempt (per
+    block) must, after Ray's default task retry, produce output
+    bit-identical to a crash-free run — the property that makes every
+    operator here safe on a cluster where workers die. SIGKILL (not an
+    exception: Ray only auto-retries system failures) is injected via a
+    marker file per block so exactly the first attempt of each task
+    dies."""
+    import os
+    import signal
+
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.sampling import hash_shuffle
+
+    marker_dir = str(tmp_path / "attempts")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def flaky_identity(t: pa.Table) -> pa.Table:
+        key = int(t.column("doc_id")[0].as_py())
+        marker = os.path.join(marker_dir, f"block-{key}")
+        if not os.path.exists(marker):
+            fd = os.open(marker, os.O_CREAT | os.O_WRONLY)
+            os.fsync(fd)
+            os.close(fd)
+            os.kill(os.getpid(), signal.SIGKILL)  # simulated node loss
+        return t
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(400)), pa.int64()),
+            "text": pa.array([f"body {i % 37} tok" for i in range(400)], pa.string()),
+        }
+    )
+    flaky = ray.data.from_arrow(docs).repartition(8).map_batches(
+        flaky_identity, batch_format="pyarrow", zero_copy_batch=True
+    )
+    got = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in hash_shuffle(flaky, n_shards=4, id_col="doc_id", salt="ft").take_all()
+    }
+    clean = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in hash_shuffle(
+            ray.data.from_arrow(docs), n_shards=4, id_col="doc_id", salt="ft"
+        ).take_all()
+    }
+    assert got == clean and len(got) == 400
+    assert len(os.listdir(marker_dir)) == 8  # every block really failed once

@@ -77,3 +77,26 @@ def test_read_warc_feeds_extractor(ray_session, tmp_path):
     got = dict(zip(pages.column("url").to_pylist(), pages.column("links").to_pylist()))
     assert got["https://a.example.org/"] == ["https://a.example.org/x"]
     assert got["https://b.example.org/"] == ["https://a.example.org/"]
+
+
+def test_wet_roundtrip_feeds_prep(ray_session, tmp_path):
+    from urlmap_ray.prep_cli import wet_documents
+    from urlmap_ray.sources.warc import read_wet, write_wet
+
+    recs = [
+        {"url": "https://a.example.org/1", "text": "the quick brown fox " * 5},
+        {"url": "https://a.example.org/2", "text": "und der schnelle ich " * 5},
+        {"url": "https://a.example.org/3", "text": ""},
+    ]
+    write_wet(str(tmp_path / "a.wet.gz"), recs[:2])
+    write_wet(str(tmp_path / "b.wet"), recs[2:])
+    rows = sorted(read_wet(str(tmp_path)).take_all(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == [r["url"] for r in recs]
+    assert rows[0]["text"] == recs[0]["text"]
+    assert rows[0]["n_chars"] == len(recs[0]["text"])
+    # documents-schema ingest: empty-text record dropped, lang identified
+    docs = sorted(wet_documents(str(tmp_path)).take_all(), key=lambda r: r["text"])
+    assert len(docs) == 2
+    langs = {d["text"][:7]: d["lang"] for d in docs}
+    assert langs["the qui"] == "en" and langs["und der"] == "de"
+    assert all(d["doc_id"] > 0 for d in docs)

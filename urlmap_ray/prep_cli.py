@@ -26,11 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True,
                    help="documents parquet file/dir, or WARC file(s)/dir")
-    p.add_argument("--input-format", choices=["parquet", "warc"],
+    p.add_argument("--input-format", choices=["parquet", "warc", "wet"],
                    default="parquet",
                    help="'warc' ingests Common-Crawl-style archives: "
                         "html → paragraph text, doc_id = url hash, "
-                        "lang via the n-gram identifier")
+                        "lang via the n-gram identifier; 'wet' ingests "
+                        "pre-extracted text (WARC conversion records) "
+                        "skipping the html stage")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--lang", default="en",
                    help="keep only this lang value ('' disables the gate)")
@@ -90,6 +92,43 @@ def warc_documents(paths):
     )
 
 
+def wet_documents(paths):
+    """WET (extracted-text) archive(s) → streaming Dataset in the
+    documents schema — same id/lang rules as :func:`warc_documents`, no
+    html stage (WET payloads are already plain text)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from urlmap_ray.functions.textstats import lang_id
+    from urlmap_ray.sources.warc import read_wet
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        ids, texts, langs = [], [], []
+        for u, txt in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+            if not txt:
+                continue
+            ids.append(
+                int.from_bytes(
+                    hashlib.md5((u or "").encode("utf-8")).digest()[:8], "little"
+                )
+                >> 1
+            )
+            texts.append(txt)
+            langs.append(lang_id(txt))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return read_wet(paths).map_batches(
+        to_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def parse_fractions(spec: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for part in spec.split(","):
@@ -145,6 +184,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.input_format == "warc":
             docs = warc_documents(args.input)
+        elif args.input_format == "wet":
+            docs = wet_documents(args.input)
         else:
             docs = ray.data.read_parquet(args.input)
         result = prep_docs(

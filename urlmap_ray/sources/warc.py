@@ -34,7 +34,7 @@ import os
 
 import pyarrow as pa
 
-__all__ = ["parse_warc_bytes", "read_warc", "write_warc"]
+__all__ = ["parse_warc_bytes", "read_warc", "read_wet", "write_warc", "write_wet"]
 
 _CRLF = b"\r\n"
 
@@ -48,11 +48,17 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def parse_warc_bytes(data: bytes, *, source: str = "") -> pa.Table:
+def parse_warc_bytes(
+    data: bytes,
+    *,
+    source: str = "",
+    types: tuple[str, ...] = ("response", "resource"),
+) -> pa.Table:
     """One forward pass over a (decompressed) WARC byte stream →
-    (url, status, content_type, payload, warc_type) rows for response /
-    resource records. Tolerates trailing garbage and skips records of
-    other types (warcinfo, request, metadata) by Content-Length."""
+    (url, status, content_type, payload, warc_type) rows for records of
+    the given ``types``. Tolerates trailing garbage and skips records of
+    other types (warcinfo, request, metadata) by Content-Length.
+    ``types=("conversion",)`` reads WET (extracted-text) archives."""
     urls: list[str] = []
     statuses: list[int] = []
     ctypes: list[str] = []
@@ -77,7 +83,7 @@ def parse_warc_bytes(data: bytes, *, source: str = "") -> pa.Table:
         block = data[block_start : block_start + length]
         pos = block_start + length
         wtype = headers.get("warc-type", "")
-        if wtype not in ("response", "resource"):
+        if wtype not in types:
             continue
         url = headers.get("warc-target-uri", "")
         status = 200
@@ -174,6 +180,74 @@ def write_warc(path: str, records: list[dict], *, compress: bool | None = None) 
             f"Content-Length: {len(http)}\r\n\r\n"
         ).encode("latin-1")
         record = hdr + http + _CRLF + _CRLF
+        out.write(gzip.compress(record) if compress else record)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+    return path
+
+
+def read_wet(paths):
+    """Common Crawl WET (extracted-text) archive(s)/dir → streaming
+    Dataset of (url, text, n_chars, source_file) rows — the
+    documents-table shape, ready for the prep pipeline (lang-ID, quality
+    gates, dedup) without an HTML-extraction stage. WET records are
+    ``WARC-Type: conversion`` with a UTF-8 plain-text payload; file-level
+    parallelism via ``read_binary_files``, same as :func:`read_warc`."""
+    import ray.data
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path, raw in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            tables.append(
+                parse_warc_bytes(
+                    raw, source=os.path.basename(path), types=("conversion",)
+                )
+            )
+        out = (
+            pa.concat_tables(tables)
+            if tables
+            else parse_warc_bytes(b"", types=("conversion",))
+        )
+        text = [
+            p.decode("utf-8", errors="replace")
+            for p in out.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": out.column("url"),
+                "text": pa.array(text, pa.string()),
+                "n_chars": pa.array([len(t) for t in text], pa.int64()),
+                "source_file": out.column("source_file"),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_wet(path: str, records: list[dict], *, compress: bool | None = None) -> str:
+    """Write WET conversion records (test fixture / corpus export).
+    ``records``: dicts with url and text (str)."""
+    if compress is None:
+        compress = path.endswith(".gz")
+    out = io.BytesIO()
+    for i, rec in enumerate(records):
+        body = rec["text"].encode("utf-8")
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            f"WARC-Target-URI: {rec['url']}\r\n"
+            f"WARC-Date: {rec.get('date', '2026-01-01T00:00:00Z')}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1")
+        record = hdr + body + _CRLF + _CRLF
         out.write(gzip.compress(record) if compress else record)
     with open(path, "wb") as f:
         f.write(out.getvalue())

@@ -239,3 +239,60 @@ def test_task_failure_retry_is_bit_deterministic(ray_session, tmp_path):
     }
     assert got == clean and len(got) == 400
     assert len(os.listdir(marker_dir)) == 8  # every block really failed once
+
+
+def test_pii_chain_matches_duckdb_on_fuzzed_text():
+    """Cross-engine property: the Arrow RE2 redaction chain and the same
+    chain in DuckDB's regexp_replace produce byte-identical output and
+    counts on adversarial generated text — the contract the docs_pii
+    oracle relies on, checked beyond the synthetic corpus."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+
+    from urlmap_ray.functions.pii import PII_RULES, redact_pii_batch
+
+    rng = random.Random(20260818)
+    frags = [
+        "a@b.co", "x.y+z@mail.example.org", "@", "a@b", "1.2.3.4",
+        "255.255.255.255", "999.999.999.999", "1.2.3.4.5", "123-45-6789",
+        "12-345-6789", "(555) 123-4567", "555.123.4567", "555 123 4567",
+        "5551234567", "word", "{n}", "<EMAIL>", "a@b.cd e@f.gh",
+        "ip:10.0.0.1,ssn:078-05-1120.", "tel (020) 795-0000x",
+    ]
+    texts = [
+        " ".join(rng.choices(frags, k=rng.randint(0, 12))) for _ in range(300)
+    ] + [None, ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    engine = redact_pii_batch(t).to_pylist()
+
+    con = duckdb.connect()
+    con.register("docs", t)
+    sql_t = "text"
+    selects = []
+    for name, pat, tok in PII_RULES:
+        esc = pat.replace("'", "''")
+        selects.append(
+            f"CAST(len(regexp_extract_all({sql_t}, '{esc}')) AS BIGINT) AS n_{name}"
+        )
+        sql_t = f"regexp_replace({sql_t}, '{esc}', '{tok}', 'g')"
+    q = f"SELECT doc_id, {', '.join(selects)}, {sql_t} AS text_redacted FROM docs"
+    oracle = con.execute(q).df().to_dict("records")
+    import math
+
+    for e, o in zip(engine, oracle):
+        assert e["text_redacted"] == (
+            None if (isinstance(o["text_redacted"], float) and math.isnan(o["text_redacted"])) else o["text_redacted"]
+        ), (e, o)
+        for name, _, _ in PII_RULES:
+            ec, oc = e[f"n_{name}"], o[f"n_{name}"]
+            if ec is None:
+                assert oc is None or (isinstance(oc, float) and math.isnan(oc))
+            else:
+                assert ec == int(oc), (name, e, o)

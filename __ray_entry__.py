@@ -227,6 +227,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def page_text(sf_dir):
+        # the north-rule invariant as a driver-gated query: extract_text
+        # over the html column must be BYTE-identical per url to the
+        # corpus's ground-truth text column (which the oracle reads raw)
+        import ray.data
+
+        from urlmap_ray.extract import extract_text
+
+        info = _corpus(sf_dir)
+
+        def per_page(t: pa.Table) -> pa.Table:
+            texts = [
+                extract_text(h) if h is not None else ""
+                for h in t.column("html").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "url": t.column("url"),
+                    "text_extracted": pa.array(texts, pa.string()),
+                    "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+                }
+            )
+
+        return ray.data.read_parquet(
+            info.pages_path, columns=["url", "html"]
+        ).map_batches(per_page, batch_format="pyarrow", zero_copy_batch=True)
+
     def url_templates(sf_dir):
         # URL structure mining: digit runs → {n}, per-batch template
         # partials, one groupby(template) fold; oracle = the same RE2
@@ -1570,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": crawl_diff,
         "page_links": page_links,
         "url_templates": url_templates,
+        "page_text": page_text,
         "page_anchors": page_anchors,
         "anchor_index": anchor_index,
         "page_edges": page_edges,
@@ -2035,6 +2063,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE url NOT IN (SELECT url FROM read_parquet('{_exp('crawl-d3')}'))
         """,
         "page_links": f"SELECT * FROM read_parquet('{_exp('page_links')}')",
+        # the ground-truth text column read RAW — the engine must
+        # reproduce it byte-for-byte from html alone (north-rule
+        # "byte-identical extracted text per url" invariant)
+        "page_text": f"""
+            SELECT url, coalesce(text, '') AS text_extracted,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+            FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+        """,
         # same RE2 digit-run rule in DuckDB over the raw corpus urls —
         # a pure-SQL oracle, independent of the engine's partial-agg path
         "url_templates": f"""

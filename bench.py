@@ -119,6 +119,7 @@ def run_bench() -> dict:
         "docs_rollup",
         "events_cube",
         "page_links",
+        "page_text",
         "page_anchors",
         "anchor_index",
         "doc_quality_model",

@@ -227,6 +227,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def url_canonical(sf_dir):
+        # aggressive canonical dedup key exercised against hostile forms:
+        # each corpus url gets a deterministic suffix (tracking params,
+        # unsorted params, fragments — keyed by length(url) % 4, same
+        # rule in the oracle), and the engine must canonicalize back to
+        # the closed-form expected string
+        import ray.data
+
+        from urlmap_ray.urlnorm import canonical_key_batch
+
+        info = _corpus(sf_dir)
+        suffixes = ["", "?utm_source=feed&b=2&a=1", "#frag", "?z=9&utm_campaign=x&fbclid=abc"]
+
+        def hostile(t: pa.Table) -> pa.Table:
+            urls = t.column("url").to_pylist()
+            aug = [u + suffixes[len(u) % 4] for u in urls]
+            return canonical_key_batch(
+                pa.table({"url": pa.array(aug, pa.string())})
+            )
+
+        return ray.data.read_parquet(
+            info.pages_path, columns=["url"]
+        ).map_batches(hostile, batch_format="pyarrow", zero_copy_batch=True)
+
     def page_text(sf_dir):
         # the north-rule invariant as a driver-gated query: extract_text
         # over the html column must be BYTE-identical per url to the
@@ -1598,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links": page_links,
         "url_templates": url_templates,
         "page_text": page_text,
+        "url_canonical": url_canonical,
         "page_anchors": page_anchors,
         "anchor_index": anchor_index,
         "page_edges": page_edges,
@@ -2063,6 +2088,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE url NOT IN (SELECT url FROM read_parquet('{_exp('crawl-d3')}'))
         """,
         "page_links": f"SELECT * FROM read_parquet('{_exp('page_links')}')",
+        # closed-form expected canonicals: corpus urls are already in
+        # canonical form, so the engine's full parse→strip→sort→serialize
+        # chain must return exactly url + the suffix's canonical residue
+        "url_canonical": f"""
+            SELECT url || CASE length(url) % 4
+                     WHEN 1 THEN '?utm_source=feed&b=2&a=1'
+                     WHEN 2 THEN '#frag'
+                     WHEN 3 THEN '?z=9&utm_campaign=x&fbclid=abc'
+                     ELSE '' END AS url,
+                   url || CASE length(url) % 4
+                     WHEN 1 THEN '?a=1&b=2'
+                     WHEN 3 THEN '?z=9'
+                     ELSE '' END AS canonical
+            FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+        """,
         # the ground-truth text column read RAW — the engine must
         # reproduce it byte-for-byte from html alone (north-rule
         # "byte-identical extracted text per url" invariant)

@@ -120,6 +120,7 @@ def run_bench() -> dict:
         "events_cube",
         "page_links",
         "page_text",
+        "url_canonical",
         "page_anchors",
         "anchor_index",
         "doc_quality_model",

@@ -203,3 +203,31 @@ def test_validate_url():
     assert validate_url("http://example.com/a") == "http://example.com/a"
     with pytest.raises(URLError):
         validate_url("")
+
+
+def test_canonical_url_key_rules():
+    import pytest
+
+    from urlmap_ray.urlnorm import URLError, canonical_url_key as c
+
+    # case + default port + fragment + tracking + param sort, in one
+    assert (
+        c("HTTPS://Example.ORG:443/a/?b=2&a=1&utm_source=x#frag")
+        == "https://example.org/a?a=1&b=2"
+    )
+    assert c("http://h.io:80/") == "http://h.io/"
+    # non-default ports survive
+    assert c("http://h.io:8080/p?fbclid=abc") == "http://h.io:8080/p"
+    assert c("https://h.io/p?z=9&utm_campaign=x&gclid=1") == "https://h.io/p?z=9"
+    # bare '?' drops; empty path → '/'; trailing slash trims
+    assert c("https://h.io/p?") == "https://h.io/p"
+    assert c("https://h.io") == "https://h.io/"
+    assert c("https://h.io/a/b/") == "https://h.io/a/b"
+    # sort is lexicographic over the full k=v string (case-sensitive)
+    assert c("https://h.io/p?b=2&B=1") == "https://h.io/p?B=1&b=2"
+    # reference normalize_url is unchanged by this feature: keeps query
+    from urlmap_ray.urlnorm import normalize_url
+
+    assert normalize_url("https://h.io/p?b=2&a=1") == "https://h.io/p?b=2&a=1"
+    with pytest.raises(URLError):
+        c("")

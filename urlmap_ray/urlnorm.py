@@ -165,3 +165,68 @@ def host_of_batch(urls: np.ndarray) -> np.ndarray:
         except URLError:
             out[i] = ""
     return out
+
+
+# Tracking parameters stripped by the aggressive canonical key (beyond-
+# reference frontier-dedup feature; the reference's normalize_url above
+# keeps query strings verbatim, url.go:94-118).
+TRACKING_PARAMS = frozenset({"fbclid", "gclid", "msclkid", "ref"})
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonical_url_key(raw: str) -> str:
+    """Aggressive canonical key for frontier/output dedup — the pinned
+    rule (each step mirrors what large crawlers do before URL-seen):
+
+    1. lowercase scheme and host (gourl already lowercases scheme);
+    2. drop the default port (:80 http / :443 https);
+    3. drop the fragment;
+    4. query: split on '&', drop empty params and tracking params
+       (``utm_*`` prefix + :data:`TRACKING_PARAMS` names), sort the
+       surviving ``k=v`` strings lexicographically, re-join;
+    5. path: the reference's trailing-slash rule (normalize_url).
+
+    Distinct from :func:`normalize_url` on purpose: that is reference
+    parity (byte-compatible with url.go), this is the stronger dedup key
+    a 10^10-URL frontier wants. Raises URLError on unparseable input.
+    """
+    raw = raw.strip()
+    if not raw:
+        raise URLError("URL cannot be empty")
+    u = parse(raw)
+    u.host = u.host.lower()
+    suffix = _DEFAULT_PORTS.get(u.scheme)
+    if suffix and u.host.endswith(suffix):
+        u.host = u.host[: -len(suffix)]
+    u.fragment = ""
+    u.has_fragment = False
+    if u.query:
+        kept = []
+        for param in u.query.split("&"):
+            if not param:
+                continue
+            name = param.split("=", 1)[0].lower()
+            if name.startswith("utm_") or name in TRACKING_PARAMS:
+                continue
+            kept.append(param)
+        u.query = "&".join(sorted(kept))
+    u.force_query = False
+    if u.path != "/" and u.path.endswith("/"):
+        u.path = u.path[:-1]
+    if u.path == "":
+        u.path = "/"
+    return str(u)
+
+
+def canonical_key_batch(batch, *, url_col: str = "url"):
+    """Arrow batch wrapper: adds ``canonical`` (row-local; parse failures
+    fall back to the raw string so a bad URL dedups against itself)."""
+    import pyarrow as pa
+
+    out = []
+    for x in batch.column(url_col).to_pylist():
+        try:
+            out.append(canonical_url_key(x) if x else "")
+        except URLError:
+            out.append(x)
+    return batch.append_column("canonical", pa.array(out, pa.string()))

@@ -724,6 +724,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), budget=512, bucket_size=100
         )
 
+    def docs_pack_bpe(sf_dir):
+        # tokenizer-aware packing: the SAME greedy bucket rule as
+        # docs_pack but driven by real trained-BPE subword counts (train
+        # → actor-pool encode → pack) — the stages compose; whitespace
+        # counts are the docs_pack variant
+        from urlmap_ray.expected import ensure_bpe_expected
+        from urlmap_ray.functions.bpe import bpe_token_counts, train_bpe
+        from urlmap_ray.functions.packing import pack_group
+
+        ensure_bpe_expected(sf_dir)
+        merges = train_bpe(_docs(sf_dir), n_merges=80, max_words=10000)
+        counts = bpe_token_counts(_docs(sf_dir), merges)
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "bucket": pa.compute.divide(ids, 100),
+                    "n_tokens": t.column("n_bpe_tokens"),
+                }
+            )
+
+        return (
+            counts.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(
+                lambda g: pack_group(g, budget=1024), batch_format="pyarrow"
+            )
+        )
+
     def docs_export_manifest(sf_dir):
         # training-data export capstone: deterministic global shuffle →
         # greedy packing within contiguous pos-buckets → per-bucket
@@ -1650,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression": doc_compression,
         "docs_pack": docs_pack,
         "docs_export_manifest": docs_export_manifest,
+        "docs_pack_bpe": docs_pack_bpe,
         "events_zscore": events_zscore,
         "doc_quality_model": doc_quality_model,
         "doc_collocations": doc_collocations,
@@ -2751,6 +2783,30 @@ def oracle_sql() -> dict[str, str]:
         # sequence packing: the same greedy in-order rule as a recursive
         # CTE over each declared 100-doc bucket (token rule = whitespace
         # split, the doc_token_counts contract).
+        # tokenizer-aware packing: the greedy recursion over the per-doc
+        # BPE counts from the single-process reference table
+        "docs_pack_bpe": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS bucket,
+                       n_bpe_tokens AS n_tokens,
+                       row_number() OVER (PARTITION BY doc_id // 100
+                                          ORDER BY doc_id) AS rn
+                FROM read_parquet('/tmp/urlmap_oracle/sf0.01/bpe_tokens.parquet')
+            ),
+            p AS (
+                SELECT bucket, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS seq, n_tokens AS acc
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN p.acc + t.n_tokens > 1024
+                            THEN p.seq + 1 ELSE p.seq END,
+                       CASE WHEN p.acc + t.n_tokens > 1024
+                            THEN t.n_tokens ELSE p.acc + t.n_tokens END
+                FROM p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, n_tokens, seq FROM p
+        """,
         # export manifest: row_number over the md5 shuffle order, then the
         # same greedy packing recursion per contiguous pos-bucket, rolled
         # up to one row per bucket

@@ -161,6 +161,7 @@ def run_bench() -> dict:
         "docs_pack",
         "docs_pii",
         "docs_export_manifest",
+        "docs_pack_bpe",
         "url_templates",
         "page_edges",
         "page_degrees",

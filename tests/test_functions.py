@@ -1317,7 +1317,7 @@ def test_collocations_lift_ranking(ray_session):
             }
         )
     )
-    out = collocations(ds.repartition(4), min_count=5, k=10).take_all()
+    out = collocations(ds.repartition(4), min_count=5, k=10).to_pylist()
     by_pair = {(r["w1"], r["w2"]): r for r in out}
     ny = by_pair[("new", "york")]
     cat = by_pair[("the", "cat")]
@@ -1337,7 +1337,7 @@ def test_collocations_lift_ranking(ray_session):
     ) / (np.float64(20) * np.float64(20) * np.float64(n_bi))
     assert ny["lift"] == expect
     # partitioning independence
-    out2 = collocations(ds, min_count=5, k=10).take_all()
+    out2 = collocations(ds, min_count=5, k=10).to_pylist()
     assert [
         (r["rank"], r["w1"], r["w2"], r["lift"]) for r in out
     ] == [(r["rank"], r["w1"], r["w2"], r["lift"]) for r in out2]

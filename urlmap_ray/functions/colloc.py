@@ -128,8 +128,10 @@ def _attach(
 def collocations(
     ds, *, min_count: int = 5, k: int = 100, text_col: str = "text"
 ):
-    """documents → top-``k`` adjacent word pairs by lift:
-    (rank, w1, w2, n_pair, n_w1, n_w2, lift). Ties break by (w1, w2)."""
+    """documents → top-``k`` adjacent word pairs by lift, as an Arrow
+    table (rank, w1, w2, n_pair, n_w1, n_w2, lift). Ties break by
+    (w1, w2). The sort runs distributed with a per-block top-k prune;
+    only the ≤k-row result lands on the driver for rank numbering."""
     if min_count < 1 or k < 1:
         raise ValueError("min_count and k must be ≥ 1")
 
@@ -201,18 +203,39 @@ def collocations(
             }
         )
 
+    def local_topk(t: pa.Table) -> pa.Table:
+        # per-block prune (the vocab_topk pattern): the global sort sees
+        # ≤ blocks×k rows instead of every surviving bigram
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("lift", "descending"),
+                ("w1", "ascending"),
+                ("w2", "ascending"),
+            ],
+        )
+        return t.take(order[:k])
+
     topk = (
         with_n2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(local_topk, batch_size=None, batch_format="pyarrow")
         .sort(["lift", "w1", "w2"], descending=[True, False, False])
         .limit(k)
+        .take_all()  # ≤ k rows — bounded, declared
     )
-
-    def add_rank(t: pa.Table) -> pa.Table:
-        return t.add_column(
-            0, "rank", pa.array(np.arange(t.num_rows, dtype=np.int64))
-        )
-
-    # the ≤k-row result numbers itself in one block
-    return topk.repartition(1).map_batches(
-        add_rank, batch_size=None, batch_format="pyarrow"
+    schema = {
+        "w1": pa.string(),
+        "w2": pa.string(),
+        "n_pair": pa.int64(),
+        "n_w1": pa.int64(),
+        "n_w2": pa.int64(),
+        "lift": pa.float64(),
+    }
+    out = pa.table(
+        {name: pa.array([r[name] for r in topk], typ) for name, typ in schema.items()}
+    )
+    return out.add_column(
+        0, "rank", pa.array(np.arange(out.num_rows, dtype=np.int64))
     )

@@ -1567,3 +1567,29 @@ def test_export_manifest_and_resumable_write(ray_session, tmp_path):
         map(tuple, (r.values() for r in rows))
     )
     assert sorted(os.listdir(out_dir)) == files
+
+
+def test_export_manifest_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.pipelines.export import export_manifest
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    assert export_manifest(ray.data.from_arrow(empty), bucket_size=10).take_all() == []
+    # exactly one full bucket: one manifest row, shard 0
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(["a b c"] * 10, pa.string()),
+        }
+    )
+    rows = export_manifest(
+        ray.data.from_arrow(docs), n_shards=4, bucket_size=10, budget=7
+    ).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bucket"], r["shard"], r["n_docs"], r["n_tokens"]) == (0, 0, 10, 30)
+    assert r["n_seqs"] == 5  # 3 tokens/doc, budget 7 → 2 docs per sequence

@@ -316,56 +316,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def _graph_inputs(sf_dir):
-        # node set = corpus url column (single-column pruned read); at
-        # 10^10 nodes this list lives in the seen-set shards, not a list —
-        # see functions/graph.py module docstring for the scale path
-        import pyarrow.dataset as pads
-
+        # node set = the corpus url column as a DATASET (a single-column
+        # pruned read), never a driver-side list: at 10^10 URLs that list
+        # is ~600GB of driver heap. graph.py picks the membership/identity
+        # regime (object-store broadcast probe vs bucketed semi-join +
+        # distributed node_index) from the node count.
         import ray.data
 
         from urlmap_ray.expected import ensure_graph_expected
 
         info = _corpus(sf_dir)
         ensure_graph_expected(info)
-        urls = (
-            pads.dataset(info.pages_path, format="parquet")
-            .to_table(columns=["url"])
-            .column("url")
-            .to_pylist()
-        )
+        nodes = ray.data.read_parquet(info.pages_path, columns=["url"])
         pages = ray.data.read_parquet(info.pages_path, columns=["url", "html"])
-        return pages, urls
+        return pages, nodes
 
     def page_edges(sf_dir):
         from urlmap_ray.functions import graph as gr
 
-        pages, urls = _graph_inputs(sf_dir)
-        return gr.build_edges(pages, urls).sort(["src", "dst"])
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.build_edges(pages, nodes).sort(["src", "dst"])
 
     def page_degrees(sf_dir):
         from urlmap_ray.functions import graph as gr
 
-        pages, urls = _graph_inputs(sf_dir)
-        return gr.degrees(pages, urls).sort("url")
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.degrees(pages, nodes).sort("url")
 
     def pagerank(sf_dir):
         from urlmap_ray.functions import graph as gr
 
-        pages, urls = _graph_inputs(sf_dir)
-        return gr.pagerank(pages, urls)
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.pagerank(pages, nodes).sort("url")
 
     def page_hits(sf_dir):
         # HITS hubs/authorities (second iterative centrality): same pinned
         # edge-shard actor shape as pagerank; per-bucket hub partials keep
         # it bit-identical to the single-process reference
-        import ray.data
-
         from urlmap_ray.expected import ensure_hits_expected
         from urlmap_ray.functions import graph as gr
 
-        pages, urls = _graph_inputs(sf_dir)
+        pages, nodes = _graph_inputs(sf_dir)
         ensure_hits_expected(_corpus(sf_dir))
-        return ray.data.from_arrow(gr.hits(pages, urls))
+        return gr.hits(pages, nodes).sort("url")
+
+    def page_hits_shuffle(sf_dir):
+        # the >SHUFFLE_MODE_NODES HITS formulation: scores stay Datasets,
+        # four bucketed exchanges per iteration, driver state two floats +
+        # O(buckets) markers; bit-identical to broadcast mode
+        # (test_hits_shuffle_mode_identical). Registered at 3 iterations
+        # against a 3-iteration reference oracle (same rationale as
+        # pagerank_shuffle: pay 3 rounds of toy-scale job overhead, not 10)
+        from urlmap_ray.expected import ensure_hits_expected
+        from urlmap_ray.functions import graph as gr
+
+        pages, nodes = _graph_inputs(sf_dir)
+        ensure_hits_expected(_corpus(sf_dir))
+        return gr.hits(pages, nodes, mode="shuffle", n_iters=3).sort("url")
 
     def pagerank_shuffle(sf_dir):
         # the >SHUFFLE_MODE_NODES 100-TB formulation (ranks stay a Dataset,
@@ -376,8 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all-to-all jobs, not 10×2, of toy-scale overhead (VERDICT r2 #4)
         from urlmap_ray.functions import graph as gr
 
-        pages, urls = _graph_inputs(sf_dir)
-        return gr.pagerank(pages, urls, mode="shuffle", n_iters=3).sort("url")
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.pagerank(pages, nodes, mode="shuffle", n_iters=3).sort("url")
 
     def doc_token_counts(sf_dir):
         return _docs(sf_dir).map_batches(
@@ -1661,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": pagerank,
         "pagerank_shuffle": pagerank_shuffle,
         "page_hits": page_hits,
+        "page_hits_shuffle": page_hits_shuffle,
         "doc_token_counts": doc_token_counts,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_len_quantiles_sketch": doc_len_quantiles_sketch,
@@ -2183,6 +2191,10 @@ def oracle_sql() -> dict[str, str]:
         # 3-iteration single-process reference
         "pagerank_shuffle": f"SELECT * FROM read_parquet('{_exp('pagerank3')}')",
         "page_hits": f"SELECT * FROM read_parquet('{_exp('page_hits')}')",
+        # HITS shuffle mode (scores stay Datasets, no O(nodes) object);
+        # bit-identical to broadcast per iteration (test-asserted),
+        # registered at 3 iterations against a 3-iteration reference
+        "page_hits_shuffle": f"SELECT * FROM read_parquet('{_exp('page_hits3')}')",
         "spa_detect": f"SELECT * FROM read_parquet('{_exp('spa_detect')}')",
         "spa_domains": f"SELECT * FROM read_parquet('{_exp('spa_domains')}')",
         "page_link_stats": f"SELECT * FROM read_parquet('{_exp('page_link_stats')}')",

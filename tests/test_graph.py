@@ -1,13 +1,18 @@
-"""Web-graph analytics (functions/graph.py): edges, degrees, PageRank.
+"""Web-graph analytics (functions/graph.py): edges, degrees, PageRank, HITS.
 
-Ground truth is the pure extractor applied single-process; PageRank's two
-distributed modes must agree bit-for-bit with each other and with the
-single-process pagerank_reference (the deterministic-summation contract
+Ground truth is the pure extractor applied single-process; PageRank's and
+HITS' two distributed modes must agree bit-for-bit with each other and
+with the single-process references (the deterministic-summation contract
 in the module docstring).
+
+The node set enters every entry point as a DATASET — these tests also pin
+the handshake: the driver holds an ObjectRef (broadcast regime) or
+O(blocks) integers (shuffle regime's node_index), never the url column.
 """
 
 from __future__ import annotations
 
+import inspect
 from collections import Counter
 
 import pyarrow.dataset as pads
@@ -18,6 +23,7 @@ from urlmap_ray.extract import extract_links
 from urlmap_ray.functions.graph import (
     build_edges,
     degrees,
+    node_index,
     pagerank,
     pagerank_reference,
 )
@@ -58,30 +64,53 @@ def _pages_ds(corpus):
     return ray.data.read_parquet(corpus.pages_path, columns=["url", "html"])
 
 
-def test_build_edges_matches_pure(ray_session, corpus, truth):
-    urls, _, edges = truth
-    got = sorted(
-        (r["src"], r["dst"]) for r in build_edges(_pages_ds(corpus), urls).take_all()
-    )
-    assert got == edges
-    assert len(got) > N_PAGES  # corpus pages interlink
+def _nodes_ds(corpus):
+    # the node-set handshake: a column-pruned Dataset, never a list
+    import ray.data
+
+    return ray.data.read_parquet(corpus.pages_path, columns=["url"])
 
 
-def test_degrees_match_counter(ray_session, corpus, truth):
+def test_build_edges_matches_pure_both_regimes(ray_session, corpus, truth):
+    _, _, edges = truth
+    for membership in ("broadcast", "shuffle"):
+        got = sorted(
+            (r["src"], r["dst"])
+            for r in build_edges(
+                _pages_ds(corpus), _nodes_ds(corpus), membership=membership
+            ).take_all()
+        )
+        assert got == edges, f"membership={membership}"
+    assert len(edges) > N_PAGES  # corpus pages interlink
+
+
+def test_degrees_match_counter_both_regimes(ray_session, corpus, truth):
     urls, _, edges = truth
     out_c, in_c = Counter(e[0] for e in edges), Counter(e[1] for e in edges)
-    rows = degrees(_pages_ds(corpus), urls).take_all()
-    assert len(rows) == len(urls)  # isolated pages keep (0, 0) rows
-    for r in rows:
-        assert r["out_deg"] == out_c.get(r["url"], 0), r["url"]
-        assert r["in_deg"] == in_c.get(r["url"], 0), r["url"]
+    for membership in ("broadcast", "shuffle"):
+        rows = degrees(
+            _pages_ds(corpus), _nodes_ds(corpus), membership=membership
+        ).take_all()
+        assert len(rows) == len(urls)  # isolated pages keep (0, 0) rows
+        for r in rows:
+            assert r["out_deg"] == out_c.get(r["url"], 0), (membership, r["url"])
+            assert r["in_deg"] == in_c.get(r["url"], 0), (membership, r["url"])
+
+
+def test_node_index_is_sorted_rank(ray_session, corpus, truth):
+    urls, _, _ = truth
+    index_ds, n = node_index(_nodes_ds(corpus))
+    assert n == len(urls)
+    rows = index_ds.take_all()
+    expect = {u: i for i, u in enumerate(sorted(urls))}
+    assert {r["url"]: r["node_id"] for r in rows} == expect
 
 
 def test_pagerank_broadcast_matches_reference(ray_session, corpus, truth):
     urls, links, _ = truth
     expected = pagerank_reference(urls, links)
-    tbl = pagerank(_pages_ds(corpus), urls, mode="broadcast")
-    got = dict(zip(tbl.column("url").to_pylist(), tbl.column("rank_ppb").to_pylist()))
+    rows = pagerank(_pages_ds(corpus), _nodes_ds(corpus), mode="broadcast").take_all()
+    got = {r["url"]: r["rank_ppb"] for r in rows}
     assert got == expected  # bit-identical floats → equal quantized ranks
     assert all(v > 0 for v in got.values())
     assert sum(got.values()) <= 1_000_000_000  # dangling mass dropped, never added
@@ -89,9 +118,13 @@ def test_pagerank_broadcast_matches_reference(ray_session, corpus, truth):
 
 def test_pagerank_shuffle_mode_identical(ray_session, corpus, truth):
     urls, links, _ = truth
-    b = pagerank(_pages_ds(corpus), urls, mode="broadcast", n_iters=3, n_buckets=7)
-    s = pagerank(_pages_ds(corpus), urls, mode="shuffle", n_iters=3, n_buckets=7)
-    got_b = dict(zip(b.column("url").to_pylist(), b.column("rank_ppb").to_pylist()))
+    b = pagerank(
+        _pages_ds(corpus), _nodes_ds(corpus), mode="broadcast", n_iters=3, n_buckets=7
+    )
+    s = pagerank(
+        _pages_ds(corpus), _nodes_ds(corpus), mode="shuffle", n_iters=3, n_buckets=7
+    )
+    got_b = {r["url"]: r["rank_ppb"] for r in b.take_all()}
     got_s = {r["url"]: r["rank_ppb"] for r in s.take_all()}
     assert got_s == got_b
     assert got_b == pagerank_reference(urls, links, n_iters=3)
@@ -105,9 +138,18 @@ def test_hits_matches_reference_any_actor_count(ray_session, corpus, truth):
 
     urls, links, _ = truth
     exp = hits_reference(urls, links)
+    exp_rows = {
+        u: (a, h)
+        for u, a, h in zip(
+            exp.column("url").to_pylist(),
+            exp.column("auth_ppb").to_pylist(),
+            exp.column("hub_ppb").to_pylist(),
+        )
+    }
     for n_actors in (1, 3):
-        got = hits(_pages_ds(corpus), urls, n_actors=n_actors)
-        assert got.equals(exp), f"mismatch at n_actors={n_actors}"
+        rows = hits(_pages_ds(corpus), _nodes_ds(corpus), n_actors=n_actors).take_all()
+        got = {r["url"]: (r["auth_ppb"], r["hub_ppb"]) for r in rows}
+        assert got == exp_rows, f"mismatch at n_actors={n_actors}"
     # sanity: scores are L1-normalized (ppb sums ≈ 1e9) and non-trivial
     import numpy as np
 
@@ -116,10 +158,53 @@ def test_hits_matches_reference_any_actor_count(ray_session, corpus, truth):
     assert np.count_nonzero(exp.column("auth_ppb").to_numpy()) > N_PAGES // 2
 
 
+def test_hits_shuffle_mode_identical(ray_session, corpus, truth):
+    """The fully-distributed HITS (scores stay Datasets, four bucketed
+    exchanges/iteration) must be bit-identical to broadcast mode at the
+    same bucketing — the marker-row L1 fold reproduces _l1_total exactly."""
+    from urlmap_ray.functions.graph import hits
+
+    b = hits(
+        _pages_ds(corpus), _nodes_ds(corpus), mode="broadcast", n_iters=3, n_buckets=7
+    )
+    s = hits(
+        _pages_ds(corpus), _nodes_ds(corpus), mode="shuffle", n_iters=3, n_buckets=7
+    )
+    got_b = {r["url"]: (r["auth_ppb"], r["hub_ppb"]) for r in b.take_all()}
+    got_s = {r["url"]: (r["auth_ppb"], r["hub_ppb"]) for r in s.take_all()}
+    assert got_s == got_b
+    assert any(a > 0 for a, _ in got_b.values())
+
+
+def test_driver_never_materializes_url_column(ray_session, corpus):
+    """The node-set handshake contract (VERDICT r3 #1): no entry point
+    takes a url list, the broadcast regime leaves the driver holding an
+    ObjectRef (the strings live in the object store), and the entry
+    module's _graph_inputs builds Datasets, not pylists."""
+    import ray
+
+    from urlmap_ray.functions import graph as gr
+
+    # 1) no list[str] node argument anywhere in the public surface
+    for fn in (gr.build_edges, gr.degrees, gr.pagerank, gr.hits, gr.node_index):
+        params = inspect.signature(fn).parameters
+        assert "node_urls" not in params, fn.__name__
+    # 2) broadcast handshake: driver holds a ref, not the array
+    ref = gr._sorted_urls_ref(_nodes_ds(corpus))
+    assert isinstance(ref, ray.ObjectRef)
+    # 3) the registered queries' input builder has no driver-side pylist
+    import __ray_entry__ as entry
+
+    src = inspect.getsource(entry)
+    start = src.index("def _graph_inputs")
+    graph_inputs_src = src[start : src.index("def page_edges")]
+    assert "to_pylist" not in graph_inputs_src
+    assert "read_parquet" in graph_inputs_src
+
+
 def test_pagerank_rejects_bad_mode(ray_session, corpus, truth):
-    urls, _, _ = truth
     with pytest.raises(ValueError):
-        pagerank(_pages_ds(corpus), urls, mode="banana")
+        pagerank(_pages_ds(corpus), _nodes_ds(corpus), mode="banana")
 
 
 def test_anchor_text_index_counts_and_tiebreak(ray_session):

@@ -436,9 +436,14 @@ def ensure_hits_expected(info: CorpusInfo) -> str:
     """Expected (url, auth_ppb, hub_ppb) via the single-process
     :func:`~urlmap_ray.functions.graph.hits_reference` — the distributed
     path shares its per-bucket-partial summation fold, so the match is
-    bit-exact at any actor count."""
+    bit-exact at any actor count. Also writes the 3-iteration variant the
+    registered page_hits_shuffle query reads (same rationale as the
+    pagerank3 table: the shuffle mode pays per-iteration all-to-all job
+    overhead at toy scale, so it is registered at 3 iterations while the
+    mode-identity test pins broadcast≡shuffle per iteration)."""
     path = expected_path(info, "page_hits")
-    if not _should_generate(info, path):
+    path3 = expected_path(info, "page_hits3")
+    if not (_should_generate(info, path) or _should_generate(info, path3)):
         return path
     from .extract import extract_links
     from .functions.graph import hits_reference
@@ -450,6 +455,7 @@ def ensure_hits_expected(info: CorpusInfo) -> str:
         for url, html in zip(urls, tbl.column("html").to_pylist())
     }
     _write_atomic(hits_reference(urls, links_per_url), path)
+    _write_atomic(hits_reference(urls, links_per_url, n_iters=3), path3)
     return path
 
 

@@ -1,44 +1,65 @@
 """Web-graph analytics over the corpus link graph: edge extraction,
-degree distributions, PageRank.
+degree distributions, PageRank, HITS.
 
 The reference stops at the visited-URL set; the natural next consumer of
 a 100TB crawl is the link GRAPH — in/out-degree statistics and a
-centrality score (PageRank) per page. Graph nodes are the corpus pages;
-edges are the DISTINCT in-corpus, non-self hyperlinks extracted by the
-same pure extractor the crawler uses (extract.py M1, reference
+centrality score (PageRank/HITS) per page. Graph nodes are the corpus
+pages; edges are the DISTINCT in-corpus, non-self hyperlinks extracted
+by the same pure extractor the crawler uses (extract.py M1, reference
 parser.go:120-208), so the graph is exactly "what the crawler saw".
+
+**The node set enters as a Dataset**, never a Python list: at 10^10
+URLs (~60B average) a driver-side url list is ~600GB of heap. Every
+entry point takes ``nodes`` = a ``ray.data.Dataset`` with a distinct
+``url`` column (for the registered queries that is the corpus url
+column, read column-pruned), and the engine picks one of two
+membership/identity regimes by ``nodes.count()``:
+
+- **Broadcast regime** (≤ ``SHUFFLE_MODE_NODES``): the sorted url array
+  is folded in ONE remote task from the node Dataset's blocks and lives
+  only in the object store — the driver holds an ``ObjectRef``, never
+  the strings. Membership is a per-batch ``pc.is_in`` probe; node ids
+  are ``pc.index_in`` ranks against the same shared array.
+- **Shuffle regime** (above it): no O(nodes) object exists anywhere.
+  Membership is a bucketed pad→union→``groupby(hash(url) % B)``
+  semi-join (the joins.py shape); node ids come from
+  :func:`node_index` — a distributed zipWithIndex (one range-
+  partitioned sort, then per-block offsets computed from block
+  METADATA row counts, so driver state is O(blocks) integers); edge
+  endpoints are mapped url→id by two more bucketed exchanges against
+  that index.
 
 Scale shapes:
 
-- **Edge build is shuffle-free.** Every (src, dst) edge originates from
-  exactly one page row, so "globally distinct edges" = per-row dedup —
-  vectorized Arrow kernels (list_flatten / list_parent_indices / is_in /
-  batch-local group_by), no exchange. The in-corpus membership test is a
-  broadcast keep-set (``ray.put`` once) at test scale; at 10^10 nodes the
-  url set outgrows a broadcast and membership becomes a hash semi-join
-  against the node table (the same bucketed union shape as
-  ``functions/dedup.py``) — the edge emit stays row-local either way.
-- **Degrees are ONE single-key shuffle.** Out-degree is row-local
-  (count of the page's own distinct in-corpus links); only in-degree
-  crosses blocks. Per-batch partial counts pre-aggregate before the
-  ``groupby(url)`` so the exchange moves one row per (batch, url).
+- **Edge build is shuffle-free** in the broadcast regime (every
+  (src, dst) edge originates from exactly one page row, so "globally
+  distinct edges" = per-row dedup — vectorized Arrow kernels, no
+  exchange) and ONE bucketed semi-join in the shuffle regime.
+- **Degrees are ONE single-key shuffle.** Out-degree is row-local;
+  only in-degree crosses blocks. Per-batch partial counts pre-aggregate
+  before the ``groupby(url)``.
 - **PageRank iterates over a once-materialized, dst-bucketed edge
-  dataset.** In ``mode="broadcast"`` the bucketed edge blocks are
-  pinned once into a pool of ``_EdgeShard`` actors (whole buckets per
-  actor — block refs move through the object store, never the driver)
-  and each iteration is one round of actor calls against the O(nodes)
-  rank vector shipped via ``ray.put`` (the Spark/GraphX broadcast
-  formulation) — broadcast state is O(nodes), never O(edges), and the
-  per-iteration cost is actor-RPC, not a fresh Dataset job. Above
-  ``SHUFFLE_MODE_NODES`` the vector outgrows the driver and
-  ``mode="shuffle"`` keeps ranks as a Dataset: each iteration is a
-  pad→union→one-key-shuffle join (the repo's asof/range-join shape)
-  from rank rows to their bucket's edges, then a dst-bucket reduce back
-  to rank rows — per-task state is one bucket slice, never the full
-  vector. Both modes produce BIT-IDENTICAL ranks (test-asserted):
-  every per-dst sum is ``np.add.reduceat`` over the (dst, src)-sorted
-  contribution run, so float summation order is fixed by the data, not
-  by partitioning.
+  dataset.** ``mode="broadcast"``: bucketed edge blocks are pinned once
+  into ``_EdgeShard`` actors and each iteration is one RPC round
+  against the O(nodes) rank vector shipped via ``ray.put`` (the
+  Spark/GraphX broadcast formulation). ``mode="shuffle"`` (the
+  ≥``SHUFFLE_MODE_NODES`` path): ranks live in a Dataset as
+  (node_id, rank, inv) rows; each iteration is (1) a pad→union→
+  ``groupby(src_bucket)`` exchange scattering each node's row-local
+  ``rank·inv`` contribution onto its bucket's out-edges, then (2) a
+  ``groupby(dst_bucket)`` reduce folding per-dst sums AND carrying the
+  inv column forward — per-task state is one bucket slice, the driver
+  holds two scalars. Both modes produce BIT-IDENTICAL ranks
+  (test-asserted): every per-dst sum is ``np.add.reduceat`` over the
+  (dst, src)-sorted contribution run, so float summation order is
+  fixed by the data, not by partitioning, and the per-edge
+  contribution is the same single ``rank*inv`` product either way.
+- **HITS has the same two modes.** Broadcast pins ``_HitsShard``
+  actors; shuffle runs four bucketed exchanges per iteration (two per
+  direction). The L1 normalization total is pinned to a two-level
+  tree — per-bucket ``np.sum`` partials folded by ``np.sum`` in bucket
+  order (:func:`_l1_total`) — computed identically by the reference,
+  the actor mode and the shuffle mode, so all three are bit-identical.
 
 Dangling-node mass (pages with no outlinks) is dropped, not
 redistributed — ranks sum to < 1 but the relative ordering follows the
@@ -56,6 +77,7 @@ import pyarrow.compute as pc
 __all__ = [
     "build_edges",
     "degrees",
+    "node_index",
     "pagerank",
     "pagerank_reference",
     "hits",
@@ -64,12 +86,105 @@ __all__ = [
 ]
 
 # Above this node count the broadcast rank vector (8B/node — 40MB at 5M)
-# stops being "small state" and pagerank(mode="auto") switches to the
-# fully-distributed shuffle formulation.
+# stops being "small state" and mode="auto" switches to the fully-
+# distributed shuffle formulation.
 SHUFFLE_MODE_NODES = 5_000_000
 
 _DAMPING = 0.85
 _N_ITERS = 10
+
+# Hash-bucket count for the shuffle regime's membership / id-mapping
+# exchanges (a performance knob only — results are bucketing-independent).
+_MAP_BUCKETS = 256
+
+
+# ---------------------------------------------------------------------------
+# node-set handshake
+
+
+def _sorted_urls_ref(nodes_ds):
+    """ObjectRef to the sorted distinct url array of a node Dataset.
+
+    Folded in ONE remote task from the Dataset's blocks — the url column
+    never lands on the driver (the driver keeps only the ref). Broadcast-
+    regime helper: callers must already know ``nodes.count()`` is within
+    ``SHUFFLE_MODE_NODES``.
+    """
+    import ray
+
+    refs = nodes_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def fold(*tables) -> pa.Array:
+        tabs = [t.select(["url"]) for t in tables if t.num_rows]
+        if not tabs:
+            return pa.array([], pa.string())
+        arr = pa.concat_tables(tabs).column("url").combine_chunks()
+        uniq = pc.unique(arr)
+        return pc.take(uniq, pc.array_sort_indices(uniq))
+
+    return fold.remote(*refs)
+
+
+def node_index(nodes_ds):
+    """Distributed zipWithIndex over the node table → ((node_id, url)
+    Dataset, n) with ``node_id`` = the url's rank in global sorted order.
+
+    One range-partitioned sort; ids are assigned per block from block
+    METADATA row counts, so the driver holds O(blocks) integers and never
+    the url column. The node Dataset must be distinct on ``url`` (the
+    corpus url column is — it is the pages table's key).
+    """
+    import ray
+    import ray.data
+
+    sorted_ds = nodes_ds.sort("url").materialize()
+    refs: list = []
+    counts: list[int] = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            assert meta.num_rows is not None  # known after materialize()
+            refs.append(ref)
+            counts.append(int(meta.num_rows))
+    n = int(sum(counts))
+    if n == 0:
+        empty = pa.table(
+            {"node_id": pa.array([], pa.int64()), "url": pa.array([], pa.string())}
+        )
+        return ray.data.from_arrow(empty), 0
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    @ray.remote(num_cpus=1)
+    def assign(t: pa.Table, off: int) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.array(
+                    np.arange(off, off + t.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "url": t.column("url"),
+            }
+        )
+
+    index_ds = ray.data.from_arrow_refs(
+        [assign.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+    return index_ds, n
+
+
+def _resolve_membership(membership: str, n: int) -> str:
+    if membership == "auto":
+        return "shuffle" if n > SHUFFLE_MODE_NODES else "broadcast"
+    if membership not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"membership must be 'auto', 'broadcast' or 'shuffle', got {membership!r}"
+        )
+    return membership
+
+
+# ---------------------------------------------------------------------------
+# edge build
 
 
 def _edges_batch(t: pa.Table, keep: pa.Array) -> pa.Table:
@@ -88,78 +203,201 @@ def _edges_batch(t: pa.Table, keep: pa.Array) -> pa.Table:
     return pairs.group_by(["src", "dst"]).aggregate([])
 
 
-def build_edges(pages_ds, node_urls: list[str]):
-    """Distinct in-corpus (src, dst) edge Dataset from a pages Dataset.
+def _candidate_pairs_batch(t: pa.Table) -> pa.Table:
+    """links list column → batch-local distinct non-self (src, dst)
+    candidate rows (membership NOT yet applied — the shuffle regime's
+    semi-join does that)."""
+    links = t.column("links")
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = pc.list_flatten(links)
+    src = pc.take(t.column("url"), pc.list_parent_indices(links))
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    mask = pc.not_equal(flat, src)
+    pairs = pa.table({"src": pc.filter(src, mask), "dst": pc.filter(flat, mask)})
+    return pairs.group_by(["src", "dst"]).aggregate([])
 
-    ``node_urls`` is the graph's node set (the corpus url column); it is
-    broadcast once via ``ray.put`` and probed with ``pc.is_in`` per batch.
-    """
-    import ray
 
+def _extracted(pages_ds):
     from ..extract import extract_links_batch
 
-    keep_ref = ray.put(pa.array(sorted(node_urls), pa.string()))
+    return pages_ds.map_batches(
+        extract_links_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _edges_broadcast(pages_ds, keep_ref):
+    import ray
 
     def to_edges(t: pa.Table) -> pa.Table:
         return _edges_batch(t, ray.get(keep_ref))
 
-    return pages_ds.map_batches(
-        extract_links_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return _extracted(pages_ds).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
-def degrees(pages_ds, node_urls: list[str]):
+def _member_semijoin(pairs_ds, nodes_ds, *, n_buckets: int = _MAP_BUCKETS):
+    """Keep (src, dst) rows whose ``dst`` is in the node set — ONE bucketed
+    pad→union→groupby exchange (no O(nodes) object anywhere). Node rows
+    are marked by a null ``src``; in-group membership is a vectorized
+    ``pc.is_in`` against the bucket's node slice."""
+    from .sketch import hash64_column
+
+    def pad_pairs(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("dst")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {"bk": pa.array(bk, pa.int64()), "src": t.column("src"), "dst": t.column("dst")}
+        )
+
+    def pad_nodes(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "src": pa.array([None] * t.num_rows, pa.string()),
+                "dst": t.column("url"),
+            }
+        )
+
+    unioned = pairs_ds.map_batches(
+        pad_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(nodes_ds.map_batches(pad_nodes, batch_format="pyarrow", zero_copy_batch=True))
+
+    def group(g: pa.Table) -> pa.Table:
+        is_node = pc.is_null(g.column("src"))
+        node_urls = pc.filter(g.column("dst"), is_node)
+        if isinstance(node_urls, pa.ChunkedArray):
+            node_urls = node_urls.combine_chunks()
+        e = g.filter(pc.invert(is_node))
+        keep = pc.is_in(e.column("dst"), value_set=node_urls)
+        return pa.table(
+            {
+                "src": pc.filter(e.column("src"), keep),
+                "dst": pc.filter(e.column("dst"), keep),
+            }
+        )
+
+    return unioned.groupby("bk").map_groups(group, batch_format="pyarrow")
+
+
+def build_edges(pages_ds, nodes, *, membership: str = "auto", n_buckets: int = _MAP_BUCKETS):
+    """Distinct in-corpus (src, dst) edge Dataset from a pages Dataset.
+
+    ``nodes`` is the graph's node set as a Dataset with a distinct ``url``
+    column (for the registered queries, the corpus url column — a
+    column-pruned ``read_parquet``). Membership of extracted targets is a
+    broadcast ``pc.is_in`` probe (array built in a remote task, driver
+    holds only the ref) below ``SHUFFLE_MODE_NODES`` and the bucketed
+    semi-join above it. Edge sources are assumed ⊆ nodes (pages ARE
+    nodes for the corpus graph), matching the reference's extraction
+    seam (parser.go:120-208: links come only from fetched pages).
+    """
+    membership = _resolve_membership(membership, nodes.count())
+    if membership == "broadcast":
+        return _edges_broadcast(pages_ds, _sorted_urls_ref(nodes))
+    pairs = _extracted(pages_ds).map_batches(
+        _candidate_pairs_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _member_semijoin(pairs, nodes, n_buckets=n_buckets)
+
+
+def degrees(pages_ds, nodes, *, membership: str = "auto", n_buckets: int = _MAP_BUCKETS):
     """Per-node (url, out_deg, in_deg) in one single-key shuffle.
 
-    Every page contributes a row-local ``(url, out_deg, 0)`` row (its own
-    distinct in-corpus link count — out-degree needs no exchange) plus
-    per-batch pre-aggregated ``(dst, 0, in_partial)`` rows; a single
-    ``groupby(url)`` sums both. Isolated pages keep (0, 0) rows.
+    Every edge contributes per-batch pre-aggregated partial rows; node
+    rows contribute (url, 0, 0) so isolated pages keep their zero row; a
+    single ``groupby(url)`` sums. In the broadcast regime the out-degree
+    partials stay fused with extraction (zero extra passes); the shuffle
+    regime feeds the semi-joined edge stream through the same partials.
     """
     import ray
     from ray.data.aggregate import Sum
 
-    from ..extract import extract_links_batch
+    membership = _resolve_membership(membership, nodes.count())
 
-    keep_ref = ray.put(pa.array(sorted(node_urls), pa.string()))
+    if membership == "broadcast":
+        keep_ref = _sorted_urls_ref(nodes)
 
-    def partials(t: pa.Table) -> pa.Table:
-        edges = _edges_batch(t, ray.get(keep_ref))
-        out_counts = edges.group_by(["src"]).aggregate([([], "count_all")])
-        pos = pc.index_in(t.column("url"), value_set=out_counts.column("src"))
-        out_partial = pc.fill_null(
-            pc.take(out_counts.column("count_all"), pos), 0
-        ).cast(pa.int64())
-        if isinstance(out_partial, pa.ChunkedArray):
-            out_partial = out_partial.combine_chunks()
-        page_rows = pa.table(
-            {
-                "url": t.column("url"),
-                "out_partial": out_partial,
-                "in_partial": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
-            }
-        )
-        in_counts = edges.group_by(["dst"]).aggregate([([], "count_all")])
-        in_rows = pa.table(
-            {
-                "url": in_counts.column("dst"),
-                "out_partial": pa.array(np.zeros(in_counts.num_rows, np.int64), pa.int64()),
-                "in_partial": in_counts.column("count_all").cast(pa.int64()),
-            }
-        )
-        return pa.concat_tables([page_rows, in_rows])
+        def partials(t: pa.Table) -> pa.Table:
+            edges = _edges_batch(t, ray.get(keep_ref))
+            out_counts = edges.group_by(["src"]).aggregate([([], "count_all")])
+            pos = pc.index_in(t.column("url"), value_set=out_counts.column("src"))
+            out_partial = pc.fill_null(
+                pc.take(out_counts.column("count_all"), pos), 0
+            ).cast(pa.int64())
+            if isinstance(out_partial, pa.ChunkedArray):
+                out_partial = out_partial.combine_chunks()
+            page_rows = pa.table(
+                {
+                    "url": t.column("url"),
+                    "out_partial": out_partial,
+                    "in_partial": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+            in_counts = edges.group_by(["dst"]).aggregate([([], "count_all")])
+            in_rows = pa.table(
+                {
+                    "url": in_counts.column("dst"),
+                    "out_partial": pa.array(
+                        np.zeros(in_counts.num_rows, np.int64), pa.int64()
+                    ),
+                    "in_partial": in_counts.column("count_all").cast(pa.int64()),
+                }
+            )
+            return pa.concat_tables([page_rows, in_rows])
 
-    return (
-        pages_ds.map_batches(
-            extract_links_batch, batch_format="pyarrow", zero_copy_batch=True
+        partial_ds = _extracted(pages_ds).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
         )
-        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("url")
-        .aggregate(
-            Sum("out_partial", alias_name="out_deg"),
-            Sum("in_partial", alias_name="in_deg"),
+    else:
+        edges_ds = build_edges(
+            pages_ds, nodes, membership="shuffle", n_buckets=n_buckets
         )
+
+        def edge_partials(t: pa.Table) -> pa.Table:
+            out_counts = t.group_by(["src"]).aggregate([([], "count_all")])
+            in_counts = t.group_by(["dst"]).aggregate([([], "count_all")])
+            return pa.concat_tables(
+                [
+                    pa.table(
+                        {
+                            "url": out_counts.column("src"),
+                            "out_partial": out_counts.column("count_all").cast(pa.int64()),
+                            "in_partial": pa.array(
+                                np.zeros(out_counts.num_rows, np.int64), pa.int64()
+                            ),
+                        }
+                    ),
+                    pa.table(
+                        {
+                            "url": in_counts.column("dst"),
+                            "out_partial": pa.array(
+                                np.zeros(in_counts.num_rows, np.int64), pa.int64()
+                            ),
+                            "in_partial": in_counts.column("count_all").cast(pa.int64()),
+                        }
+                    ),
+                ]
+            )
+
+        def node_zeros(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            return pa.table({"url": t.column("url"), "out_partial": z, "in_partial": z})
+
+        partial_ds = edges_ds.map_batches(
+            edge_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).union(nodes.map_batches(node_zeros, batch_format="pyarrow", zero_copy_batch=True))
+
+    return partial_ds.groupby("url").aggregate(
+        Sum("out_partial", alias_name="out_deg"),
+        Sum("in_partial", alias_name="in_deg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared deterministic primitives
 
 
 def _contrib_sums(
@@ -177,14 +415,37 @@ def _contrib_sums(
     return dst[starts], np.add.reduceat(c, starts)
 
 
-def _bucketed_edge_ids(edges_ds, urls_arr: pa.Array, per_bucket: int):
+def _l1_total(v: np.ndarray, per_bucket: int) -> float:
+    """Pinned L1 total of a dense non-negative score vector: per-bucket
+    ``np.sum`` partials folded by ``np.sum`` in bucket order — the same
+    two-level tree the shuffle mode computes distributedly (each reduce
+    group sums its bucket's dense slice, the driver folds the B-vector),
+    so normalization is bit-identical across modes and cluster sizes."""
+    n = len(v)
+    if n == 0:
+        return 0.0
+    nb = -(-n // per_bucket)
+    parts = np.empty(nb, dtype=np.float64)
+    for i in range(nb):
+        parts[i] = np.sum(v[i * per_bucket : (i + 1) * per_bucket])
+    return float(np.sum(parts))
+
+
+def _graph_buckets(n: int) -> int:
+    """Shared bucket-SIZE rule (~100k nodes of rank state per bucket:
+    small graphs get few fat buckets — shuffle rounds are fixed-overhead-
+    bound — huge graphs cap at 4096 buckets ≈ cluster-core scale) — ONE
+    definition so both modes and both references partition identically."""
+    return max(1, -(-n // max(16, min(4096, -(-n // 100_000)))))
+
+
+def _bucketed_edge_ids(edges_ds, urls_ref, per_bucket: int):
     """Edges as (src_id, dst_id) int64 rows, RANGE-bucketed by dst
     (``dst_id // per_bucket`` — dst-contiguous buckets) and sorted by
     (dst_id, src_id) within each bucket; materialized once and reused by
-    every PageRank iteration."""
+    every iteration. Broadcast regime: ids are ``pc.index_in`` ranks
+    against the shared sorted url array (object store only)."""
     import ray
-
-    urls_ref = ray.put(urls_arr)
 
     def to_ids(t: pa.Table) -> pa.Table:
         ua = ray.get(urls_ref)
@@ -204,6 +465,134 @@ def _bucketed_edge_ids(edges_ds, urls_arr: pa.Array, per_bucket: int):
         .map_groups(sort_group, batch_format="pyarrow")
         .materialize()
     )
+
+
+def _edge_ids_shuffle(
+    pairs_ds, index_ds, *, per_bucket: int, n_buckets: int = _MAP_BUCKETS
+):
+    """Shuffle-regime edge identity: (src, dst) string candidates →
+    (src_id, dst_id) int64 rows via TWO bucketed pad→union exchanges
+    against the node index (endpoints absent from the index are dropped —
+    this doubles as the membership semi-join), then one dst-bucket
+    grouping that sorts each bucket by (dst_id, src_id). Materialized
+    once; no O(nodes) object anywhere."""
+    from .sketch import hash64_column
+
+    # --- exchange 1: dst → dst_id (and membership filter) ---------------
+    def pad_pairs_dst(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("dst")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "k": t.column("dst"),
+                "other": t.column("src"),
+                "nid": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    def pad_index(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "k": t.column("url"),
+                "other": pa.array([None] * t.num_rows, pa.string()),
+                "nid": t.column("node_id"),
+            }
+        )
+
+    def map_dst(g: pa.Table) -> pa.Table:
+        nid = g.column("nid")
+        is_idx = pc.greater_equal(nid, 0)
+        idx_rows = g.filter(is_idx)
+        e = g.filter(pc.invert(is_idx))
+        keys = idx_rows.column("k").combine_chunks()
+        pos = pc.index_in(e.column("k"), value_set=keys)
+        keep = pc.is_valid(pos)
+        e = e.filter(keep)
+        pos = pos.filter(keep)
+        return pa.table(
+            {
+                "src": e.column("other"),
+                "dst_id": pc.take(idx_rows.column("nid"), pos).combine_chunks()
+                if isinstance(pc.take(idx_rows.column("nid"), pos), pa.ChunkedArray)
+                else pc.take(idx_rows.column("nid"), pos),
+            }
+        )
+
+    stage1 = (
+        pairs_ds.map_batches(pad_pairs_dst, batch_format="pyarrow", zero_copy_batch=True)
+        .union(index_ds.map_batches(pad_index, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("bk")
+        .map_groups(map_dst, batch_format="pyarrow")
+    )
+
+    # --- exchange 2: src → src_id ---------------------------------------
+    def pad_pairs_src(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("src")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "k": t.column("src"),
+                "carry": t.column("dst_id"),
+                "nid": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    def pad_index2(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "k": t.column("url"),
+                "carry": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "nid": t.column("node_id"),
+            }
+        )
+
+    def map_src(g: pa.Table) -> pa.Table:
+        nid = g.column("nid")
+        is_idx = pc.greater_equal(nid, 0)
+        idx_rows = g.filter(is_idx)
+        e = g.filter(pc.invert(is_idx))
+        keys = idx_rows.column("k").combine_chunks()
+        pos = pc.index_in(e.column("k"), value_set=keys)
+        keep = pc.is_valid(pos)
+        e = e.filter(keep)
+        pos = pos.filter(keep)
+        src_id = pc.take(idx_rows.column("nid"), pos)
+        if isinstance(src_id, pa.ChunkedArray):
+            src_id = src_id.combine_chunks()
+        return pa.table({"src_id": src_id, "dst_id": e.column("carry")})
+
+    stage2 = (
+        stage1.map_batches(pad_pairs_src, batch_format="pyarrow", zero_copy_batch=True)
+        .union(index_ds.map_batches(pad_index2, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("bk")
+        .map_groups(map_src, batch_format="pyarrow")
+    )
+
+    # --- dst-bucket grouping + in-bucket (dst, src) sort ------------------
+    def with_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.divide(t.column("dst_id"), per_bucket).cast(pa.int32())
+        )
+
+    def sort_group(g: pa.Table) -> pa.Table:
+        return g.sort_by(
+            [("dst_id", "ascending"), ("src_id", "ascending")]
+        ).drop_columns(["bucket"])
+
+    return (
+        stage2.map_batches(with_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sort_group, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
 
 
 class _EdgeShard:
@@ -239,7 +628,8 @@ class _EdgeShard:
 def _out_degree_vector(edges_b, n: int) -> np.ndarray:
     """Exact out-degree per node id from the bucketed edge Dataset: one
     streaming pass of per-batch partial counts + a single-key groupby
-    (integer sums are summation-order-free)."""
+    (integer sums are summation-order-free). Broadcast-regime helper
+    (O(n) driver vector, documented ≤ SHUFFLE_MODE_NODES)."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -265,67 +655,77 @@ def _out_degree_vector(edges_b, n: int) -> np.ndarray:
 
 def pagerank(
     pages_ds,
-    node_urls: list[str],
+    nodes,
     *,
     n_iters: int = _N_ITERS,
     damping: float = _DAMPING,
     mode: str = "auto",
     n_buckets: int | None = None,
 ):
-    """PageRank over the corpus link graph → (url, rank_ppb).
+    """PageRank over the corpus link graph → Dataset of (url, rank_ppb).
 
+    ``nodes`` is the node set as a Dataset with a distinct ``url`` column.
     ``rank_ppb`` is the rank quantized to parts-per-billion (int64) so
     the correctness gate compares integers; the underlying floats are
     already bit-deterministic (see ``_contrib_sums``). ``mode``:
-    "broadcast" (O(nodes) driver/broadcast rank vector, one map pass per
-    iteration; returns pa.Table), "shuffle" (ranks stay a Dataset, two
-    single-key exchanges per iteration, no O(nodes) driver state;
-    returns a Dataset — the ≥``SHUFFLE_MODE_NODES`` path), or "auto".
+    "broadcast" (O(nodes) rank vector on the driver + one RPC round per
+    iteration — the ≤``SHUFFLE_MODE_NODES`` regime), "shuffle" (ranks
+    stay a Dataset, two single-key exchanges per iteration, no O(nodes)
+    state on the driver or in any single object), or "auto".
     """
     import ray
+    import ray.data
 
-    urls_sorted = sorted(node_urls)
-    n = len(urls_sorted)
+    n = nodes.count()
     if n == 0:
-        return pa.table(
-            {"url": pa.array([], pa.string()), "rank_ppb": pa.array([], pa.int64())}
+        return ray.data.from_arrow(
+            pa.table(
+                {"url": pa.array([], pa.string()), "rank_ppb": pa.array([], pa.int64())}
+            )
         )
     if mode == "auto":
         mode = "shuffle" if n > SHUFFLE_MODE_NODES else "broadcast"
     if mode not in ("broadcast", "shuffle"):
         raise ValueError(f"mode must be 'auto', 'broadcast' or 'shuffle', got {mode!r}")
     if n_buckets is None:
-        # ~100k nodes of rank state per bucket: small graphs get few fat
-        # buckets (shuffle rounds are fixed-overhead-bound — measured 26s
-        # vs 41s at 16 vs 64 buckets on a 6k-node graph), huge graphs cap
-        # at 4096 buckets ≈ cluster-core scale. Ranks are bit-identical
-        # under ANY bucketing (per-dst runs never split), so this is purely
-        # a performance knob.
-        n_buckets = max(16, min(4096, -(-n // 100_000)))
-    per_bucket = max(1, -(-n // n_buckets))  # ceil(n / n_buckets)
-    urls_arr = pa.array(urls_sorted, pa.string())
-    edges_ds = build_edges(pages_ds, urls_sorted)
-    edges_b = _bucketed_edge_ids(edges_ds, urls_arr, per_bucket)
+        per_bucket = _graph_buckets(n)
+    else:
+        per_bucket = max(1, -(-n // n_buckets))  # ceil(n / n_buckets)
 
     if mode == "shuffle":
-        out_vec = _out_degree_vector(edges_b, n)
-        inv_out = np.zeros(n, dtype=np.float64)
-        nz = out_vec > 0
-        inv_out[nz] = 1.0 / out_vec[nz]
+        nb = -(-n // per_bucket)
+        # materialize ONCE and pin block counts: the iteration loop reuses
+        # these blocks every round, and each Sort's output-partition count
+        # (and the driver's shuffle metadata) tracks its INPUT block count
+        # — without the coalescing repartition the per-iteration block
+        # count compounds geometrically and the driver melts down on sort
+        # metadata (observed: 2GB→8GB driver estimates by iteration 2)
+        index_ds = node_index(nodes)[0].repartition(nb, shuffle=False).materialize()
+        pairs = _extracted(pages_ds).map_batches(
+            _candidate_pairs_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        edges_b = (
+            _edge_ids_shuffle(pairs, index_ds, per_bucket=per_bucket)
+            .repartition(nb, shuffle=False)
+            .materialize()
+        )
         return _pagerank_shuffle(
             edges_b,
-            urls_arr,
-            inv_out,
+            index_ds,
+            n=n,
             n_iters=n_iters,
             damping=damping,
             per_bucket=per_bucket,
         )
 
+    # ---- broadcast mode --------------------------------------------------
     # Pin whole-bucket edge blocks into a round-robin actor pool ONCE;
     # each iteration is a round of actor calls (no per-iteration Dataset
     # job). Blocks hold whole dst-buckets (a map_groups group table only
     # splits above the 128MB block target), so per-dst runs stay intact
     # per actor and ranks remain bit-identical to pagerank_reference.
+    urls_ref = _sorted_urls_ref(nodes)
+    edges_b = _bucketed_edge_ids(_edges_broadcast(pages_ds, urls_ref), urls_ref, per_bucket)
     base = (1.0 - damping) / n
     block_refs = edges_b.to_arrow_refs()
     shard_cls = ray.remote(num_cpus=1)(_EdgeShard)
@@ -355,205 +755,256 @@ def pagerank(
     finally:
         for a in actors:
             ray.kill(a)
-    return pa.table(
-        {
-            "url": urls_arr,
-            "rank_ppb": pa.array(np.round(ranks * 1e9).astype(np.int64), pa.int64()),
-        }
-    )
 
-
-def _pagerank_shuffle(edges_b, urls_arr, inv_out, *, n_iters, damping, per_bucket):
-    """Fully-distributed PageRank (no O(nodes) driver state): ranks live
-    in a Dataset; each iteration is (1) a union + single-key shuffle
-    joining rank rows to their src-bucket's edges, (2) a dst-bucket
-    shuffle reducing contributions with the shared deterministic
-    ``_contrib_sums``. Per-task state is a bucket slice of ``inv_out``
-    (one ``ray.put`` per bucket, once), never the full vector."""
-    import ray
-    import ray.data
-
-    n = len(urls_arr)
-    base = (1.0 - damping) / n
-    inv_refs = [
-        ray.put(inv_out[lo : min(lo + per_bucket, n)])
-        for lo in range(0, n, per_bucket)
-    ]
-
-    def with_src_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "gb", pc.divide(t.column("src_id"), per_bucket).cast(pa.int32())
-        )
-
-    edges_src_bucketed = edges_b.map_batches(
-        with_src_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    # dst-buckets that receive at least one edge, computed ONCE: nodes in
-    # uncovered buckets always settle at the base rank after the reduce
-    covered = set()
-    for row in (
-        edges_b.map_batches(
-            lambda t: pa.table(
-                {
-                    "db": pa.array(
-                        np.unique(
-                            t.column("dst_id").to_numpy(zero_copy_only=False)
-                            // per_bucket
-                        ).astype(np.int32),
-                        pa.int32(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("db")
-        .count()
-        .iter_rows()
-    ):
-        covered.add(int(row["db"]))
-    covered_arr = np.array(sorted(covered), dtype=np.int64)
-
-    ranks_ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "node_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
-                "rank": pa.array(np.full(n, 1.0 / n), pa.float64()),
-            }
-        )
-    )
-
-    # nodes in buckets with no in-edges always settle at the base rank —
-    # that row set is CONSTANT across iterations, so build it ONCE.
-    # (Recomputing it from the previous ranks_ds each round also made the
-    # rank Dataset's block count grow by the shuffle width per iteration:
-    # sort-shuffle output partitions track input block count, so shuffle
-    # task counts and driver sort state grew linearly with iterations —
-    # ~2000 tasks by iteration 10 at a 6000-node graph.)
-    def missing_rows(t: pa.Table) -> pa.Table:
-        node = t.column("node_id").to_numpy(zero_copy_only=False)
-        keep = ~np.isin(node // per_bucket, covered_arr)
+    @ray.remote(num_cpus=1)
+    def finish(urls_arr: pa.Array, rank_vec: np.ndarray) -> pa.Table:
         return pa.table(
             {
-                "node_id": pa.array(node[keep], pa.int64()),
-                "rank": pa.array(np.full(int(keep.sum()), base), pa.float64()),
+                "url": urls_arr,
+                "rank_ppb": pa.array(
+                    np.round(rank_vec * 1e9).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    uncovered_ds = ranks_ds.map_batches(
-        missing_rows, batch_format="pyarrow"
-    ).materialize()
+    return ray.data.from_arrow_refs([finish.remote(urls_ref, ranks)])
 
-    # bound the rank Dataset's block count per round: coalesce (no shuffle)
-    # back to ~one block per bucket before feeding the next iteration
-    n_rank_blocks = max(1, min(len(inv_refs), 64))
 
-    for _ in range(n_iters):
-        # (1) pad rank rows and edge rows to one schema keyed by the SRC
-        # bucket; a single groupby(gb) co-locates each bucket's ranks with
-        # the edges that read them; in-group lookup is a vectorized slice
-        def rank_rows(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "gb": pc.divide(t.column("node_id"), per_bucket).cast(pa.int32()),
-                    "src_id": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-                    "dst_id": t.column("node_id").cast(pa.int64()),
-                    "rank": t.column("rank"),
-                }
-            )
+def _pagerank_shuffle(edges_b, index_ds, *, n, n_iters, damping, per_bucket):
+    """Fully-distributed PageRank: no O(nodes) state on the driver OR in
+    any single broadcast object. Rank state is a Dataset of
+    (node_id, rank, inv) rows — ``inv`` (1/out-degree) rides along so the
+    reduce stage can emit complete next-iteration rows without a separate
+    lookup side. Each iteration is exactly two bucketed exchanges:
 
-        def edge_rows(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "gb": t.column("gb"),
-                    "src_id": t.column("src_id"),
-                    "dst_id": t.column("dst_id"),
-                    "rank": pa.array(np.full(t.num_rows, np.nan), pa.float64()),
-                }
-            )
+    1. ``groupby(src_bucket)`` over rank rows ∪ edge rows: each node's
+       row-local contribution ``rank·inv`` is scattered onto its
+       bucket's out-edges (vectorized slice lookup).
+    2. ``groupby(dst_bucket)`` over contribution rows ∪ rank rows: per-
+       dst ``np.add.reduceat`` over the (dst, src)-sorted run (the shared
+       deterministic primitive), then the bucket's dense next-rank slice
+       is rebuilt with the carried ``inv``.
 
-        unioned = ranks_ds.map_batches(rank_rows, batch_format="pyarrow").union(
-            edges_src_bucketed.map_batches(edge_rows, batch_format="pyarrow")
+    Every bucket is covered in stage 2 because every node's rank row is
+    routed there — no separate uncovered-bucket bookkeeping."""
+    import ray.data
+    from ray.data.aggregate import Sum  # noqa: F401  (documents the family)
+
+    base = (1.0 - damping) / n
+    r0 = 1.0 / n
+
+    # --- initial (node_id, rank, inv) rows: out-degree partials + the
+    # dense node range from the index, ONE groupby(db) ---------------------
+    def out_partials(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "db": pa.array((uniq // per_bucket).astype(np.int64), pa.int64()),
+                "node_id": pa.array(uniq, pa.int64()),
+                "out_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
         )
 
-        def join_group(g: pa.Table) -> pa.Table:
-            src = g.column("src_id").to_numpy(zero_copy_only=False)
-            dst = g.column("dst_id").to_numpy(zero_copy_only=False)
-            is_rank = src < 0
-            b = int(g.column("gb")[0].as_py())
-            lo = b * per_bucket
-            io = ray.get(inv_refs[b])
-            # contribution factor per node of THIS bucket (slice-sized)
-            lookup = np.zeros(len(io), dtype=np.float64)
-            node_local = dst[is_rank] - lo
-            lookup[node_local] = (
-                g.column("rank").to_numpy(zero_copy_only=False)[is_rank]
-                * io[node_local]
-            )
-            e_src = src[~is_rank]
-            e_dst = dst[~is_rank]
-            return pa.table(
-                {
-                    "dst_id": pa.array(e_dst, pa.int64()),
-                    "src_id": pa.array(e_src, pa.int64()),
-                    "c": pa.array(lookup[e_src - lo], pa.float64()),
-                    "db": pa.array((e_dst // per_bucket).astype(np.int32), pa.int32()),
-                }
-            )
+    def index_zeros(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                "node_id": t.column("node_id"),
+                "out_partial": pa.array(np.full(len(nid), -1, np.int64), pa.int64()),
+            }
+        )
 
-        contribs = unioned.groupby("gb").map_groups(join_group, batch_format="pyarrow")
+    def rank0_group(g: pa.Table) -> pa.Table:
+        nid = g.column("node_id").to_numpy(zero_copy_only=False)
+        outp = g.column("out_partial").to_numpy(zero_copy_only=False)
+        b = int(g.column("db")[0].as_py())
+        lo = b * per_bucket
+        hi = min(lo + per_bucket, n)
+        out = np.zeros(hi - lo, np.int64)
+        is_partial = outp >= 0
+        np.add.at(out, nid[is_partial] - lo, outp[is_partial])
+        inv = np.zeros(hi - lo, np.float64)
+        nz = out > 0
+        inv[nz] = 1.0 / out[nz]
+        return pa.table(
+            {
+                "node_id": pa.array(np.arange(lo, hi, dtype=np.int64), pa.int64()),
+                "rank": pa.array(np.full(hi - lo, r0), pa.float64()),
+                "inv": pa.array(inv, pa.float64()),
+            }
+        )
 
-        # (2) reduce per dst with the shared deterministic primitive and
-        # rebuild the bucket's full node-id range of rank rows
-        def reduce_group(g: pa.Table) -> pa.Table:
-            order = pc.sort_indices(
-                g, sort_keys=[("dst_id", "ascending"), ("src_id", "ascending")]
-            )
-            g = g.take(order)
-            dst = g.column("dst_id").to_numpy(zero_copy_only=False)
-            c = g.column("c").to_numpy(zero_copy_only=False)
-            starts = np.flatnonzero(np.r_[True, np.diff(dst) != 0])
-            sums = np.add.reduceat(c, starts)
-            b = int(dst[0] // per_bucket)
-            lo, hi = b * per_bucket, min((b + 1) * per_bucket, n)
-            ranks = np.full(hi - lo, base, dtype=np.float64)
-            np.add.at(ranks, dst[starts] - lo, damping * sums)
-            return pa.table(
-                {
-                    "node_id": pa.array(np.arange(lo, hi, dtype=np.int64), pa.int64()),
-                    "rank": pa.array(ranks, pa.float64()),
-                }
-            )
+    nb = -(-n // per_bucket)
+    ranks_ds = (
+        edges_b.map_batches(out_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .union(index_ds.map_batches(index_zeros, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("db")
+        .map_groups(rank0_group, batch_format="pyarrow")
+        .repartition(nb, shuffle=False)
+        .materialize()
+    )
 
-        reduced = contribs.groupby("db").map_groups(reduce_group, batch_format="pyarrow")
+    # --- iterate -----------------------------------------------------------
+    def rank_pad(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        c = t.column("rank").to_numpy(zero_copy_only=False) * t.column("inv").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "gb": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                "src_id": pa.array(np.full(len(nid), -1, np.int64), pa.int64()),
+                "dst_id": pa.array(nid, pa.int64()),
+                "c": pa.array(c, pa.float64()),
+            }
+        )
 
+    def edge_pad(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gb": pa.array((src // per_bucket).astype(np.int64), pa.int64()),
+                "src_id": t.column("src_id"),
+                "dst_id": t.column("dst_id"),
+                "c": pa.array(np.full(len(src), np.nan), pa.float64()),
+            }
+        )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        src = g.column("src_id").to_numpy(zero_copy_only=False)
+        dst = g.column("dst_id").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        is_rank = src < 0
+        b = int(g.column("gb")[0].as_py())
+        lo = b * per_bucket
+        hi = min(lo + per_bucket, n)
+        lookup = np.zeros(hi - lo, dtype=np.float64)
+        lookup[dst[is_rank] - lo] = c[is_rank]
+        e_src = src[~is_rank]
+        e_dst = dst[~is_rank]
+        return pa.table(
+            {
+                "db": pa.array((e_dst // per_bucket).astype(np.int64), pa.int64()),
+                "dst_id": pa.array(e_dst, pa.int64()),
+                "src_id": pa.array(e_src, pa.int64()),
+                "c": pa.array(lookup[e_src - lo], pa.float64()),
+            }
+        )
+
+    def inv_pad(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                "dst_id": pa.array(nid, pa.int64()),
+                "src_id": pa.array(np.full(len(nid), -1, np.int64), pa.int64()),
+                "c": t.column("inv"),
+            }
+        )
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        src = g.column("src_id").to_numpy(zero_copy_only=False)
+        dst = g.column("dst_id").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        is_inv = src < 0
+        b = int(g.column("db")[0].as_py())
+        lo = b * per_bucket
+        hi = min(lo + per_bucket, n)
+        inv_dense = np.zeros(hi - lo, dtype=np.float64)
+        inv_dense[dst[is_inv] - lo] = c[is_inv]
+        e_src = src[~is_inv]
+        e_dst = dst[~is_inv]
+        ranks = np.full(hi - lo, base, dtype=np.float64)
+        if len(e_dst):
+            order = np.lexsort((e_src, e_dst))
+            e_dst = e_dst[order]
+            e_c = c[~is_inv][order]
+            starts = np.flatnonzero(np.r_[True, np.diff(e_dst) != 0])
+            sums = np.add.reduceat(e_c, starts)
+            np.add.at(ranks, e_dst[starts] - lo, damping * sums)
+        return pa.table(
+            {
+                "node_id": pa.array(np.arange(lo, hi, dtype=np.int64), pa.int64()),
+                "rank": pa.array(ranks, pa.float64()),
+                "inv": pa.array(inv_dense, pa.float64()),
+            }
+        )
+
+    for _ in range(n_iters):
+        contribs = (
+            ranks_ds.map_batches(rank_pad, batch_format="pyarrow", zero_copy_batch=True)
+            .union(edges_b.map_batches(edge_pad, batch_format="pyarrow", zero_copy_batch=True))
+            .groupby("gb")
+            .map_groups(join_group, batch_format="pyarrow")
+        )
         ranks_ds = (
-            reduced.union(uncovered_ds)
-            .repartition(n_rank_blocks, shuffle=False)
+            contribs.union(
+                ranks_ds.map_batches(inv_pad, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("db")
+            .map_groups(reduce_group, batch_format="pyarrow")
+            # coalesce back to O(buckets) blocks: the next iteration's Sort
+            # sizes its output (and driver metadata) from input block count
+            .repartition(nb, shuffle=False)
             .materialize()
         )
 
-    urls_ref = ray.put(urls_arr)
-
-    def finish(t: pa.Table) -> pa.Table:
-        ua = ray.get(urls_ref)
-        node = t.column("node_id").to_numpy(zero_copy_only=False)
-        rank = t.column("rank").to_numpy(zero_copy_only=False)
+    # --- attach urls: ONE bucketed exchange against the index -------------
+    def rank_fin_pad(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "url": pc.take(ua, pa.array(node, pa.int64())),
-                "rank_ppb": pa.array(np.round(rank * 1e9).astype(np.int64), pa.int64()),
+                "db": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                "node_id": t.column("node_id"),
+                "rank": t.column("rank"),
+                "url": pa.array([None] * len(nid), pa.string()),
             }
         )
 
-    return ranks_ds.map_batches(finish, batch_format="pyarrow")
+    def idx_fin_pad(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                "node_id": t.column("node_id"),
+                "rank": pa.array(np.full(len(nid), np.nan), pa.float64()),
+                "url": t.column("url"),
+            }
+        )
+
+    def fin_group(g: pa.Table) -> pa.Table:
+        nid = g.column("node_id").to_numpy(zero_copy_only=False)
+        is_idx = pc.is_valid(g.column("url")).to_numpy(zero_copy_only=False)
+        b = int(g.column("db")[0].as_py())
+        lo = b * per_bucket
+        hi = min(lo + per_bucket, n)
+        urls = np.empty(hi - lo, dtype=object)
+        urls[nid[is_idx] - lo] = np.asarray(
+            g.filter(pa.array(is_idx)).column("url").to_pylist(), dtype=object
+        )
+        ranks = np.zeros(hi - lo, dtype=np.float64)
+        ranks[nid[~is_idx] - lo] = g.column("rank").to_numpy(zero_copy_only=False)[
+            ~is_idx
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls.tolist(), pa.string()),
+                "rank_ppb": pa.array(np.round(ranks * 1e9).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ranks_ds.map_batches(rank_fin_pad, batch_format="pyarrow", zero_copy_batch=True)
+        .union(index_ds.map_batches(idx_fin_pad, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("db")
+        .map_groups(fin_group, batch_format="pyarrow")
+    )
 
 
-def _graph_buckets(n: int) -> int:
-    """Shared bucket-count rule (see pagerank's n_buckets comment) — ONE
-    definition so hits/hits_reference partition identically."""
-    return max(1, -(-n // max(16, min(4096, -(-n // 100_000)))))
+# ---------------------------------------------------------------------------
+# HITS
 
 
 class _HitsShard:
@@ -626,22 +1077,25 @@ def _hits_iterate(
     n_iters: int,
     auth_sums,  # callable(hub) -> (dst_ids, sums) with unique dst ids
     hub_parts,  # callable(auth) -> (buckets, srcs, partial_sums)
+    per_bucket: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """The pinned HITS iteration both the distributed and the reference
-    paths share: auth' = Σ hub over in-edges, L1-normalize; hub' = Σ
-    auth' over out-edges, L1-normalize."""
+    """The pinned HITS iteration the broadcast mode and the reference
+    share: auth' = Σ hub over in-edges, L1-normalize; hub' = Σ auth'
+    over out-edges, L1-normalize. Normalization totals come from the
+    two-level :func:`_l1_total` tree so the shuffle mode (which computes
+    bucket partials distributedly) is bit-identical too."""
     hub = np.full(n, 1.0 / n, dtype=np.float64)
     auth = np.zeros(n, dtype=np.float64)
     for _ in range(n_iters):
         d, s = auth_sums(hub)
         auth = np.zeros(n, dtype=np.float64)
         auth[d] = s
-        tot = np.sum(auth)
+        tot = _l1_total(auth, per_bucket)
         if tot > 0:
             auth = auth / tot
         b, sr, ps = hub_parts(auth)
         hub = _fold_hub_partials(n, b, sr, ps)
-        tot = np.sum(hub)
+        tot = _l1_total(hub, per_bucket)
         if tot > 0:
             hub = hub / tot
     return auth, hub
@@ -649,35 +1103,68 @@ def _hits_iterate(
 
 def hits(
     pages_ds,
-    node_urls: list[str],
+    nodes,
     *,
     n_iters: int = _N_ITERS,
+    mode: str = "auto",
     n_actors: int | None = None,
-) -> pa.Table:
-    """HITS hubs/authorities over the corpus link graph →
+    n_buckets: int | None = None,
+):
+    """HITS hubs/authorities over the corpus link graph → Dataset of
     (url, auth_ppb, hub_ppb) (Kleinberg 1999; L1 normalization, pinned
     update order in :func:`_hits_iterate`).
 
-    Same shape as broadcast-mode PageRank: the dst-bucketed edge dataset
-    is pinned once into an actor pool, each iteration is one RPC round
-    per direction with the O(nodes) score vector shipped via ``ray.put``.
-    Determinism across cluster sizes comes from per-bucket hub partials
-    folded in bucket order (see :class:`_HitsShard`), so the result is
-    bit-identical to :func:`hits_reference` at any actor count.
+    ``nodes`` is the node set as a Dataset with a distinct ``url``
+    column. ``mode="broadcast"`` is the ≤``SHUFFLE_MODE_NODES`` regime
+    (dst-bucketed edges pinned once into an actor pool; each iteration
+    is one RPC round per direction with the O(nodes) score vector via
+    ``ray.put``). ``mode="shuffle"`` keeps scores as Datasets — four
+    bucketed exchanges per iteration (two per direction), per-task
+    state one bucket slice, driver state two floats + O(buckets)
+    partials. Determinism: per-bucket hub partials folded in bucket
+    order and the two-level ``_l1_total`` normalization make the result
+    bit-identical to :func:`hits_reference` at any actor count, any
+    bucketing, either mode (test-asserted).
     """
     import ray
+    import ray.data
 
-    urls_sorted = sorted(node_urls)
-    n = len(urls_sorted)
+    n = nodes.count()
     if n == 0:
-        return pa.table(
-            {"url": pa.array([], pa.string()),
-             "auth_ppb": pa.array([], pa.int64()),
-             "hub_ppb": pa.array([], pa.int64())}
+        return ray.data.from_arrow(
+            pa.table(
+                {"url": pa.array([], pa.string()),
+                 "auth_ppb": pa.array([], pa.int64()),
+                 "hub_ppb": pa.array([], pa.int64())}
+            )
         )
-    per_bucket = _graph_buckets(n)
-    urls_arr = pa.array(urls_sorted, pa.string())
-    edges_b = _bucketed_edge_ids(build_edges(pages_ds, urls_sorted), urls_arr, per_bucket)
+    if mode == "auto":
+        mode = "shuffle" if n > SHUFFLE_MODE_NODES else "broadcast"
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"mode must be 'auto', 'broadcast' or 'shuffle', got {mode!r}")
+    per_bucket = (
+        _graph_buckets(n) if n_buckets is None else max(1, -(-n // n_buckets))
+    )
+
+    if mode == "shuffle":
+        nb = -(-n // per_bucket)
+        # materialized ONCE with pinned block counts — reused by all four
+        # exchanges of every iteration (see the same note in pagerank())
+        index_ds = node_index(nodes)[0].repartition(nb, shuffle=False).materialize()
+        pairs = _extracted(pages_ds).map_batches(
+            _candidate_pairs_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        edges_b = (
+            _edge_ids_shuffle(pairs, index_ds, per_bucket=per_bucket)
+            .repartition(nb, shuffle=False)
+            .materialize()
+        )
+        return _hits_shuffle(
+            edges_b, index_ds, n=n, n_iters=n_iters, per_bucket=per_bucket
+        )
+
+    urls_ref = _sorted_urls_ref(nodes)
+    edges_b = _bucketed_edge_ids(_edges_broadcast(pages_ds, urls_ref), urls_ref, per_bucket)
     block_refs = edges_b.to_arrow_refs()
     shard_cls = ray.remote(num_cpus=1)(_HitsShard)
     if n_actors is None:
@@ -702,16 +1189,340 @@ def hits(
                 np.concatenate([p[2] for p in parts]),
             )
 
-        auth, hub = _hits_iterate(n, n_iters, auth_sums, hub_parts)
+        auth, hub = _hits_iterate(n, n_iters, auth_sums, hub_parts, per_bucket)
     finally:
         for a in actors:
             ray.kill(a)
-    return pa.table(
-        {
-            "url": urls_arr,
-            "auth_ppb": pa.array(np.round(auth * 1e9).astype(np.int64), pa.int64()),
-            "hub_ppb": pa.array(np.round(hub * 1e9).astype(np.int64), pa.int64()),
-        }
+
+    @ray.remote(num_cpus=1)
+    def finish(urls_arr: pa.Array, a_vec: np.ndarray, h_vec: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "url": urls_arr,
+                "auth_ppb": pa.array(np.round(a_vec * 1e9).astype(np.int64), pa.int64()),
+                "hub_ppb": pa.array(np.round(h_vec * 1e9).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow_refs([finish.remote(urls_ref, auth, hub)])
+
+
+def _hits_shuffle(edges_b, index_ds, *, n, n_iters, per_bucket):
+    """Fully-distributed HITS: score state is sparse (node_id, val) row
+    Datasets (absent rows = 0, matching the reference's zero-init) plus
+    two driver scalars (the L1 totals). Four bucketed exchanges per
+    iteration:
+
+    - auth: (A) ``groupby(src_bucket)`` scatters normalized hub onto
+      out-edges; (B) ``groupby(dst_bucket)`` does the per-dst
+      ``reduceat`` AND emits its bucket's dense-slice ``np.sum`` as a
+      marker row (node_id = -1-bucket) — the driver folds ≤O(buckets)
+      markers with ``np.sum`` in bucket order, reproducing
+      :func:`_l1_total` exactly.
+    - hub: (C) ``groupby(dst_bucket)`` scatters normalized auth and
+      emits per-(src, dst_bucket) partials; (D) ``groupby(src_bucket)``
+      folds each src's partials in ascending dst-bucket order (the
+      :func:`_fold_hub_partials` contract) + bucket-sum markers.
+
+    Normalization is applied lazily (raw rows ÷ the driver scalar when
+    a lookup or the final output is built) — the same single IEEE
+    division the reference applies eagerly, so floats are bit-equal."""
+    import ray.data
+
+    nb = -(-n // per_bucket)
+
+    def _score_pad(key_div: str):
+        # score rows → (gb = node_id // per_bucket, src_id=-1, dst_id=node_id, c=val)
+        def f(t: pa.Table) -> pa.Table:
+            nid = t.column("node_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "gb": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                    "src_id": pa.array(np.full(len(nid), -1, np.int64), pa.int64()),
+                    "dst_id": pa.array(nid, pa.int64()),
+                    "c": t.column("val"),
+                }
+            )
+
+        return f
+
+    def _edge_pad(by: str):
+        def f(t: pa.Table) -> pa.Table:
+            key = t.column(by).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "gb": pa.array((key // per_bucket).astype(np.int64), pa.int64()),
+                    "src_id": t.column("src_id"),
+                    "dst_id": t.column("dst_id"),
+                    "c": pa.array(np.full(len(key), np.nan), pa.float64()),
+                }
+            )
+
+        return f
+
+    def _bucket_totals(score_ds) -> float:
+        """Fold the marker rows (node_id = -1-bucket, val = bucket sum)
+        into the pinned two-level L1 total."""
+        rows = score_ds.map_batches(
+            lambda t: t.filter(pc.less(t.column("node_id"), 0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+        parts = np.zeros(nb, dtype=np.float64)
+        for r in rows:
+            parts[-(int(r["node_id"]) + 1)] = r["val"]
+        return float(np.sum(parts))
+
+    def _drop_markers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("node_id"), 0))
+
+    # initial hub: 1/n for every node, tot=1.0 (x/1.0 is bit-exact x)
+    h0 = 1.0 / n
+    hub_ds = index_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "val": pa.array(np.full(t.num_rows, h0), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).repartition(nb, shuffle=False).materialize()
+    tot_h = 1.0
+    auth_ds = None
+    tot_a = 1.0
+
+    for _ in range(n_iters):
+        # ---- auth update -------------------------------------------------
+        div_h = tot_h if tot_h > 0 else 1.0
+
+        def scatter_hub(g: pa.Table, _div=div_h) -> pa.Table:
+            src = g.column("src_id").to_numpy(zero_copy_only=False)
+            dst = g.column("dst_id").to_numpy(zero_copy_only=False)
+            c = g.column("c").to_numpy(zero_copy_only=False)
+            is_score = src < 0
+            b = int(g.column("gb")[0].as_py())
+            lo = b * per_bucket
+            hi = min(lo + per_bucket, n)
+            lookup = np.zeros(hi - lo, dtype=np.float64)
+            lookup[dst[is_score] - lo] = c[is_score] / _div
+            e_src = src[~is_score]
+            e_dst = dst[~is_score]
+            return pa.table(
+                {
+                    "gb": pa.array((e_dst // per_bucket).astype(np.int64), pa.int64()),
+                    "dst_id": pa.array(e_dst, pa.int64()),
+                    "src_id": pa.array(e_src, pa.int64()),
+                    "c": pa.array(lookup[e_src - lo], pa.float64()),
+                }
+            )
+
+        def reduce_auth(g: pa.Table) -> pa.Table:
+            dst = g.column("dst_id").to_numpy(zero_copy_only=False)
+            src = g.column("src_id").to_numpy(zero_copy_only=False)
+            c = g.column("c").to_numpy(zero_copy_only=False)
+            b = int(g.column("gb")[0].as_py())
+            lo = b * per_bucket
+            hi = min(lo + per_bucket, n)
+            order = np.lexsort((src, dst))
+            dst = dst[order]
+            c = c[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(dst) != 0])
+            sums = np.add.reduceat(c, starts)
+            dense = np.zeros(hi - lo, dtype=np.float64)
+            dense[dst[starts] - lo] = sums
+            bsum = np.sum(dense)
+            return pa.table(
+                {
+                    "node_id": pa.array(
+                        np.r_[dst[starts], np.int64(-1 - b)], pa.int64()
+                    ),
+                    "val": pa.array(np.r_[sums, bsum], pa.float64()),
+                }
+            )
+
+        auth_ds = (
+            hub_ds.map_batches(
+                _score_pad("src"), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                edges_b.map_batches(
+                    _edge_pad("src_id"), batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("gb")
+            .map_groups(scatter_hub, batch_format="pyarrow")
+            .groupby("gb")
+            .map_groups(reduce_auth, batch_format="pyarrow")
+            # pin to O(buckets) blocks so the next exchange's Sort (whose
+            # output-partition count and driver metadata track input block
+            # count) cannot compound across iterations
+            .repartition(nb, shuffle=False)
+            .materialize()
+        )
+        tot_a = _bucket_totals(auth_ds)
+        auth_ds = auth_ds.map_batches(
+            _drop_markers, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        # ---- hub update ----------------------------------------------------
+        div_a = tot_a if tot_a > 0 else 1.0
+
+        def scatter_auth(g: pa.Table, _div=div_a) -> pa.Table:
+            src = g.column("src_id").to_numpy(zero_copy_only=False)
+            dst = g.column("dst_id").to_numpy(zero_copy_only=False)
+            c = g.column("c").to_numpy(zero_copy_only=False)
+            is_score = src < 0
+            b = int(g.column("gb")[0].as_py())
+            lo = b * per_bucket
+            hi = min(lo + per_bucket, n)
+            lookup = np.zeros(hi - lo, dtype=np.float64)
+            lookup[dst[is_score] - lo] = c[is_score] / _div
+            e_src = src[~is_score]
+            e_dst = dst[~is_score]
+            # per-(src, THIS dst bucket) partials: (src, dst)-sorted reduceat
+            if len(e_src) == 0:
+                return pa.table(
+                    {
+                        "gb": pa.array([], pa.int64()),
+                        "src_id": pa.array([], pa.int64()),
+                        "db": pa.array([], pa.int64()),
+                        "part": pa.array([], pa.float64()),
+                    }
+                )
+            order = np.lexsort((e_dst, e_src))
+            e_src = e_src[order]
+            e_dst = e_dst[order]
+            vals = lookup[e_dst - lo]
+            starts = np.flatnonzero(np.r_[True, np.diff(e_src) != 0])
+            parts = np.add.reduceat(vals, starts)
+            srcs = e_src[starts]
+            return pa.table(
+                {
+                    "gb": pa.array((srcs // per_bucket).astype(np.int64), pa.int64()),
+                    "src_id": pa.array(srcs, pa.int64()),
+                    "db": pa.array(np.full(len(srcs), b, np.int64), pa.int64()),
+                    "part": pa.array(parts, pa.float64()),
+                }
+            )
+
+        def fold_hub(g: pa.Table) -> pa.Table:
+            srcs = g.column("src_id").to_numpy(zero_copy_only=False)
+            dbs = g.column("db").to_numpy(zero_copy_only=False)
+            parts = g.column("part").to_numpy(zero_copy_only=False)
+            b = int(g.column("gb")[0].as_py())
+            lo = b * per_bucket
+            hi = min(lo + per_bucket, n)
+            order = np.lexsort((dbs, srcs))
+            s_sorted = srcs[order]
+            p_sorted = parts[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(s_sorted) != 0])
+            sums = np.add.reduceat(p_sorted, starts)
+            dense = np.zeros(hi - lo, dtype=np.float64)
+            dense[s_sorted[starts] - lo] = sums
+            bsum = np.sum(dense)
+            return pa.table(
+                {
+                    "node_id": pa.array(
+                        np.r_[s_sorted[starts], np.int64(-1 - b)], pa.int64()
+                    ),
+                    "val": pa.array(np.r_[sums, bsum], pa.float64()),
+                }
+            )
+
+        hub_ds = (
+            auth_ds.map_batches(
+                _score_pad("dst"), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                edges_b.map_batches(
+                    _edge_pad("dst_id"), batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("gb")
+            .map_groups(scatter_auth, batch_format="pyarrow")
+            .groupby("gb")
+            .map_groups(fold_hub, batch_format="pyarrow")
+            .repartition(nb, shuffle=False)
+            .materialize()
+        )
+        tot_h = _bucket_totals(hub_ds)
+        hub_ds = hub_ds.map_batches(
+            _drop_markers, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    # ---- finish: dense (url, auth_ppb, hub_ppb) per bucket ----------------
+    div_a = tot_a if tot_a > 0 else 1.0
+    div_h = tot_h if tot_h > 0 else 1.0
+
+    def pad_score(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            nid = t.column("node_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "db": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                    "node_id": t.column("node_id"),
+                    "val": t.column("val"),
+                    "which": pa.array([which] * len(nid), pa.string()),
+                    "url": pa.array([None] * len(nid), pa.string()),
+                }
+            )
+
+        return f
+
+    def pad_idx(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array((nid // per_bucket).astype(np.int64), pa.int64()),
+                "node_id": t.column("node_id"),
+                "val": pa.array(np.full(len(nid), np.nan), pa.float64()),
+                "which": pa.array(["u"] * len(nid), pa.string()),
+                "url": t.column("url"),
+            }
+        )
+
+    def fin_group(g: pa.Table) -> pa.Table:
+        nid = g.column("node_id").to_numpy(zero_copy_only=False)
+        which = g.column("which").to_pylist()
+        val = g.column("val").to_numpy(zero_copy_only=False)
+        b = int(g.column("db")[0].as_py())
+        lo = b * per_bucket
+        hi = min(lo + per_bucket, n)
+        urls = np.empty(hi - lo, dtype=object)
+        a_dense = np.zeros(hi - lo, dtype=np.float64)
+        h_dense = np.zeros(hi - lo, dtype=np.float64)
+        w = np.asarray(which, dtype=object)
+        is_u = w == "u"
+        is_a = w == "a"
+        is_h = w == "h"
+        urls[nid[is_u] - lo] = np.asarray(
+            g.filter(pa.array(is_u)).column("url").to_pylist(), dtype=object
+        )
+        a_dense[nid[is_a] - lo] = val[is_a]
+        h_dense[nid[is_h] - lo] = val[is_h]
+        a_norm = a_dense / div_a
+        h_norm = h_dense / div_h
+        return pa.table(
+            {
+                "url": pa.array(urls.tolist(), pa.string()),
+                "auth_ppb": pa.array(
+                    np.round(a_norm * 1e9).astype(np.int64), pa.int64()
+                ),
+                "hub_ppb": pa.array(
+                    np.round(h_norm * 1e9).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        auth_ds.map_batches(pad_score("a"), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            hub_ds.map_batches(pad_score("h"), batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .union(index_ds.map_batches(pad_idx, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("db")
+        .map_groups(fin_group, batch_format="pyarrow")
     )
 
 
@@ -722,7 +1533,8 @@ def hits_reference(
     n_iters: int = _N_ITERS,
 ) -> pa.Table:
     """Single-process HITS oracle — same edges, same per-bucket partial
-    fold, no Ray. Returns (url, auth_ppb, hub_ppb) sorted by url."""
+    fold, same two-level L1 totals, no Ray. Returns
+    (url, auth_ppb, hub_ppb) sorted by url."""
     urls_sorted = sorted(urls)
     n = len(urls_sorted)
     if n == 0:
@@ -762,7 +1574,7 @@ def hits_reference(
         starts = np.flatnonzero(run)
         return h_bucket[starts], h_src[starts], np.add.reduceat(auth[h_dst], starts)
 
-    auth, hub = _hits_iterate(n, n_iters, auth_sums, hub_parts)
+    auth, hub = _hits_iterate(n, n_iters, auth_sums, hub_parts, per_bucket)
     return pa.table(
         {
             "url": pa.array(urls_sorted, pa.string()),

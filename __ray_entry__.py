@@ -500,7 +500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     np.char.add(
                         np.char.add(" host 10.0.", (ids % 256).astype("U3")), "."
                     ),
-                    ((ids * 7) % 256).astype("U3"),
+                    # reduce BEFORE multiplying: ids*7 would wrap in int64 for
+                    # ingest-derived ids (md5>>1 ≈ 2^62) while the BIGINT
+                    # oracle would overflow-error — same value, no overflow
+                    (((ids % 256) * 7) % 256).astype("U3"),
                 ),
                 blank,
             )
@@ -2371,7 +2374,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE '' END
                        || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
                                || CAST(doc_id % 256 AS VARCHAR) || '.'
-                               || CAST((doc_id * 7) % 256 AS VARCHAR)
+                               || CAST(((doc_id % 256) * 7) % 256 AS VARCHAR)
                           ELSE '' END
                        || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-'
                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
@@ -2408,9 +2411,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_email, n_ipv4, n_ssn,
                    CAST(len(regexp_extract_all(t,
-                       '\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}')) AS BIGINT)
+                       '(\\(\\d{3}\\)|\\b\\d{3})[ .-]\\d{3}[ .-]\\d{4}\\b')) AS BIGINT)
                        AS n_phone,
-                   regexp_replace(t, '\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}',
+                   regexp_replace(t, '(\\(\\d{3}\\)|\\b\\d{3})[ .-]\\d{3}[ .-]\\d{4}\\b',
                        '<PHONE>', 'g') AS text_redacted
             FROM s3
         """,
@@ -2909,12 +2912,12 @@ def oracle_sql() -> dict[str, str]:
                      WHEN CAST(s.s2 AS DOUBLE)
                           - CAST(s.s1 AS DOUBLE) * (CAST(s.s1 AS DOUBLE) / s.n)
                           <= 0 THEN 0
-                     ELSE CAST(round(
+                     ELSE CAST(floor(
                         (e.cents - CAST(s.s1 AS DOUBLE) / s.n)
                         / sqrt((CAST(s.s2 AS DOUBLE)
                                 - CAST(s.s1 AS DOUBLE) * (CAST(s.s1 AS DOUBLE) / s.n))
                                / (s.n - 1))
-                        * 1000000000) AS BIGINT)
+                        * 1000000000 + 0.5) AS BIGINT)
                    END AS z_ppb
             FROM e JOIN s USING (user_id)
         """,

@@ -1553,8 +1553,9 @@ def test_export_manifest_and_resumable_write(ray_session, tmp_path):
         expect[b] = (b * 4 // n_buckets, len(chunk), seqs, toks)
     got = {r["bucket"]: (r["shard"], r["n_docs"], r["n_seqs"], r["n_tokens"]) for r in rows}
     assert got == expect
-    # one parquet per bucket, packed order inside
-    files = sorted(os.listdir(out_dir))
+    # one parquet per bucket, packed order inside (+ the params sidecar)
+    assert os.path.exists(os.path.join(out_dir, "_params.json"))
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
     assert files == [f"bucket={b:06d}.parquet" for b in range(n_buckets)]
     t0 = pq.read_table(os.path.join(out_dir, files[0]))
     assert t0.column("pos").to_pylist() == sorted(t0.column("pos").to_pylist())
@@ -1566,7 +1567,19 @@ def test_export_manifest_and_resumable_write(ray_session, tmp_path):
     assert sorted(map(tuple, (r.values() for r in rows2))) == sorted(
         map(tuple, (r.values() for r in rows))
     )
-    assert sorted(os.listdir(out_dir)) == files
+    assert sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet")) == files
+    # resume guard: same out_dir with DIFFERENT params must refuse, not mix
+    import pytest
+
+    with pytest.raises(ValueError, match="refusing to resume"):
+        export_manifest(
+            ds, n_shards=4, bucket_size=50, budget=13, salt="t", out_dir=out_dir
+        ).take_all()
+    with pytest.raises(ValueError, match="refusing to resume"):
+        export_manifest(  # changed input (row total) also refuses
+            ds.limit(100), n_shards=4, bucket_size=50, budget=12, salt="t",
+            out_dir=out_dir,
+        ).take_all()
 
 
 def test_export_manifest_edges(ray_session):

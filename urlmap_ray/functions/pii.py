@@ -42,7 +42,11 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
-    ("phone", r"\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}", "<PHONE>"),
+    # Anchored so the rule never fires inside a longer digit run (serials,
+    # '1234-567-89012'): the area code is either a matched paren group or a
+    # word-bounded 3-digit run, and the line number ends at a word boundary.
+    # RE2 has no lookaround, so boundaries + a paren alternation do the job.
+    ("phone", r"(\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
 )
 
 

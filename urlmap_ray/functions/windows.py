@@ -531,7 +531,12 @@ def group_zscore(
         if num <= 0.0:  # zero variance (all values equal)
             return out.append_column("z_ppb", pa.array(np.zeros(n, np.int64)))
         std = math.sqrt(num / (n - 1))
-        z = np.round((v - mean) / std * 1e9).astype(np.int64)
+        # PINNED quantization rule: floor(x*1e9 + 0.5) — the identical
+        # expression runs in the SQL oracle, so even an exact half-ppb tie
+        # (or a +0.5 that rounds in the double add) lands the same on both
+        # sides. np.round (half-to-even) vs SQL round (half-away) would
+        # leave the tie rule engine-defined.
+        z = np.floor((v - mean) / std * 1e9 + 0.5).astype(np.int64)
         return out.append_column("z_ppb", pa.array(z, pa.int64()))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -66,6 +66,39 @@ def export_manifest(
     )
     n_buckets = max(-(-total // bucket_size), 1)
 
+    if out_dir is not None:
+        # Resume guard: a bucket file is only skippable if it was produced
+        # by the SAME run parameters over the SAME input — otherwise stale
+        # parquet silently disagrees with the fresh manifest. Params (and a
+        # cheap input fingerprint: the row total) live in a sidecar; any
+        # mismatch refuses to resume instead of mixing runs.
+        import json
+
+        params = {
+            "salt": salt,
+            "budget": budget,
+            "bucket_size": bucket_size,
+            "n_shards": n_shards,
+            "bucket_hex": bucket_hex,
+            "total_rows": total,
+        }
+        sidecar = os.path.join(out_dir, "_params.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                prev = json.load(f)
+            if prev != params:
+                raise ValueError(
+                    f"export out_dir {out_dir!r} holds buckets from a run "
+                    f"with different parameters/input ({prev} != {params}); "
+                    "refusing to resume — use a fresh out_dir"
+                )
+        else:
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{sidecar}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(params, f, sort_keys=True)
+            os.replace(tmp, sidecar)
+
     def bucketize(t: pa.Table) -> pa.Table:
         pos = t.column("pos").to_numpy(zero_copy_only=False)
         return t.append_column(

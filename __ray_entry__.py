@@ -97,23 +97,22 @@ def _emb(sf_dir: str):
 
 
 def _eval_hashes(sf_dir: str):
-    """Shingle hashes of the deterministic eval slice (doc_id % 20 == 7 —
-    stands in for a benchmark suite). Shared by docs_decontam and
-    docs_pipeline so the slice rule lives in ONE place. Streams the text
-    column batch-wise so the driver never holds the full corpus text —
-    only the ~5% kept slice (at real scale the eval set is an external
-    MB-sized table, not a corpus slice)."""
+    """Shingle hashes of the EXTERNAL eval table — a real MB-sized parquet
+    fixture read directly (generated once per sf by corpus.ensure_eval_set;
+    content pinned to the doc_id % 20 == 7 slice, so the decontam oracles
+    are unchanged). The pipeline never scans documents.parquet on the
+    driver — it reads only the small eval table, exactly as a production
+    run reads its benchmark-suite table. Shared by docs_decontam and
+    docs_pipeline so the eval-set rule lives in ONE place."""
     import pyarrow.parquet as pq
 
+    from urlmap_ray.corpus import ensure_eval_set
     from urlmap_ray.functions.decontam import eval_ngram_hashes
 
-    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
-    texts: list = []
-    for rb in pf.iter_batches(columns=["doc_id", "text"]):
-        t = pa.Table.from_batches([rb])
-        ids = t.column("doc_id").to_numpy()
-        texts.extend(t.filter(pa.array(ids % 20 == 7)).column("text").to_pylist())
-    return eval_ngram_hashes(texts)
+    path = ensure_eval_set(sf_dir)
+    return eval_ngram_hashes(
+        pq.read_table(path, columns=["text"]).column("text").to_pylist()
+    )
 
 
 def entry() -> Any:

@@ -74,3 +74,33 @@ def test_sf_mapping():
 def test_page_url_roundtrip():
     assert page_url(3, 0) == "https://h00003.example.org/"
     assert page_url(3, 7) == "https://h00003.example.org/sec1/p7"
+
+
+def test_ensure_eval_set_external_fixture(tmp_path):
+    """The decontam eval set is a real external parquet table: generated
+    once from the pinned doc_id % 20 == 7 slice, then read directly —
+    regeneration must not rescan the source (idempotent by existence)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from urlmap_ray.corpus import ensure_eval_set
+
+    sf_dir = tmp_path / "sf-test"
+    sf_dir.mkdir()
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([f"doc {i} body words" for i in range(100)]),
+        }
+    )
+    pq.write_table(docs, str(sf_dir / "documents.parquet"))
+    cache = str(tmp_path / "cache")
+    path = ensure_eval_set(str(sf_dir), cache_root=cache)
+    t = pq.read_table(path)
+    assert t.column("doc_id").to_pylist() == [i for i in range(100) if i % 20 == 7]
+    # idempotent: second call returns the cached file without rewriting
+    mtime = os.path.getmtime(path)
+    assert ensure_eval_set(str(sf_dir), cache_root=cache) == path
+    assert os.path.getmtime(path) == mtime

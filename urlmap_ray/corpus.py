@@ -409,6 +409,42 @@ def generate_corpus(
     return CorpusInfo(out_dir, n_pages, n_hosts, seed, partitions, seeds)
 
 
+def ensure_eval_set(
+    sf_dir: str, cache_root: str = "/tmp/urlmap_corpus"
+) -> str:
+    """Materialize the benchmark/eval-set fixture for decontamination as a
+    real external parquet table (doc_id, text) and return its path.
+
+    At production scale the eval set IS an external MB-sized table (the
+    benchmark suites), not a corpus slice — pipelines must read it directly,
+    never re-derive it by scanning the corpus. This generator stands in for
+    that external table deterministically: the doc_id % 20 == 7 slice of the
+    sf documents table (pinned — the decontam oracles encode the same rule).
+    Generation streams documents.parquet row-group-wise ONCE per sf and
+    caches the ~5% result; every later run reads only the small fixture."""
+    import pyarrow.parquet as _pq
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, "eval")
+    path = os.path.join(out_dir, f"{name}-eval_set.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    pf = _pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    kept: list[pa.Table] = []
+    for rb in pf.iter_batches(columns=["doc_id", "text"]):
+        t = pa.Table.from_batches([rb])
+        ids = t.column("doc_id").to_numpy()
+        kept.append(t.filter(pa.array(ids % 20 == 7)))
+    table = pa.concat_tables(kept) if kept else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    _pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic under concurrent generators
+    return path
+
+
 def corpus_for_sf_dir(
     sf_dir: str,
     cache_root: str = "/tmp/urlmap_corpus",

@@ -277,6 +277,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             info.pages_path, columns=["url", "html"]
         ).map_batches(per_page, batch_format="pyarrow", zero_copy_batch=True)
 
+    def wet_docs(sf_dir):
+        # the INPUT seam under the gate: documents round-tripped through
+        # Common-Crawl-style WET archives (sources/warc.py conversion
+        # records, gzip members, file-level read_binary_files parallelism)
+        # must reproduce the parquet rows exactly — oracle is pure SQL over
+        # the documents view (url rule pinned in corpus.ensure_wet_fixture)
+        from urlmap_ray.corpus import ensure_wet_fixture
+        from urlmap_ray.sources.warc import read_wet
+
+        paths = ensure_wet_fixture(sf_dir)
+
+        def project(t: pa.Table) -> pa.Table:
+            return t.select(["url", "text", "n_chars"])
+
+        return read_wet(paths).map_batches(
+            project, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def warc_page_text(sf_dir):
+        # the html INPUT seam: corpus pages round-tripped through WARC
+        # response records (real HTTP statuses, payload bytes verbatim),
+        # then the byte-identical extraction invariant applied THROUGH the
+        # WARC parse — oracle reads the corpus parquet ground truth raw
+        from urlmap_ray.corpus import ensure_warc_fixture
+        from urlmap_ray.extract import extract_text
+        from urlmap_ray.sources.warc import read_warc
+
+        info = _corpus(sf_dir)
+        paths = ensure_warc_fixture(info)
+
+        def per_page(t: pa.Table) -> pa.Table:
+            texts = [extract_text(h or "") for h in t.column("html").to_pylist()]
+            return pa.table(
+                {
+                    "url": t.column("url"),
+                    "status": t.column("status"),
+                    "text_extracted": pa.array(texts, pa.string()),
+                }
+            )
+
+        return read_warc(paths).map_batches(
+            per_page, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def url_templates(sf_dir):
         # URL structure mining: digit runs → {n}, per-batch template
         # partials, one groupby(template) fold; oracle = the same RE2
@@ -1652,7 +1696,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         row = ds.aggregate(*[Sum(f, alias_name=f"sum_{f}") for f in STATS_FIELDS])
         return pa.table({k: [v] for k, v in row.items()})
 
+    # Registration order = driver-evidence rotation (VERDICT r3 #7): the
+    # driver re-checks a prefix of this dict each round, so entries the
+    # driver has NEVER checked come first (new this round, then the
+    # never-sampled tail), then least-recently-checked (r1, r2), and the
+    # queries green in CORRECTNESS_r03 come last. Correctness for the tail
+    # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
+        # -- new this round / never driver-checked --
+        "wet_docs": wet_docs,
+        "warc_page_text": warc_page_text,
+        "page_hits_shuffle": page_hits_shuffle,
+        "events_funnel": events_funnel,
+        "events_ranks": events_ranks,
+        "events_retention": events_retention,
+        "events_daily_users": events_daily_users,
+        "events_pivot": events_pivot,
+        "events_running": events_running,
+        "events_lag": events_lag,
+        "user_event_seq": user_event_seq,
+        "events_cube": events_cube,
+        "events_rolling": events_rolling,
+        "term_heavy_hitters": term_heavy_hitters,
+        "events_ntile": events_ntile,
+        "docs_sample": docs_sample,
+        "docs_shuffle": docs_shuffle,
+        "docs_split": docs_split,
+        "docs_stratified": docs_stratified,
+        "spa_domains": spa_domains,
+        # -- last driver-checked in round 1 --
+        "docs_prep": docs_prep,
+        "media_features": media_features,
+        "spa_detect": spa_detect,
+        "page_link_stats": page_link_stats,
+        "events_daily": events_daily,
+        "orders_top20": orders_top20,
+        "part_brands": part_brands,
+        "lineitem_agg": lineitem_agg,
+        # -- last driver-checked in round 2 --
+        "dedup_substring": dedup_substring,
+        "neardup_clusters": neardup_clusters,
+        "dedup_canonical": dedup_canonical,
+        "embedding_neardup": embedding_neardup,
+        "ann_topk": ann_topk,
+        "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
+        "embedding_kmeans": embedding_kmeans,
+        "embedding_pca": embedding_pca,
+        "orders_cust_nation": orders_cust_nation,
+        "custs_no_urgent": custs_no_urgent,
+        "supps_with_big_returns": supps_with_big_returns,
+        "events_sessions": events_sessions,
+        "events_windowed": events_windowed,
+        "events_hopping": events_hopping,
+        "events_top3": events_top3,
+        "events_last_purchase": events_last_purchase,
+        "events_session_join": events_session_join,
+        "events_distinct_users": events_distinct_users,
+        # -- green in CORRECTNESS_r03 --
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
         "crawl_budget_robots": crawl_budget_robots,
@@ -1670,7 +1771,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": pagerank,
         "pagerank_shuffle": pagerank_shuffle,
         "page_hits": page_hits,
-        "page_hits_shuffle": page_hits_shuffle,
         "doc_token_counts": doc_token_counts,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_len_quantiles_sketch": doc_len_quantiles_sketch,
@@ -1704,50 +1804,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
-        "dedup_substring": dedup_substring,
-        "neardup_clusters": neardup_clusters,
-        "dedup_canonical": dedup_canonical,
-        "embedding_neardup": embedding_neardup,
-        "ann_topk": ann_topk,
-        "ann_topk_lsh": ann_topk_lsh,
-        "ann_topk_ivf": ann_topk_ivf,
-        "embedding_kmeans": embedding_kmeans,
-        "embedding_pca": embedding_pca,
-        "orders_cust_nation": orders_cust_nation,
-        "custs_no_urgent": custs_no_urgent,
-        "supps_with_big_returns": supps_with_big_returns,
-        "events_sessions": events_sessions,
-        "events_funnel": events_funnel,
-        "events_ranks": events_ranks,
-        "events_retention": events_retention,
-        "events_windowed": events_windowed,
-        "events_hopping": events_hopping,
-        "events_top3": events_top3,
-        "events_last_purchase": events_last_purchase,
-        "events_session_join": events_session_join,
-        "events_distinct_users": events_distinct_users,
-        "events_daily_users": events_daily_users,
-        "events_pivot": events_pivot,
-        "events_running": events_running,
-        "events_lag": events_lag,
-        "user_event_seq": user_event_seq,
-        "events_cube": events_cube,
-        "events_rolling": events_rolling,
-        "term_heavy_hitters": term_heavy_hitters,
-        "events_ntile": events_ntile,
-        "docs_prep": docs_prep,
-        "docs_sample": docs_sample,
-        "docs_shuffle": docs_shuffle,
-        "docs_split": docs_split,
-        "docs_stratified": docs_stratified,
-        "media_features": media_features,
-        "spa_detect": spa_detect,
-        "spa_domains": spa_domains,
-        "page_link_stats": page_link_stats,
-        "events_daily": events_daily,
-        "orders_top20": orders_top20,
-        "part_brands": part_brands,
-        "lineitem_agg": lineitem_agg,
     }
 
 
@@ -2151,6 +2207,23 @@ def oracle_sql() -> dict[str, str]:
         "page_text": f"""
             SELECT url, coalesce(text, '') AS text_extracted,
                    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+            FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+        """,
+        # the WET input seam: conversion-record archives written by the
+        # pinned fixture rule must reproduce the documents rows exactly
+        # (url = https://docs.example/<id>, null text → ''); pure SQL, so
+        # the CI guard also runs it at sf0.001
+        "wet_docs": """
+            SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   coalesce(text, '') AS text,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        # the WARC input seam: the page_text byte-identity invariant
+        # asserted THROUGH the WARC response-record parse (statuses from
+        # the HTTP status line, payload bytes verbatim)
+        "warc_page_text": f"""
+            SELECT url, status, coalesce(text, '') AS text_extracted
             FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
         """,
         # same RE2 digit-run rule in DuckDB over the raw corpus urls —

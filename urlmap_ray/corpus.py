@@ -445,6 +445,93 @@ def ensure_eval_set(
     return path
 
 
+def ensure_wet_fixture(
+    sf_dir: str, cache_root: str = "/tmp/urlmap_corpus", n_shards: int = 4
+) -> list[str]:
+    """Materialize the documents table as Common-Crawl-style WET archives
+    (one gzip'd conversion-record file per shard) and return the file list.
+
+    This is the engine's INPUT seam made driver-checkable: a query can read
+    these archives through sources.warc.read_wet and be gated against the
+    same rows read from parquet. URL rule pinned: https://docs.example/<id>;
+    shard rule: doc_id % n_shards; records ascend by doc_id within a shard."""
+    import pyarrow.parquet as _pq
+
+    from .sources.warc import write_wet
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, "wet", name)
+    marker = os.path.join(out_dir, "_complete")
+    paths = [
+        os.path.join(out_dir, f"docs-{s:03d}.warc.wet.gz") for s in range(n_shards)
+    ]
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+    t = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    recs = sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    for s, path in enumerate(paths):
+        shard = [
+            {"url": f"https://docs.example/{i}", "text": x or ""}
+            for i, x in recs
+            if i % n_shards == s
+        ]
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_wet(tmp, shard, compress=True)
+        os.replace(tmp, path)
+    mtmp = f"{marker}.tmp-{os.getpid()}"
+    open(mtmp, "w").close()
+    os.replace(mtmp, marker)  # marker last: readers only trust complete sets
+    return paths
+
+
+def ensure_warc_fixture(
+    info: CorpusInfo, cache_root: str = "/tmp/urlmap_corpus"
+) -> list[str]:
+    """Materialize the page corpus as WARC response archives (one gzip'd
+    file per pages bucket, preserving each bucket's url-sorted order and
+    real HTTP statuses) and return the file list. The html payload bytes
+    are the corpus bytes verbatim, so the byte-identical text-extraction
+    invariant is testable THROUGH the WARC parse."""
+    import pyarrow.parquet as _pq
+
+    from .sources.warc import write_warc
+
+    name = os.path.basename(os.path.normpath(info.dir))
+    out_dir = os.path.join(cache_root, "warc", name)
+    marker = os.path.join(out_dir, "_complete")
+    buckets = sorted(
+        f for f in os.listdir(info.pages_path) if f.endswith(".parquet")
+    )
+    paths = [
+        os.path.join(out_dir, b.replace(".parquet", ".warc.gz")) for b in buckets
+    ]
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+    for b, path in zip(buckets, paths):
+        t = _pq.read_table(
+            os.path.join(info.pages_path, b), columns=["url", "html", "status"]
+        )
+        recs = [
+            {"url": u, "html": h or b"", "status": s}
+            for u, h, s in zip(
+                t.column("url").to_pylist(),
+                t.column("html").to_pylist(),
+                t.column("status").to_pylist(),
+            )
+        ]
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_warc(tmp, recs, compress=True)
+        os.replace(tmp, path)
+    mtmp = f"{marker}.tmp-{os.getpid()}"
+    open(mtmp, "w").close()
+    os.replace(mtmp, marker)
+    return paths
+
+
 def corpus_for_sf_dir(
     sf_dir: str,
     cache_root: str = "/tmp/urlmap_corpus",

@@ -157,14 +157,17 @@ def read_warc(paths, *, decode_html: bool = True):
 def write_warc(path: str, records: list[dict], *, compress: bool | None = None) -> str:
     """Write WARC/1.0 response records (test fixture / corpus export).
 
-    ``records``: dicts with url, html (str), optional status (200) and
+    ``records``: dicts with url, html (str or utf-8 bytes — bytes pass
+    through verbatim, preserving byte-identity), optional status (200) and
     date. Compresses each record as its own gzip member when the path
     ends in .gz (the Common Crawl layout) unless overridden."""
     if compress is None:
         compress = path.endswith(".gz")
     out = io.BytesIO()
     for i, rec in enumerate(records):
-        body = rec["html"].encode("utf-8")
+        body = rec["html"]
+        if not isinstance(body, bytes):
+            body = body.encode("utf-8")
         status = int(rec.get("status", 200))
         http = (
             f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n"

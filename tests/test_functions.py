@@ -1341,6 +1341,12 @@ def test_collocations_lift_ranking(ray_session):
     assert [
         (r["rank"], r["w1"], r["w2"], r["lift"]) for r in out
     ] == [(r["rank"], r["w1"], r["w2"], r["lift"]) for r in out2]
+    # the distributed fused-attach path (forced by a zero broadcast bound)
+    # is bit-identical to the broadcast fast path, lift doubles included
+    out3 = collocations(
+        ds.repartition(4), min_count=5, k=10, broadcast_max_unigrams=0
+    ).to_pylist()
+    assert [tuple(r.values()) for r in out3] == [tuple(r.values()) for r in out]
 
 
 def test_binned_histogram(ray_session):

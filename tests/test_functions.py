@@ -220,10 +220,78 @@ def test_media_pipeline(ray_session, docs_tbl):
     except ImportError:
         has_pil = False
     if not has_pil:
-        # without the optional Pillow dependency, real mode stays an
-        # honestly-declared stub
+        # without the optional Pillow dependency, real mode constructs
+        # (audio decodes via stdlib wave) but an IMAGE row raises loudly
+        # at call time instead of silently faking
+        ex = MediaFeatureExtractor(mode="real")
         with pytest.raises(NotImplementedError):
-            MediaFeatureExtractor(mode="real")
+            ex._features_real(b"\x89PNG...", "image")
+
+
+def _wav_bytes(freq_hz: float, *, rate: int = 8000, n: int = 800, amp: float = 0.5):
+    import io
+    import wave
+
+    t = np.arange(n, dtype=np.float64) / rate
+    x = (np.sin(2 * np.pi * freq_hz * t) * amp * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_media_real_decode_wav(ray_session):
+    """Real audio decode via the stdlib wave module (no optional deps):
+    WAV payloads → amplitude/rate statistics; corrupt payloads → zero
+    vector; video rows → zero vector (no real decoder, honest)."""
+    import ray.data
+
+    media = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(
+                [
+                    _wav_bytes(440.0),
+                    _wav_bytes(0.0, amp=0.0),  # silence
+                    b"not a wav",
+                    b"video bytes",
+                ],
+                pa.binary(),
+            ),
+            "media_type": pa.array(["audio", "audio", "audio", "video"]),
+            "width": pa.array([0] * 4, pa.int32()),
+            "height": pa.array([0] * 4, pa.int32()),
+            "duration_ms": pa.array([100] * 4, pa.int32()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs=dict(mode="real"),
+            concurrency=(1, 1),
+            batch_size=8,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    tone, silence, bad, video = (out.loc[i, "features"] for i in (1, 2, 3, 4))
+    assert tone[5] > 0.3  # sine rms ≈ amp/√2 ≈ 0.35
+    assert tone[7] > 0.05  # 440Hz @ 8kHz crosses zero often
+    assert tone[1] == np.float32(8000 / 96000)  # sample-rate feature exact
+    assert silence[5] == 0.0 and silence[6] == 0.0  # silent: no energy
+    assert silence[1] == tone[1]  # same container params decode
+    assert all(v == 0.0 for v in bad)  # corrupt payload → zero vector
+    assert all(v == 0.0 for v in video)  # video: honestly undecoded
+    # decode is deterministic
+    ex = MediaFeatureExtractor(mode="real")
+    assert np.array_equal(
+        ex._features_wav(_wav_bytes(440.0)), ex._features_wav(_wav_bytes(440.0))
+    )
 
 
 def test_media_real_decode_with_pillow(ray_session):

@@ -8,11 +8,14 @@ Two decode modes, same output schema:
   binaries, actor signature, output layout — is real and testable end to
   end in environments without codec libraries, and the media_features
   oracle is reproducible in SQL.
-- ``real``: Pillow image decode when importable (an optional dependency —
-  absent in this container, so constructing mode="real" here raises
-  NotImplementedError by design; the decode path is covered by a
-  skipped-without-Pillow test). ffmpeg/torchaudio (audio/video) remain
-  honestly unimplemented.
+- ``real``: per-media-type dispatch. Audio decodes WAV payloads with the
+  stdlib ``wave`` module (zero extra dependencies — always available);
+  images decode via Pillow when importable (an optional dependency —
+  absent in this container, so an image ROW under mode="real" raises
+  NotImplementedError loudly at call time; the Pillow path is covered by
+  a skipped-without-Pillow test). Video (ffmpeg) remains honestly
+  unimplemented and yields the zero vector, the same corrupt-payload
+  convention as the decoders.
 
 At scale: binary payloads dominate block size, so stages here should run
 with small ``batch_size`` (32-128) and ``target_max_block_size`` tuned so
@@ -79,21 +82,20 @@ class MediaFeatureExtractor:
 
     def __init__(self, mode: str = "deterministic-fake"):
         if mode == "real":
-            # Optional dependency: Pillow decodes image payloads when
-            # installed (once per ACTOR, here in __init__ — codec/model
-            # state never reloads per batch). Absent (this container), the
-            # stub stays honest.
+            # Decoder state loads once per ACTOR, here in __init__ — codec
+            # contexts / model weights never reload per batch. Audio (WAV)
+            # uses the stdlib wave module, always present; Pillow (images)
+            # is optional — absent, image ROWS raise loudly at call time
+            # rather than silently faking (audio-only pipelines still run).
+            import wave as _wave
+
+            self._wave = _wave
             try:
-                from PIL import Image  # noqa: F401
+                from PIL import Image
 
                 self._pil_image = Image
             except ImportError:
-                raise NotImplementedError(
-                    "real media decoding requires Pillow (images) — not "
-                    "present in this environment; use "
-                    "mode='deterministic-fake' (ffmpeg/torchaudio for "
-                    "audio/video remain unimplemented)"
-                ) from None
+                self._pil_image = None
         elif mode != "deterministic-fake":
             raise ValueError(f"unknown decode mode: {mode}")
         self.mode = mode
@@ -104,13 +106,18 @@ class MediaFeatureExtractor:
             np.float32
         ) / np.float32(2**32)
 
-    def _features_real(self, payload: bytes) -> np.ndarray:
+    def _features_image(self, payload: bytes) -> np.ndarray:
         """Pillow decode → 8 deterministic image statistics (means/stds of
         RGB over a 16×16 thumbnail + normalized dims). A payload that fails
         to decode yields the zero vector — a corrupt image must not kill a
         100 TB job; filter on ``sum(features) == 0`` downstream."""
         import io
 
+        if self._pil_image is None:
+            raise NotImplementedError(
+                "real image decoding requires Pillow — not present in this "
+                "environment; use mode='deterministic-fake' for image rows"
+            )
         try:
             with self._pil_image.open(io.BytesIO(payload or b"")) as im:
                 im = im.convert("RGB")
@@ -128,9 +135,64 @@ class MediaFeatureExtractor:
             dtype=np.float32,
         )
 
+    def _features_wav(self, payload: bytes) -> np.ndarray:
+        """stdlib ``wave`` decode → 8 deterministic audio statistics
+        (normalized channel count / sample rate / duration + amplitude
+        stats of the PCM signal). Corrupt payloads → zero vector, the same
+        convention as the image decoder."""
+        import io
+
+        try:
+            with self._wave.open(io.BytesIO(payload or b"")) as w:
+                nch, sw, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+                nframes = w.getnframes()
+                raw = w.readframes(nframes)
+            dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sw)
+            if dtype is None or rate <= 0:
+                return np.zeros(self.N_FEATURES, dtype=np.float32)
+            x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+            if len(x):
+                x = x / np.float32(2 ** (8 * sw - 1))  # → [-1, 1]
+            mean_abs = float(np.abs(x).mean()) if len(x) else 0.0
+            rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+            peak = float(np.abs(x).max()) if len(x) else 0.0
+            zcr = (
+                float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                / max(len(x) - 1, 1)
+            )
+            return np.array(
+                [
+                    min(1.0, nch / 8.0),
+                    min(1.0, rate / 96_000.0),
+                    min(1.0, (nframes / rate) / 3600.0),  # duration, ≤1h
+                    min(1.0, sw / 4.0),
+                    mean_abs, rms, peak, zcr,
+                ],
+                dtype=np.float32,
+            )
+        except Exception:
+            return np.zeros(self.N_FEATURES, dtype=np.float32)
+
+    def _features_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == "image":
+            return self._features_image(payload)
+        if media_type == "audio":
+            return self._features_wav(payload)
+        # video: no real decoder here (ffmpeg) — honest zero vector, the
+        # same downstream-filterable convention as a corrupt payload
+        return np.zeros(self.N_FEATURES, dtype=np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fn = self._features if self.mode == "deterministic-fake" else self._features_real
-        feats = [fn(p) for p in batch.column("payload").to_pylist()]
+        if self.mode == "deterministic-fake":
+            feats = [self._features(p) for p in batch.column("payload").to_pylist()]
+        else:
+            feats = [
+                self._features_real(p, mt)
+                for p, mt in zip(
+                    batch.column("payload").to_pylist(),
+                    batch.column("media_type").to_pylist(),
+                )
+            ]
         out = batch.drop_columns(["payload"])  # shed the heavy bytes immediately
         return out.append_column(
             "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))

@@ -60,13 +60,20 @@ def _token_hashes(texts: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.nda
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = np.asarray(toks.values.to_pandas(), dtype=object)
-    if not len(flat):
+    flat_arr = toks.values
+    if not len(flat_arr):
         return np.empty(0, dtype=np.uint64), offsets
     # Arrow's split emits empty tokens at string edges / whitespace runs;
     # Python's str.split() (the reference contract) never does — compact
     # them out and renumber the offsets so adjacency (bigrams) matches.
-    keep = np.array([len(t) > 0 for t in flat], dtype=np.int64)
+    # Length test stays an Arrow kernel; only the kept tokens cross into
+    # Python objects for the pandas hash.
+    keep = (
+        pc.greater(pc.binary_length(flat_arr), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = np.asarray(flat_arr.to_pandas(), dtype=object)
     kcum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(keep)])
     offsets = kcum[offsets]
     flat = flat[keep.astype(bool)]

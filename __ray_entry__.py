@@ -386,6 +386,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.degrees(pages, nodes).sort("url")
 
+    def page_components(sf_dir):
+        # weakly-connected components of the link graph (site clusters):
+        # hash urls → star-round CC (hybrid driver union-find at toy
+        # scale) → one union + min-groupby label attach over ALL nodes
+        from urlmap_ray.expected import ensure_components_expected
+        from urlmap_ray.functions import graph as gr
+        from urlmap_ray.functions.components import url_components
+
+        info = _corpus(sf_dir)
+        ensure_components_expected(info)
+        pages, nodes = _graph_inputs(sf_dir)
+        return url_components(gr.build_edges(pages, nodes), nodes).sort("url")
+
     def pagerank(sf_dir):
         from urlmap_ray.functions import graph as gr
 
@@ -661,6 +674,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
             ),
             _eval_hashes(sf_dir),
+        )
+
+    def term_postings(sf_dir):
+        # inverted-index build: per term, exact df + the 20 smallest doc
+        # ids as a comma-joined posting list; the exchange ships ≤cap ids
+        # per term per batch (vocab_topk's bounded-partial shape)
+        import ray.data
+
+        from urlmap_ray.functions.ranking import build_postings
+
+        return build_postings(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            ),
+            min_df=5,
+            max_postings=20,
         )
 
     def vocab_top100(sf_dir):
@@ -1706,6 +1736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round / never driver-checked --
         "wet_docs": wet_docs,
         "warc_page_text": warc_page_text,
+        "term_postings": term_postings,
+        "page_components": page_components,
         "page_hits_shuffle": page_hits_shuffle,
         "events_funnel": events_funnel,
         "events_ranks": events_ranks,
@@ -2092,6 +2124,30 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontam": decontam_sql,
         "doc_repetition": repetition_sql,
         "vocab_top100": vocab_sql,
+        # inverted index: same tokenizer contract as vocab (per-doc
+        # distinct terms); posting cap = the 20 smallest doc ids, the
+        # deterministic rule both engines share
+        "term_postings": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           regexp_split_to_array(trim(lower(text)), '\\s+')
+                       )) AS term
+                FROM documents WHERE trim(text) <> ''
+            ),
+            g AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM toks GROUP BY 1),
+            p AS (SELECT term, doc_id,
+                         row_number() OVER (PARTITION BY term
+                                            ORDER BY doc_id) AS rn
+                  FROM toks)
+            SELECT g.term, g.df,
+                   string_agg(CAST(p.doc_id AS VARCHAR), ','
+                              ORDER BY p.doc_id) AS postings
+            FROM g JOIN p USING (term)
+            WHERE g.df >= 5 AND p.rn <= 20
+            GROUP BY g.term, g.df
+        """,
         # Misra-Gries heavy hitters: exact below capacity=4096 distinct
         # terms (synthetic vocab is ~31), so plain GROUP BY count is the
         # oracle; ties broken (n DESC, value ASC) on both sides.
@@ -2260,6 +2316,9 @@ def oracle_sql() -> dict[str, str]:
         # degree exchange, and the bucketed deterministic rank iteration
         "page_edges": f"SELECT * FROM read_parquet('{_exp('page_edges')}')",
         "page_degrees": f"SELECT * FROM read_parquet('{_exp('page_degrees')}')",
+        # single-process union-find over the page_edges ground truth, same
+        # 63-bit url-hash labels as the distributed star rounds
+        "page_components": f"SELECT * FROM read_parquet('{_exp('page_components')}')",
         "pagerank": f"SELECT * FROM read_parquet('{_exp('pagerank')}')",
         # shuffle mode is bit-identical to broadcast mode (shared summation
         # primitive, test-asserted); registered at 3 iterations against a

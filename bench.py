@@ -168,6 +168,11 @@ def run_bench() -> dict:
         "pagerank",
         "pagerank_shuffle",
         "page_hits",
+        "page_hits_shuffle",
+        "page_components",
+        "term_postings",
+        "wet_docs",
+        "warc_page_text",
         "doc_length_quantiles",
         "doc_len_quantiles_sketch",
         "doc_len_by_lang",

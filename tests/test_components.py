@@ -112,3 +112,49 @@ def test_attach_components_labels_singletons(ray_session):
     )
     got = dict(zip(out.column("doc_id").to_pylist(), out.column("comp").to_pylist()))
     assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 5, 6: 6, 7: 7, 8: 8, 9: 1}
+
+
+def test_url_components_modes_and_singletons(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.components import url_components
+
+    # two chains + one isolated node: {a,b,c} via a→b→c, {d,e}, {f} alone
+    urls = [f"https://h.example/{x}" for x in "abcdef"]
+    edges = pa.table(
+        {
+            "src": pa.array([urls[0], urls[1], urls[3]], pa.string()),
+            "dst": pa.array([urls[1], urls[2], urls[4]], pa.string()),
+        }
+    )
+    nodes = pa.table({"url": pa.array(urls, pa.string())})
+    out = {
+        r["url"]: r["comp"]
+        for r in url_components(
+            ray.data.from_arrow(edges).repartition(2),
+            ray.data.from_arrow(nodes).repartition(3),
+        ).take_all()
+    }
+    h = (pd.util.hash_array(np.asarray(urls, dtype=object)) >> np.uint64(1)).astype(
+        np.int64
+    )
+    hm = dict(zip(urls, (int(v) for v in h)))
+    assert out[urls[0]] == out[urls[1]] == out[urls[2]] == min(
+        hm[u] for u in urls[:3]
+    )
+    assert out[urls[3]] == out[urls[4]] == min(hm[urls[3]], hm[urls[4]])
+    assert out[urls[5]] == hm[urls[5]]  # singleton labels itself
+    # the forced-distributed star rounds produce identical labels
+    out2 = {
+        r["url"]: r["comp"]
+        for r in url_components(
+            ray.data.from_arrow(edges),
+            ray.data.from_arrow(nodes),
+            driver_threshold=0,
+            buckets=4,
+        ).take_all()
+    }
+    assert out2 == out

@@ -432,3 +432,47 @@ def test_tfidf_max_vocab_guard(ray_session):
     ds = ray.data.from_items([{"doc_id": 1, "text": "a"}])
     with pytest.raises(ValueError):
         tfidf_topk(ds, max_vocab=0)
+
+
+def test_build_postings_exact_and_capped(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.ranking import build_postings
+
+    # 40 docs: "common" in all, "rare" in 3, "mid" in docs 10..19,
+    # "solo" in 1 (falls to min_df)
+    texts = []
+    for i in range(40):
+        words = ["common"]
+        if i in (7, 21, 33):
+            words.append("rare")
+        if 10 <= i < 20:
+            words.append("mid")
+        if i == 5:
+            words.append("solo")
+        texts.append(" ".join(words))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = {
+        r["term"]: (r["df"], r["postings"])
+        for r in build_postings(
+            ray.data.from_arrow(docs).repartition(6), min_df=2, max_postings=5
+        ).take_all()
+    }
+    assert "solo" not in out  # min_df prune AFTER exact df
+    assert out["rare"] == (3, "7,21,33")
+    # df is exact beyond the cap; postings = the 5 SMALLEST doc ids
+    assert out["common"] == (40, "0,1,2,3,4")
+    assert out["mid"] == (10, "10,11,12,13,14")
+    # partitioning independence (bounded partials merge to the same cap set)
+    out1 = build_postings(
+        ray.data.from_arrow(docs), min_df=2, max_postings=5
+    ).take_all()
+    assert {r["term"]: (r["df"], r["postings"]) for r in out1} == out
+    with pytest.raises(ValueError):
+        build_postings(ray.data.from_arrow(docs), max_postings=0)

@@ -321,6 +321,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     ensure_spa_domains_expected(info)
     ensure_link_stats_expected(info)
     ensure_graph_expected(info)
+    ensure_components_expected(info)
     ensure_hits_expected(info)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)
@@ -456,6 +457,56 @@ def ensure_hits_expected(info: CorpusInfo) -> str:
     }
     _write_atomic(hits_reference(urls, links_per_url), path)
     _write_atomic(hits_reference(urls, links_per_url, n_iters=3), path3)
+    return path
+
+
+def ensure_components_expected(info: CorpusInfo) -> str:
+    """Expected (url, comp) for weakly-connected components of the corpus
+    link graph via a single-process union-find over the page_edges ground
+    truth; comp = the component's minimum 63-bit url hash (the same pandas
+    siphash the distributed url_components uses), singletons label
+    themselves. Sorted by url."""
+    path = expected_path(info, "page_components")
+    if not _should_generate(info, path):
+        return path
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    e_path, _, _ = ensure_graph_expected(info)
+    edges = pq.read_table(e_path)
+    urls = sorted(_pages_table(info).column("url").to_pylist())
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(edges.column("src").to_pylist(), edges.column("dst").to_pylist()):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    h = (
+        pd.util.hash_array(np.asarray(urls, dtype=object)) >> np.uint64(1)
+    ).astype(np.int64)
+    hmap = dict(zip(urls, (int(v) for v in h)))
+    comp_min: dict[str, int] = {}
+    for u in urls:
+        r = find(u)
+        comp_min[r] = min(comp_min.get(r, hmap[u]), hmap[u])
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "comp": pa.array([comp_min[find(u)] for u in urls], pa.int64()),
+            }
+        ),
+        path,
+    )
     return path
 
 

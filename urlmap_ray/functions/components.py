@@ -46,7 +46,7 @@ import pyarrow as pa
 
 from .pairs import EMPTY_PAIRS, distinct_pair_table
 
-__all__ = ["connected_components", "attach_components"]
+__all__ = ["connected_components", "attach_components", "url_components"]
 
 _MIX_A = np.uint64(0x9E3779B97F4A7C15)
 _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -300,3 +300,81 @@ def attach_components(ds, cc_ds, *, id_col: str = "doc_id", out_col: str = "comp
             lambda t: t.rename_columns([id_col, out_col]), batch_format="pyarrow"
         )
     return out
+
+
+def url_components(edges_ds, nodes_ds, *, src_col: str = "src",
+                   dst_col: str = "dst", url_col: str = "url", **cc_kwargs):
+    """Weakly-connected components of a string-keyed (url) edge Dataset —
+    the web-graph segmentation step (site clusters, dead-archipelago
+    detection, per-component sampling): → (url, comp) for EVERY node in
+    ``nodes_ds``, where ``comp`` is the component's minimum 63-bit url
+    hash and singletons label themselves.
+
+    Shape: one row-local hash pass per side (urls → int64 via the pandas
+    siphash, top bit cleared — both the distributed path and the expected
+    single-process reference hash identically; below ~10^9 nodes a 63-bit
+    collision is negligible, beyond it move to 128-bit ids, the dedup
+    line), then :func:`connected_components` (hybrid driver union-find /
+    star rounds), then ONE union + min-groupby attaches labels to the
+    full node table — the ``attach_components`` shape carrying the url
+    string through native Min aggregates (strings: min skips the padded
+    nulls), no per-node Python groups, no broadcast.
+    """
+    import pandas as pd
+
+    def _h(col) -> np.ndarray:
+        vals = np.asarray(col.to_pylist(), dtype=object)
+        if not len(vals):
+            return np.empty(0, dtype=np.int64)
+        return (pd.util.hash_array(vals) >> np.uint64(1)).astype(np.int64)
+
+    def hash_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(_h(t.column(src_col)), pa.int64()),
+                "b": pa.array(_h(t.column(dst_col)), pa.int64()),
+            }
+        )
+
+    cc = connected_components(
+        edges_ds.map_batches(hash_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        **cc_kwargs,
+    )
+
+    def own(t: pa.Table) -> pa.Table:
+        h = _h(t.column(url_col))
+        return pa.table(
+            {
+                "key": pa.array(h, pa.int64()),
+                "url": t.column(url_col),
+                "comp": pa.array(h, pa.int64()),
+            }
+        )
+
+    def lbl(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string()),
+                             "comp": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "key": t.column("node"),
+                "url": pa.nulls(t.num_rows, pa.string()),
+                "comp": t.column("comp"),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    merged = (
+        nodes_ds.map_batches(own, batch_format="pyarrow", zero_copy_batch=True)
+        .union(cc.map_batches(lbl, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("key")
+        .aggregate(Min("comp", alias_name="comp"), Min("url", alias_name="url"))
+    )
+    return merged.map_batches(
+        lambda t: t.select(["url", "comp"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -297,3 +297,97 @@ def bm25_topk(
             "rnk": pa.array(np.arange(1, merged.num_rows + 1), pa.int64()),
         }
     )
+
+
+def build_postings(
+    ds,
+    *,
+    min_df: int = 2,
+    max_postings: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """Inverted-index build — the retrieval-side primitive of a webtext
+    corpus: per term, its document frequency and a posting list of the
+    ``max_postings`` SMALLEST doc ids containing it (ascending,
+    comma-joined — the deterministic "first docs" cap).
+
+    Scale shape (the vocab_topk family): per-batch partials hold each
+    batch's distinct (term, df_part, capped sorted postings) rows — the
+    exchange ships ≤ max_postings ids per term per batch, never tokens,
+    never uncapped lists. ONE hash-bucketed groupby folds the partials
+    (lexsort-run merge per bucket, the repo's bucketed-combine pattern —
+    no per-term groups). df is exact (a doc lives in exactly one batch);
+    the global smallest-``max_postings`` set is exact because every
+    globally-smallest id is also among its own batch's smallest. Terms
+    below ``min_df`` drop at the fold, after exact df is known.
+
+    Returns a Dataset of (term, df, postings) sorted by term.
+    """
+    if min_df < 1 or max_postings < 1:
+        raise ValueError("min_df and max_postings must be ≥ 1")
+    import pandas as pd
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        post: dict[str, list[int]] = {}
+        for i, txt in zip(ids, t.column(text_col).to_pylist()):
+            for w in set((txt or "").lower().split()):
+                post.setdefault(w, []).append(int(i))
+        terms = sorted(post)
+        lists = [sorted(post[w]) for w in terms]
+        h = (
+            pd.util.hash_array(np.asarray(terms, dtype=object)) % n_buckets
+            if terms
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(h.astype(np.int64), pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "df_part": pa.array([len(v) for v in lists], pa.int64()),
+                "post_part": pa.array(
+                    [v[:max_postings] for v in lists], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        # one bucket = many terms; merge runs after a term sort (no
+        # per-term groupby groups — the bucketed-combine pattern)
+        order = pc.sort_indices(g, sort_keys=[("term", "ascending")])
+        g = g.take(order)
+        terms = g.column("term").to_pylist()
+        dfs = g.column("df_part").to_numpy(zero_copy_only=False)
+        posts = g.column("post_part").to_pylist()
+        out_t: list[str] = []
+        out_df: list[int] = []
+        out_p: list[str] = []
+        i, nrows = 0, len(terms)
+        while i < nrows:
+            j = i
+            while j < nrows and terms[j] == terms[i]:
+                j += 1
+            df = int(dfs[i:j].sum())
+            if df >= min_df:
+                merged = np.sort(np.concatenate([np.asarray(p, dtype=np.int64)
+                                                 for p in posts[i:j]]))
+                out_t.append(terms[i])
+                out_df.append(df)
+                out_p.append(",".join(map(str, merged[:max_postings])))
+            i = j
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "postings": pa.array(out_p, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("term")
+    )

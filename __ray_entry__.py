@@ -332,6 +332,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         info = _corpus(sf_dir)
         return _ut(ray.data.read_parquet(info.pages_path, columns=["url"]))
 
+    def host_stats(sf_dir):
+        # per-host crawl-ops rollup (pages / 2xx / errors / stored bytes):
+        # RE2 host extraction + per-batch hash-agg partials, one
+        # groupby(host) fold; oracle = the same regexp in DuckDB over the
+        # raw corpus pages
+        import ray.data
+
+        from urlmap_ray.functions.urlmine import host_stats as _hs
+
+        info = _corpus(sf_dir)
+        return _hs(
+            ray.data.read_parquet(
+                info.pages_path, columns=["url", "status", "html"]
+            )
+        )
+
     def page_links(sf_dir):
         import ray.data
 
@@ -1738,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_page_text": warc_page_text,
         "term_postings": term_postings,
         "page_components": page_components,
+        "host_stats": host_stats,
         "page_hits_shuffle": page_hits_shuffle,
         "events_funnel": events_funnel,
         "events_ranks": events_ranks,
@@ -2281,6 +2298,21 @@ def oracle_sql() -> dict[str, str]:
         "warc_page_text": f"""
             SELECT url, status, coalesce(text, '') AS text_extracted
             FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+        """,
+        # per-host rollup: the same RE2 host extraction in DuckDB over the
+        # raw corpus pages (status/byte rules mirrored exactly)
+        "host_stats": f"""
+            SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                       AS host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(CASE WHEN status BETWEEN 200 AND 299
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                   CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_err,
+                   CAST(sum(coalesce(octet_length(html), 0)) AS BIGINT)
+                       AS total_bytes
+            FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            GROUP BY 1
         """,
         # same RE2 digit-run rule in DuckDB over the raw corpus urls —
         # a pure-SQL oracle, independent of the engine's partial-agg path

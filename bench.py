@@ -171,6 +171,7 @@ def run_bench() -> dict:
         "page_hits_shuffle",
         "page_components",
         "term_postings",
+        "host_stats",
         "wet_docs",
         "warc_page_text",
         "doc_length_quantiles",

@@ -1680,3 +1680,31 @@ def test_export_manifest_edges(ray_session):
     r = rows[0]
     assert (r["bucket"], r["shard"], r["n_docs"], r["n_tokens"]) == (0, 0, 10, 30)
     assert r["n_seqs"] == 5  # 3 tokens/doc, budget 7 → 2 docs per sequence
+
+
+def test_host_stats_rollup(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.urlmine import host_stats
+
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.example/x",
+                    "https://a.example/y?q=1",
+                    "https://b.example/",
+                    "https://a.example/err",
+                ]
+            ),
+            "status": pa.array([200, 301, 204, 503], pa.int32()),
+            "html": pa.array([b"12345", b"", None, b"err!"], pa.binary()),
+        }
+    )
+    out = {
+        r["host"]: (r["n_pages"], r["n_ok"], r["n_err"], r["total_bytes"])
+        for r in host_stats(ray.data.from_arrow(pages).repartition(3)).take_all()
+    }
+    # 301 is neither ok nor err; null body counts 0 bytes
+    assert out == {"a.example": (3, 1, 1, 9), "b.example": (1, 1, 0, 0)}

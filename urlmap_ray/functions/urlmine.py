@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["url_templates"]
+__all__ = ["url_templates", "host_stats"]
 
 _DIGIT_RUN = r"[0-9]+"
 
@@ -49,5 +49,60 @@ def url_templates(ds, *, url_col: str = "url"):
         .aggregate(
             Sum("n_partial", alias_name="n_urls"),
             Min("example_partial", alias_name="example"),
+        )
+    )
+
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)"
+
+
+def host_stats(ds, *, url_col: str = "url", status_col: str = "status",
+               html_col: str = "html"):
+    """Per-host crawl-operations rollup — the fleet-health view a crawl
+    operator reads after every run: (host, n_pages, n_ok, n_err,
+    total_bytes) with n_ok = 2xx, n_err = status ≥ 400, total_bytes =
+    Σ octet length of the stored body (nulls count 0).
+
+    Host extraction is ONE Arrow RE2 kernel (``extract_regex`` — the same
+    engine as DuckDB's ``regexp_extract``, the url_templates contract, so
+    hosts are byte-identical cross-engine). Per-batch Arrow hash-agg
+    partials pre-aggregate before the single groupby(host) fold — the
+    exchange is host rows (fleet cardinality), never pages."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column(url_col), pattern=_HOST_RE)
+        host = pc.struct_field(m, "host")
+        status = t.column(status_col)
+        ok = pc.and_(
+            pc.greater_equal(status, 200), pc.less_equal(status, 299)
+        ).cast(pa.int64())
+        err = pc.greater_equal(status, 400).cast(pa.int64())
+        nbytes = pc.coalesce(
+            pc.binary_length(t.column(html_col)).cast(pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        return (
+            pa.table(
+                {
+                    "host": host,
+                    "ok": ok,
+                    "err": err,
+                    "nb": nbytes,
+                }
+            )
+            .group_by(["host"])
+            .aggregate([([], "count_all"), ("ok", "sum"), ("err", "sum"), ("nb", "sum")])
+            .rename_columns(["host", "n_part", "ok_part", "err_part", "nb_part"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(
+            Sum("n_part", alias_name="n_pages"),
+            Sum("ok_part", alias_name="n_ok"),
+            Sum("err_part", alias_name="n_err"),
+            Sum("nb_part", alias_name="total_bytes"),
         )
     )

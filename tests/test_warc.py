@@ -100,3 +100,45 @@ def test_wet_roundtrip_feeds_prep(ray_session, tmp_path):
     langs = {d["text"][:7]: d["lang"] for d in docs}
     assert langs["the qui"] == "en" and langs["und der"] == "de"
     assert all(d["doc_id"] > 0 for d in docs)
+
+
+def test_ensure_wet_fixture_idempotent(tmp_path):
+    """WET fixture generation: pinned url/shard rules, atomic writes, and
+    an existence-marker that makes re-calls free (no source rescan)."""
+    import gzip
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from urlmap_ray.corpus import ensure_wet_fixture
+    from urlmap_ray.sources.warc import parse_warc_bytes
+
+    sf_dir = tmp_path / "sf-test"
+    sf_dir.mkdir()
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array([f"body {i}" if i != 3 else None for i in range(10)]),
+        }
+    )
+    pq.write_table(docs, str(sf_dir / "documents.parquet"))
+    cache = str(tmp_path / "cache")
+    paths = ensure_wet_fixture(str(sf_dir), cache_root=cache, n_shards=2)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    # shard rule doc_id % n_shards, ascending ids, null text → ''
+    got = {}
+    for s, p in enumerate(paths):
+        t = parse_warc_bytes(gzip.decompress(open(p, "rb").read()),
+                             types=("conversion",))
+        urls = t.column("url").to_pylist()
+        assert urls == [f"https://docs.example/{i}" for i in range(10)
+                        if i % 2 == s]
+        for u, payload in zip(urls, t.column("payload").to_pylist()):
+            got[u] = payload.decode()
+    assert got["https://docs.example/3"] == ""
+    assert got["https://docs.example/4"] == "body 4"
+    # marker makes the second call a pure path return
+    mtimes = [os.path.getmtime(p) for p in paths]
+    assert ensure_wet_fixture(str(sf_dir), cache_root=cache, n_shards=2) == paths
+    assert [os.path.getmtime(p) for p in paths] == mtimes

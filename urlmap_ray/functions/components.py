@@ -170,7 +170,7 @@ def _union_find_labels(pairs: pa.Table) -> pa.Table:
 
 def connected_components(
     pairs_ds, *, buckets: int = 256, max_rounds: int = 64,
-    driver_threshold: int = 65_536,
+    driver_threshold: int = 1_048_576,
 ):
     """(a, b) int64 pair Dataset → (node, comp) label Dataset.
 
@@ -184,11 +184,14 @@ def connected_components(
 
     Hybrid knob (same shape as the crawl budget gate): when the distinct
     pair count — known after the first materialize — is at most
-    ``driver_threshold`` (≤1MB of int64 pairs at the default), a local
-    union-find beats launching ~2·log(n) shuffle jobs whose per-job
-    overhead dwarfs the work. Above it, or with ``driver_threshold=0``,
-    the fully-distributed star rounds run (the 100-TB path; pair sets at
-    high dup rates are O(corpus) and must never land on one machine).
+    ``driver_threshold`` (≤16MB of int64 pairs / a few driver seconds of
+    union-find at the default 2^20), a local union-find beats launching
+    ~2·log(n) shuffle jobs whose per-job overhead dwarfs the work. Above
+    it, or with ``driver_threshold=0``, the fully-distributed star rounds
+    run (the 100-TB path; pair sets at high dup rates are O(corpus) and
+    must never land on one machine). Labels are path-independent (min id
+    of the component), so the two regimes are value-identical —
+    test-asserted for both this function and url_components.
     """
     def canon_contract(t: pa.Table) -> pa.Table:
         # canonicalize, then LOCAL CONTRACTION (Kiveris et al. §6 "local

@@ -277,6 +277,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             info.pages_path, columns=["url", "html"]
         ).map_batches(per_page, batch_format="pyarrow", zero_copy_batch=True)
 
+    def _pages_with_footer(sf_dir):
+        # the corpus's paragraphs are all naturally unique, so the
+        # line-family queries first APPEND two host-derived boilerplate
+        # lines to every page (nav + copyright footers, the docs_pii
+        # injection pattern) — mirrored term-for-term in the oracle SQL —
+        # so dedup/boilerplate genuinely exercise both keep and drop
+        # branches in both engines
+        import ray.data
+
+        from urlmap_ray.functions.urlmine import _HOST_RE
+
+        info = _corpus(sf_dir)
+
+        def inject(t: pa.Table) -> pa.Table:
+            m = pa.compute.extract_regex(t.column("url"), pattern=_HOST_RE)
+            host = pa.compute.struct_field(m, "host")
+            aug = pa.compute.binary_join_element_wise(
+                t.column("text"),
+                "\nnav menu ",
+                host,
+                "\ncopyright ",
+                host,
+                "",
+            )
+            return pa.table({"url": t.column("url"), "text": aug})
+
+        return ray.data.read_parquet(
+            info.pages_path, columns=["url", "text"]
+        ).map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+
+    def page_line_dedup(sf_dir):
+        # CCNet-style corpus-wide paragraph dedup: a line survives only at
+        # its min-(url, line_no) occurrence; the injected per-host footers
+        # survive on exactly one page each, natural paragraphs (all
+        # unique) everywhere — oracle = the same explode + window-min +
+        # ordered string_agg in DuckDB
+        from urlmap_ray.functions.lines import line_dedup
+
+        return line_dedup(_pages_with_footer(sf_dir))
+
+    def page_boilerplate(sf_dir):
+        # host-scoped line-frequency boilerplate strip: lines in ≥3
+        # distinct docs of one host are chrome — the injected footers
+        # vanish everywhere (every corpus host has ≥100 pages), natural
+        # paragraphs stay; oracle = distinct-doc counts via a grouped
+        # self-join in DuckDB
+        from urlmap_ray.functions.lines import boilerplate_strip
+
+        return boilerplate_strip(_pages_with_footer(sf_dir), min_docs=3)
+
+    def page_line_filter(sf_dir):
+        # C4-style row-local line gate over the NATURAL corpus text (no
+        # injection): keep 25-40-word paragraphs, rebuild the doc; pure
+        # vectorized map_batches, zero shuffles — oracle = list_filter
+        # with the same split-on-space word rule
+        import ray.data
+
+        from urlmap_ray.functions.lines import line_filter
+
+        info = _corpus(sf_dir)
+        return line_filter(
+            ray.data.read_parquet(info.pages_path, columns=["url", "text"]),
+            min_words=25,
+            max_words=40,
+        )
+
     def wet_docs(sf_dir):
         # the INPUT seam under the gate: documents round-tripped through
         # Common-Crawl-style WET archives (sources/warc.py conversion
@@ -1750,6 +1816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "page_line_dedup": page_line_dedup,
+        "page_boilerplate": page_boilerplate,
+        "page_line_filter": page_line_filter,
         "wet_docs": wet_docs,
         "warc_page_text": warc_page_text,
         "term_postings": term_postings,
@@ -2291,6 +2360,91 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(text, '') AS text,
                    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
             FROM documents
+        """,
+        # line family: the same footer injection (host via the host_stats
+        # RE2), explode (zipped unnest), keep rule, and ordered reassembly
+        # in ANSI SQL — the owner key url||chr(1)||lpad(line_no,12,'0') is
+        # the engine's exact min() contract
+        "page_line_dedup": f"""
+            WITH p AS (
+                SELECT url,
+                       text || chr(10) || 'nav menu '
+                            || regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                            || chr(10) || 'copyright '
+                            || regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS text
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), ex AS (
+                SELECT url,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1))
+                           AS line_no
+                FROM p
+            ), owned AS (
+                SELECT url, line_no, line,
+                       url || chr(1) || lpad(CAST(line_no AS VARCHAR), 12, '0')
+                           AS owner,
+                       min(url || chr(1)
+                               || lpad(CAST(line_no AS VARCHAR), 12, '0'))
+                           OVER (PARTITION BY line) AS min_owner
+                FROM ex
+            )
+            SELECT url,
+                   coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE owner = min_owner), '') AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE owner = min_owner) AS BIGINT)
+                       AS n_kept
+            FROM owned GROUP BY url
+        """,
+        "page_boilerplate": f"""
+            WITH p AS (
+                SELECT url,
+                       text || chr(10) || 'nav menu '
+                            || regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                            || chr(10) || 'copyright '
+                            || regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS text
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), ex AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS host,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1))
+                           AS line_no
+                FROM p
+            ), cnt AS (
+                SELECT host, line, count(DISTINCT url) AS ndocs
+                FROM ex GROUP BY 1, 2
+            )
+            SELECT ex.url,
+                   coalesce(string_agg(ex.line, chr(10) ORDER BY ex.line_no)
+                            FILTER (WHERE cnt.ndocs < 3), '') AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE cnt.ndocs < 3) AS BIGINT)
+                       AS n_kept
+            FROM ex JOIN cnt ON ex.host = cnt.host AND ex.line = cnt.line
+            GROUP BY ex.url
+        """,
+        "page_line_filter": f"""
+            WITH ex AS (
+                SELECT url,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1))
+                           AS line_no
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            )
+            SELECT url,
+                   coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE len(string_split(line, ' '))
+                                          BETWEEN 25 AND 40), '')
+                       AS text_filtered,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE len(string_split(line, ' '))
+                                               BETWEEN 25 AND 40) AS BIGINT)
+                       AS n_kept
+            FROM ex GROUP BY url
         """,
         # the WARC input seam: the page_text byte-identity invariant
         # asserted THROUGH the WARC response-record parse (statuses from

@@ -178,6 +178,9 @@ def run_bench() -> dict:
         "doc_len_quantiles_sketch",
         "doc_len_by_lang",
         "events_value_hist",
+        "page_line_dedup",
+        "page_boilerplate",
+        "page_line_filter",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

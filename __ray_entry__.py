@@ -607,6 +607,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         )
 
+    def docs_source_filter(sf_dir):
+        # domain-level filtering: per-source Σchars/n rollup (one
+        # source-cardinality exchange), kept-source set stays a Dataset,
+        # corpus gated through semi_join's broadcast probe; keep rule is
+        # the cross-multiplied integer avg — no float on either side
+        from urlmap_ray.functions.domains import source_filter
+
+        return source_filter(
+            _docs(sf_dir), min_avg_chars=300, mode="broadcast"
+        )
+
     def docs_pii(sf_dir):
         # PII scrubbing: emails/IPs/SSNs/phones → typed tokens + per-type
         # counts, pure Arrow RE2 (same engine as the DuckDB oracle). The
@@ -1819,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
+        "docs_source_filter": docs_source_filter,
         "wet_docs": wet_docs,
         "warc_page_text": warc_page_text,
         "term_postings": term_postings,
@@ -2659,6 +2671,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        # domain-level filter: the same cross-multiplied integer avg rule
+        # (no float division on either side)
+        "docs_source_filter": """
+            WITH s AS (
+                SELECT source, sum(length(text)) AS sc, count(*) AS n
+                FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(length(d.text) AS BIGINT) AS n_chars
+            FROM documents d JOIN s ON d.source = s.source
+            WHERE s.sc >= 300 * s.n
         """,
         # same RE2 patterns the Arrow kernels run (ASCII-pinned classes)
         "docs_clean": """

@@ -181,6 +181,7 @@ def run_bench() -> dict:
         "page_line_dedup",
         "page_boilerplate",
         "page_line_filter",
+        "docs_source_filter",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

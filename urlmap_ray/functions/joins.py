@@ -407,7 +407,14 @@ def semi_join(
 
         def probe(batch: pa.Table) -> pa.Table:
             key = batch.column(on)
-            mask = pc.fill_null(pc.is_in(key, value_set=ray.get(keys_ref)), False)
+            vals = ray.get(keys_ref)
+            if len(vals):
+                mask = pc.fill_null(pc.is_in(key, value_set=vals), False)
+            else:
+                # empty right side matches nothing — the placeholder empty
+                # array is int64-typed, so a typed is_in would raise on
+                # non-integer keys
+                mask = pa.array(np.zeros(batch.num_rows, dtype=bool))
             if anti:
                 mask = pc.and_(pc.invert(mask), pc.is_valid(key))
             return batch.filter(mask)

@@ -343,6 +343,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_words=40,
         )
 
+    def _pages_with_wire(sf_dir):
+        # _pages_with_footer's injection PLUS a syndicated wire line keyed
+        # by page-number % 97 — the same story text lands on ~60 pages
+        # spread over many hosts, so the clean pipeline's stages interlock:
+        # hosts where a story repeats ≥3× treat it as chrome (boilerplate),
+        # the cross-host survivors collapse to one owner (dedup)
+        import ray.data
+
+        from urlmap_ray.functions.urlmine import _HOST_RE
+
+        info = _corpus(sf_dir)
+
+        def inject(t: pa.Table) -> pa.Table:
+            m = pa.compute.extract_regex(t.column("url"), pattern=_HOST_RE)
+            host = pa.compute.struct_field(m, "host")
+            pk = pa.compute.fill_null(
+                pa.compute.struct_field(
+                    pa.compute.extract_regex(
+                        t.column("url"), pattern=r"/p(?P<pk>[0-9]+)$"
+                    ),
+                    "pk",
+                ),
+                "0",  # root pages have no page number; story 0 by contract
+            )
+            story = pa.compute.cast(
+                pa.array(
+                    pk.cast(pa.int64()).to_numpy(zero_copy_only=False) % 97,
+                    pa.int64(),
+                ),
+                pa.string(),
+            )
+            aug = pa.compute.binary_join_element_wise(
+                t.column("text"),
+                "\nnav menu ",
+                host,
+                "\ncopyright ",
+                host,
+                "\nsyndicated wire story number ",
+                story,
+                " shared across publishers",
+                "",
+            )
+            return pa.table({"url": t.column("url"), "text": aug})
+
+        return ray.data.read_parquet(
+            info.pages_path, columns=["url", "text"]
+        ).map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+
+    def page_clean_pipeline(sf_dir):
+        # the line-family capstone: boilerplate strip → corpus-wide
+        # paragraph dedup → word gate, each stage re-exploding the previous
+        # stage's rebuilt string exactly as the chained SQL does. Injected
+        # footers vanish in stage 1 (≥3 docs/host), syndicated wire lines
+        # vanish in stage 1 where one host carries ≥3 copies and collapse
+        # to their min-(url,line_no) owner in stage 2 elsewhere, and the
+        # gate keeps ≥5-word lines. Six chained jobs, all bucketed — the
+        # 100TB shape is identical, only n_buckets grows.
+        from urlmap_ray.functions.lines import (
+            boilerplate_strip,
+            line_dedup,
+            line_filter,
+        )
+
+        def as_text(col):
+            def ren(t: pa.Table) -> pa.Table:
+                return pa.table({"url": t.column("url"), "text": t.column(col)})
+
+            return ren
+
+        cleaned = boilerplate_strip(_pages_with_wire(sf_dir), min_docs=3).map_batches(
+            as_text("text_clean"), batch_format="pyarrow", zero_copy_batch=True
+        )
+        deduped = line_dedup(cleaned).map_batches(
+            as_text("text_dedup"), batch_format="pyarrow", zero_copy_batch=True
+        )
+        gated = line_filter(deduped, min_words=5)
+
+        def final(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": t.column("url"),
+                    "text_final": t.column("text_filtered"),
+                    "n_final": t.column("n_kept"),
+                }
+            )
+
+        return gated.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
     def wet_docs(sf_dir):
         # the INPUT seam under the gate: documents round-tripped through
         # Common-Crawl-style WET archives (sources/warc.py conversion
@@ -1827,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "page_clean_pipeline": page_clean_pipeline,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -2377,6 +2466,76 @@ def oracle_sql() -> dict[str, str]:
         # RE2), explode (zipped unnest), keep rule, and ordered reassembly
         # in ANSI SQL — the owner key url||chr(1)||lpad(line_no,12,'0') is
         # the engine's exact min() contract
+        # line-family capstone: the SAME three stages chained through the
+        # rebuilt strings (each stage re-explodes the previous string_agg),
+        # injection = footers + syndicated wire story keyed page-number%97
+        # (missing page number → story 0 by contract)
+        "page_clean_pipeline": f"""
+            WITH p AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS host,
+                       text || chr(10) || 'nav menu '
+                            || regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                            || chr(10) || 'copyright '
+                            || regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                            || chr(10) || 'syndicated wire story number '
+                            || CAST(CAST(coalesce(nullif(
+                                   regexp_extract(url, '/p([0-9]+)$', 1), ''), '0')
+                                   AS BIGINT) % 97 AS VARCHAR)
+                            || ' shared across publishers'
+                           AS text
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), ex1 AS (
+                SELECT url, host,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1))
+                           AS line_no
+                FROM p
+            ), cnt AS (
+                SELECT host, line, count(DISTINCT url) AS ndocs
+                FROM ex1 GROUP BY 1, 2
+            ), s1 AS (
+                SELECT ex1.url,
+                       coalesce(string_agg(ex1.line, chr(10) ORDER BY ex1.line_no)
+                                FILTER (WHERE cnt.ndocs < 3), '') AS text
+                FROM ex1 JOIN cnt
+                    ON ex1.host = cnt.host AND ex1.line = cnt.line
+                GROUP BY ex1.url
+            ), ex2 AS (
+                SELECT url,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1))
+                           AS line_no
+                FROM s1
+            ), owned AS (
+                SELECT url, line_no, line,
+                       url || chr(1) || lpad(CAST(line_no AS VARCHAR), 12, '0')
+                           AS owner,
+                       min(url || chr(1)
+                               || lpad(CAST(line_no AS VARCHAR), 12, '0'))
+                           OVER (PARTITION BY line) AS min_owner
+                FROM ex2
+            ), s2 AS (
+                SELECT url,
+                       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                                FILTER (WHERE owner = min_owner), '') AS text
+                FROM owned GROUP BY url
+            ), ex3 AS (
+                SELECT url,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1))
+                           AS line_no
+                FROM s2
+            )
+            SELECT url,
+                   coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE len(string_split(line, ' ')) >= 5), '')
+                       AS text_final,
+                   CAST(count(*) FILTER (WHERE len(string_split(line, ' ')) >= 5)
+                        AS BIGINT) AS n_final
+            FROM ex3 GROUP BY url
+        """,
         "page_line_dedup": f"""
             WITH p AS (
                 SELECT url,

@@ -181,6 +181,7 @@ def run_bench() -> dict:
         "page_line_dedup",
         "page_boilerplate",
         "page_line_filter",
+        "page_clean_pipeline",
         "docs_source_filter",
     ):
         t0 = time.time()

@@ -190,3 +190,40 @@ def test_explode_lines_ordinals(ray_session):
     assert out.column("url").to_pylist() == ["u1", "u1", "u1", "u2"]
     assert out.column("line_no").to_pylist() == [1, 2, 3, 1]
     assert out.column("line").to_pylist() == ["a", "b", "c", "d"]
+
+
+def test_clean_pipeline_composition(ray_session):
+    # boilerplate → dedup → gate chained through the rebuilt strings: the
+    # per-host footer vanishes in stage 1, the cross-host syndicated line
+    # collapses to its min-(url, line_no) owner in stage 2, and the 2-word
+    # gate drops short leftovers in stage 3 — each stage re-explodes the
+    # previous stage's joined string (the page_clean_pipeline contract)
+    rows = [
+        ("http://a.com/1", "alpha beta gamma\nwire story line\nfooter a"),
+        ("http://a.com/2", "delta epsilon zeta\nfooter a"),
+        ("http://a.com/3", "eta theta iota\nfooter a"),
+        ("http://b.com/1", "kappa lambda mu\nwire story line\nshort"),
+    ]
+    cleaned = boilerplate_strip(_docs_ds(rows), min_docs=3, n_buckets=4)
+    as_text = lambda t: pa.table(
+        {"url": t.column("url"), "text": t.column("text_clean")}
+    )
+    deduped = line_dedup(
+        cleaned.map_batches(as_text, batch_format="pyarrow"), n_buckets=4
+    )
+    as_text2 = lambda t: pa.table(
+        {"url": t.column("url"), "text": t.column("text_dedup")}
+    )
+    got = _by_url(
+        line_filter(
+            deduped.map_batches(as_text2, batch_format="pyarrow"), min_words=2
+        ),
+        "text_filtered",
+    )
+    # footer a: ≥3 docs on host a → stripped there; absent on host b
+    # wire story line: survives boilerplate (1 doc/host), dedup keeps a.com/1
+    assert got["http://a.com/1"] == ("alpha beta gamma\nwire story line", 2, 2)
+    assert got["http://a.com/2"] == ("delta epsilon zeta", 1, 1)
+    assert got["http://a.com/3"] == ("eta theta iota", 1, 1)
+    # b.com/1 loses the wire line to dedup and "short" to the word gate
+    assert got["http://b.com/1"] == ("kappa lambda mu", 2, 1)

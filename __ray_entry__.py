@@ -343,6 +343,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_words=40,
         )
 
+    def doc_normalize(sf_dir):
+        # Unicode normalization gate: lower (utf8proc, = DuckDB lower, NOT
+        # str.lower) → NFC (= DuckDB nfc_normalize) → RE2 whitespace
+        # collapse → trim. The corpus text is pure ASCII, so the injection
+        # appends a deterministic non-ASCII suffix (É, ß, Σ cases, a
+        # combining acute that NFC must compose, a tab and double spaces)
+        # keyed doc_id % 7 — mirrored char-for-char in the oracle
+        import ray.data
+
+        from urlmap_ray.functions.textnorm import normalize_text
+
+        def inject(t: pa.Table) -> pa.Table:
+            k = pa.compute.cast(
+                pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False) % 7,
+                    pa.int64(),
+                ),
+                pa.string(),
+            )
+            aug = pa.compute.binary_join_element_wise(
+                t.column("text"),
+                " HDR  É\t",
+                k,
+                " Straße é ΣΊΣΥΦΟΣ",
+                "",
+            )
+            return pa.table({"doc_id": t.column("doc_id"), "text": aug})
+
+        return normalize_text(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+            ).map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
     def _pages_with_wire(sf_dir):
         # _pages_with_footer's injection PLUS a syndicated wire line keyed
         # by page-number % 97 — the same story text lands on ~60 pages
@@ -1916,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new this round / never driver-checked --
         "page_clean_pipeline": page_clean_pipeline,
+        "doc_normalize": doc_normalize,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -2824,6 +2859,32 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY lang ORDER BY h60, doc_id) AS rn
             FROM h
             QUALIFY rn <= 5
+        """,
+        # Unicode normalization: the pinned rule trim(regexp_replace(
+        # nfc_normalize(lower(x)), '[ \t\r\n]+', ' ', 'g'), ' ') — the
+        # injected suffix is built from chr() codes so both engines see the
+        # identical codepoints (201=É precomposed, 223=ß, 769=combining
+        # acute NFC must compose, 931/906/933/934/927=ΣΊΥΦΟ capitals)
+        "doc_normalize": """
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' HDR  ' || chr(201) || chr(9)
+                            || CAST(doc_id % 7 AS VARCHAR)
+                            || ' Stra' || chr(223) || 'e e' || chr(769) || ' '
+                            || chr(931) || chr(906) || chr(931) || chr(933)
+                            || chr(934) || chr(927) || chr(931)
+                           AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(lower(text)),
+                                       '[ \t\r\n]+', ' ', 'g'), ' ')
+                       AS text_norm,
+                   CAST(len(text) AS BIGINT) AS n_chars,
+                   CAST(len(trim(regexp_replace(nfc_normalize(lower(text)),
+                                                '[ \t\r\n]+', ' ', 'g'), ' '))
+                        AS BIGINT) AS n_chars_norm
+            FROM p
         """,
         "doc_token_counts": """
             SELECT doc_id,

@@ -343,6 +343,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_words=40,
         )
 
+    def recrawl_plan(sf_dir):
+        # adaptive re-crawl scheduling over two deterministic snapshots of
+        # the corpus: old = pages with page-number k % 13 != 3, new = pages
+        # with k % 13 != 7 and text || ' rev2' where k % 5 == 2 (root pages
+        # k=0 by the page_clean_pipeline contract) — so all four verdicts
+        # (unchanged / changed / new / gone) occur; oracle = FULL OUTER
+        # JOIN with the same CASE rule and literal periods
+        import ray.data
+
+        from urlmap_ray.functions.recrawl import recrawl_schedule
+
+        info = _corpus(sf_dir)
+
+        def snapshot(drop_mod: int, revise: bool):
+            def f(t: pa.Table) -> pa.Table:
+                k = pa.compute.fill_null(
+                    pa.compute.struct_field(
+                        pa.compute.extract_regex(
+                            t.column("url"), pattern=r"/p(?P<pk>[0-9]+)$"
+                        ),
+                        "pk",
+                    ),
+                    "0",
+                ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                keep = (k % 13) != drop_mod
+                text = t.column("text")
+                if revise:
+                    rev = pa.compute.binary_join_element_wise(text, " rev2", "")
+                    text = pa.compute.if_else(
+                        pa.array(k % 5 == 2), rev, text
+                    )
+                return pa.table({"url": t.column("url"), "text": text}).filter(
+                    pa.array(keep)
+                )
+
+            return ray.data.read_parquet(
+                info.pages_path, columns=["url", "text"]
+            ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+        return recrawl_schedule(snapshot(3, False), snapshot(7, True))
+
     def doc_normalize(sf_dir):
         # Unicode normalization gate: lower (utf8proc, = DuckDB lower, NOT
         # str.lower) → NFC (= DuckDB nfc_normalize) → RE2 whitespace
@@ -1951,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round / never driver-checked --
         "page_clean_pipeline": page_clean_pipeline,
         "doc_normalize": doc_normalize,
+        "recrawl_plan": recrawl_plan,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -2501,6 +2543,36 @@ def oracle_sql() -> dict[str, str]:
         # RE2), explode (zipped unnest), keep rule, and ordered reassembly
         # in ANSI SQL — the owner key url||chr(1)||lpad(line_no,12,'0') is
         # the engine's exact min() contract
+        # adaptive revisit policy: FULL OUTER JOIN of the two snapshot
+        # expressions, CASE rule with the engine's literal periods
+        # (base 86400: unchanged → 172800, changed → 43200, new → 3600,
+        # gone → 0)
+        "recrawl_plan": f"""
+            WITH pk AS (
+                SELECT url, text,
+                       CAST(coalesce(nullif(
+                            regexp_extract(url, '/p([0-9]+)$', 1), ''), '0')
+                            AS BIGINT) AS k
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), old AS (
+                SELECT url, text FROM pk WHERE k % 13 <> 3
+            ), new AS (
+                SELECT url,
+                       CASE WHEN k % 5 = 2 THEN text || ' rev2' ELSE text END
+                           AS text
+                FROM pk WHERE k % 13 <> 7
+            )
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'new'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   CAST(CASE WHEN o.url IS NULL THEN 3600
+                        WHEN n.url IS NULL THEN 0
+                        WHEN o.text = n.text THEN 172800
+                        ELSE 43200 END AS BIGINT) AS next_period_s
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url
+        """,
         # line-family capstone: the SAME three stages chained through the
         # rebuilt strings (each stage re-explodes the previous string_agg),
         # injection = footers + syndicated wire story keyed page-number%97

@@ -343,6 +343,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_words=40,
         )
 
+    def doc_lr_train(sf_dir):
+        # distributed quality-classifier TRAINING (the training half of
+        # doc_quality_model): full-batch logistic regression on hashed
+        # unigram+bigram features, label = (lang == 'en'); exact-integer
+        # gradients → BIT-identical to the single-process reference at
+        # any parallelism (the kmeans/PCA trust model)
+        import ray.data
+
+        from urlmap_ray.expected import ensure_lr_expected
+        from urlmap_ray.functions.lrtrain import lr_train_score
+
+        ensure_lr_expected(sf_dir)
+
+        def label(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "label",
+                pa.compute.cast(
+                    pa.compute.equal(t.column("lang"), "en"), pa.int64()
+                ),
+            )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        ).map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+        return lr_train_score(docs, label_col="label")
+
     def recrawl_plan(sf_dir):
         # adaptive re-crawl scheduling over two deterministic snapshots of
         # the corpus: old = pages with page-number k % 13 != 3, new = pages
@@ -1993,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_clean_pipeline": page_clean_pipeline,
         "doc_normalize": doc_normalize,
         "recrawl_plan": recrawl_plan,
+        "doc_lr_train": doc_lr_train,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -2810,6 +2838,10 @@ def oracle_sql() -> dict[str, str]:
         # distributed update is associative integer math; see clustering.py)
         "embedding_kmeans": "SELECT * FROM "
         "read_parquet('/tmp/urlmap_oracle/sf0.01/kmeans_k8i5.parquet')",
+        # Single-process LR-training reference — exact equality (gradients
+        # are integer sums of row-local quantized residuals; lrtrain.py)
+        "doc_lr_train": "SELECT * FROM "
+        "read_parquet('/tmp/urlmap_oracle/sf0.01/lr_i5.parquet')",
         "embedding_pca": "SELECT * FROM "
         "read_parquet('/tmp/urlmap_oracle/sf0.01/pca_k4.parquet')",
         "media_features": media_sql,

@@ -552,6 +552,34 @@ def ensure_pca_expected(sf_dir: str, *, k: int = 4, max_rows: int = 10_000) -> s
     return path
 
 
+def ensure_lr_expected(
+    sf_dir: str, *, iters: int = 5, max_rows: int = 10_000
+) -> str:
+    """Expected (doc_id, score_ppb, lr_pred) from the single-process
+    logistic-regression training reference (lrtrain.lr_reference) with
+    label = (lang == 'en'). The distributed path's gradients are exact
+    integer sums of row-local quantized residuals, so the match is
+    BIT-equality at any parallelism — the kmeans/PCA trust model."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, f"lr_i{iters}.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    if docs.num_rows > max_rows:
+        return path
+    import pyarrow.compute as pc
+
+    from .functions.lrtrain import lr_reference
+
+    docs = docs.append_column(
+        "label", pc.cast(pc.equal(docs.column("lang"), "en"), pa.int64())
+    )
+    _write_atomic(lr_reference(docs, iters=iters), path)
+    return path
+
+
 def ensure_link_stats_expected(info: CorpusInfo) -> str:
     """Expected one-row extraction-stats rollup (sum of per-page counters)."""
     path = expected_path(info, "page_link_stats")

@@ -343,6 +343,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_words=40,
         )
 
+    def sitemap_seeds(sf_dir):
+        # the sitemap INPUT seam driver-gated: a sitemap-index fixture over
+        # the corpus (entry rule k%3!=1, '#frag' doubles for k%7==0, junk
+        # schemes per shard — ensure_sitemap_fixture) read through
+        # read_sitemaps' index expansion, then the crawler's own
+        # validate/normalize funnel; oracle = the same k-rule in SQL
+        from urlmap_ray.corpus import ensure_sitemap_fixture
+        from urlmap_ray.sources.sitemap import read_sitemaps
+        from urlmap_ray.sources.sitemap import sitemap_seeds as _ss
+
+        info = _corpus(sf_dir)
+        return _ss(read_sitemaps(ensure_sitemap_fixture(info)))
+
+    def cdxj_plan(sf_dir):
+        # the capture-index INPUT seam driver-gated: CDXJ shards over the
+        # corpus (real page statuses, plus later 500-status re-captures for
+        # k%9==4 the filter must drop — ensure_cdxj_fixture) → the 200-only
+        # fetch plan through cdxj_seeds; oracle = status=200 urls in SQL
+        from urlmap_ray.corpus import ensure_cdxj_fixture
+        from urlmap_ray.sources.cdxj import cdxj_seeds
+
+        info = _corpus(sf_dir)
+        return cdxj_seeds(ensure_cdxj_fixture(info))
+
     def doc_lr_train(sf_dir):
         # distributed quality-classifier TRAINING (the training half of
         # doc_quality_model): full-batch logistic regression on hashed
@@ -2021,6 +2045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": doc_normalize,
         "recrawl_plan": recrawl_plan,
         "doc_lr_train": doc_lr_train,
+        "sitemap_seeds": sitemap_seeds,
+        "cdxj_plan": cdxj_plan,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -2571,6 +2597,26 @@ def oracle_sql() -> dict[str, str]:
         # RE2), explode (zipped unnest), keep rule, and ordered reassembly
         # in ANSI SQL — the owner key url||chr(1)||lpad(line_no,12,'0') is
         # the engine's exact min() contract
+        # the sitemap seam: the fixture lists every url with page-number
+        # k % 3 != 1 (the '#frag' doubles normalize back onto these; junk
+        # schemes are dropped by the validator)
+        "sitemap_seeds": f"""
+            SELECT DISTINCT url FROM (
+                SELECT url,
+                       CAST(coalesce(nullif(
+                            regexp_extract(url, '/p([0-9]+)$', 1), ''), '0')
+                            AS BIGINT) AS k
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ) WHERE k % 3 <> 1
+        """,
+        # the capture-index seam: the 200-status fetch plan is exactly the
+        # corpus pages whose real status is 200 (extra 500 re-captures and
+        # multi-capture urlkeys are filtered/deduped by cdxj_seeds)
+        "cdxj_plan": f"""
+            SELECT DISTINCT url
+            FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            WHERE status = 200
+        """,
         # adaptive revisit policy: FULL OUTER JOIN of the two snapshot
         # expressions, CASE rule with the engine's literal periods
         # (base 86400: unchanged → 172800, changed → 43200, new → 3600,

@@ -104,3 +104,42 @@ def test_seed_list_accepts_cdxj(tmp_path):
         "https://h00001.example.org/",
         "https://h00001.example.org/sec1/p5",
     ]
+
+
+def test_cdxj_fixture_rules_and_idempotence(ray_session):
+    # the driver-gated seam (cdxj_plan query): one capture per page at the
+    # real corpus status, later 500 re-captures for k%9==4 filtered by the
+    # 200-only plan; ensure() is cached-idempotent
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from urlmap_ray.corpus import corpus_for_sf_dir, ensure_cdxj_fixture
+    from urlmap_ray.sources.cdxj import cdxj_seeds, read_cdxj
+
+    info = corpus_for_sf_dir("/root/testdata/sf0.001")
+    paths = ensure_cdxj_fixture(info)
+    assert ensure_cdxj_fixture(info) == paths
+
+    rows = []
+    for f in sorted(os.listdir(info.pages_path)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(
+                os.path.join(info.pages_path, f), columns=["url", "status"]
+            )
+            rows += list(
+                zip(t.column("url").to_pylist(), t.column("status").to_pylist())
+            )
+
+    def k(u):
+        m = re.search(r"/p([0-9]+)$", u)
+        return int(m.group(1)) if m else 0
+
+    n_recaps = sum(1 for u, _ in rows if k(u) % 9 == 4)
+    total = read_cdxj(paths).count()
+    assert total == len(rows) + n_recaps  # every page + the 500 re-captures
+
+    got = sorted(r["url"] for r in cdxj_seeds(paths).take_all())
+    want = sorted({u for u, st in rows if st == 200})
+    assert got == want

@@ -77,3 +77,42 @@ def test_sitemap_seeds_validates_normalizes_dedups(ray_session, tmp_path):
         "https://a.org/other",
         "https://a.org/page",
     ]
+
+
+def test_sitemap_fixture_rules_and_idempotence(ray_session):
+    # the driver-gated seam (sitemap_seeds query): entry rule k%3!=1,
+    # '#frag' doubles merge under normalize, junk schemes dropped, and a
+    # second ensure() returns the cached index without rewriting
+    import os
+
+    from urlmap_ray.corpus import corpus_for_sf_dir, ensure_sitemap_fixture
+    from urlmap_ray.sources.sitemap import read_sitemaps, sitemap_seeds
+
+    info = corpus_for_sf_dir("/root/testdata/sf0.001")
+    index = ensure_sitemap_fixture(info)
+    mtime = os.path.getmtime(index)
+    assert ensure_sitemap_fixture(info) == index
+    assert os.path.getmtime(index) == mtime  # cached, not rewritten
+
+    got = sorted(
+        r["url"] for r in sitemap_seeds(read_sitemaps(index)).take_all()
+    )
+    import re
+
+    import pyarrow.parquet as pq
+
+    urls = []
+    for f in sorted(os.listdir(info.pages_path)):
+        if f.endswith(".parquet"):
+            urls += pq.read_table(
+                os.path.join(info.pages_path, f), columns=["url"]
+            ).column("url").to_pylist()
+
+    def k(u):
+        m = re.search(r"/p([0-9]+)$", u)
+        return int(m.group(1)) if m else 0
+
+    want = sorted({u for u in urls if k(u) % 3 != 1})
+    assert got == want
+    assert not any(u.startswith(("javascript:", "mailto:", "ftp:")) for u in got)
+    assert not any("#" in u for u in got)

@@ -532,6 +532,128 @@ def ensure_warc_fixture(
     return paths
 
 
+def _page_keys(urls: list[str]) -> list[int]:
+    """Page-number key per url: trailing /p<digits> else 0 (the
+    page_clean_pipeline contract, mirrored in every fixture oracle)."""
+    import re
+
+    out = []
+    for u in urls:
+        m = re.search(r"/p([0-9]+)$", u)
+        out.append(int(m.group(1)) if m else 0)
+    return out
+
+
+def ensure_sitemap_fixture(
+    info: CorpusInfo, cache_root: str = "/tmp/urlmap_corpus", n_shards: int = 4
+) -> str:
+    """Materialize a sitemap-index fixture over the page corpus and return
+    the INDEX path (reading it exercises read_sitemaps' index expansion).
+
+    Entry rule (pinned; the sitemap_seeds oracle mirrors it in SQL):
+    every page url with page-number k % 3 != 1 is listed once; urls with
+    k % 7 == 0 among those are listed AGAIN with a '#frag' suffix (the
+    normalize funnel must merge them); each shard also carries junk
+    entries (javascript:/mailto:/relative/ftp) the validator must drop.
+    Shard rule: k % n_shards. So distinct seeds == {url : k % 3 != 1}."""
+    import pyarrow.parquet as _pq
+
+    from .sources.sitemap import write_sitemap, write_sitemap_index
+
+    name = os.path.basename(os.path.normpath(info.dir))
+    out_dir = os.path.join(cache_root, "sitemap", name)
+    marker = os.path.join(out_dir, "_complete")
+    index = os.path.join(out_dir, "sitemap-index.xml")
+    if os.path.exists(marker):
+        return index
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = sorted(
+        f for f in os.listdir(info.pages_path) if f.endswith(".parquet")
+    )
+    urls: list[str] = []
+    for b in buckets:
+        urls.extend(
+            _pq.read_table(os.path.join(info.pages_path, b), columns=["url"])
+            .column("url")
+            .to_pylist()
+        )
+    urls.sort()
+    keys = _page_keys(urls)
+    junk = ["javascript:alert(1)", "mailto:ops@example.org", "not a url", "ftp://files.example.org/a"]
+    shard_paths = []
+    for s in range(n_shards):
+        entries = [u for u, k in zip(urls, keys) if k % 3 != 1 and k % n_shards == s]
+        entries += [
+            u + "#frag"
+            for u, k in zip(urls, keys)
+            if k % 3 != 1 and k % 7 == 0 and k % n_shards == s
+        ]
+        entries += junk
+        p = os.path.join(out_dir, f"sitemap-{s:03d}.xml")
+        tmp = f"{p}.tmp-{os.getpid()}"
+        write_sitemap(entries, tmp, compress=False)
+        os.replace(tmp, p)
+        shard_paths.append(p)
+    itmp = f"{index}.tmp-{os.getpid()}"
+    write_sitemap_index(shard_paths, itmp)
+    os.replace(itmp, index)
+    mtmp = f"{marker}.tmp-{os.getpid()}"
+    open(mtmp, "w").close()
+    os.replace(mtmp, marker)
+    return index
+
+
+def ensure_cdxj_fixture(
+    info: CorpusInfo, cache_root: str = "/tmp/urlmap_corpus", n_shards: int = 4
+) -> list[str]:
+    """Materialize a CDXJ capture-index fixture over the page corpus and
+    return the shard file list.
+
+    Capture rule (pinned; the cdxj_plan oracle mirrors it in SQL): one
+    capture per page at ts 20240101000000 with the page's REAL corpus
+    status; pages with page-number k % 9 == 4 get a second 500-status
+    capture at a later ts (multi-capture urlkeys the status filter must
+    drop). Shard rule: k % n_shards. So the 200-status fetch plan ==
+    {url : status == 200}."""
+    import pyarrow.parquet as _pq
+
+    from .sources.cdxj import write_cdxj
+
+    name = os.path.basename(os.path.normpath(info.dir))
+    out_dir = os.path.join(cache_root, "cdxj", name)
+    marker = os.path.join(out_dir, "_complete")
+    paths = [os.path.join(out_dir, f"captures-{s:03d}.cdxj.gz") for s in range(n_shards)]
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = sorted(
+        f for f in os.listdir(info.pages_path) if f.endswith(".parquet")
+    )
+    rows: list[tuple[str, int]] = []
+    for b in buckets:
+        t = _pq.read_table(
+            os.path.join(info.pages_path, b), columns=["url", "status"]
+        )
+        rows.extend(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    rows.sort()
+    keys = _page_keys([u for u, _ in rows])
+    for s, path in enumerate(paths):
+        caps = []
+        for (u, st), k in zip(rows, keys):
+            if k % n_shards != s:
+                continue
+            caps.append({"url": u, "ts": "20240101000000", "status": int(st)})
+            if k % 9 == 4:
+                caps.append({"url": u, "ts": "20240601000000", "status": 500})
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_cdxj(caps, tmp, compress=True)
+        os.replace(tmp, path)
+    mtmp = f"{marker}.tmp-{os.getpid()}"
+    open(mtmp, "w").close()
+    os.replace(mtmp, marker)
+    return paths
+
+
 def corpus_for_sf_dir(
     sf_dir: str,
     cache_root: str = "/tmp/urlmap_corpus",

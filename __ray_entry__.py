@@ -343,6 +343,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_words=40,
         )
 
+    def robots_rules(sf_dir):
+        # the robots PARSER seam driver-gated (F9-F12, robots.go parity):
+        # per-origin rule rollup through urlmap_ray.robotstxt.parse_robots
+        # over the corpus robots bodies PLUS an adversarial injected
+        # suffix (comments, colon-less junk, '  ALLOW :' casing/spacing, a
+        # non-numeric crawl-delay the numeric gate must drop, Sitemap
+        # lines, a trailing otherbot group our UA must ignore) — the
+        # oracle re-implements the line machine in SQL (window last
+        # user-agent, same UA-match and numeric rules)
+        import re as _re
+
+        import ray.data
+
+        from urlmap_ray.robotstxt import parse_robots
+
+        info = _corpus(sf_dir)
+
+        def rollup(t: pa.Table) -> pa.Table:
+            origins = t.column("origin").to_pylist()
+            contents = t.column("content").to_pylist()
+            n_allow, n_dis, delay_ms, n_sm = [], [], [], []
+            for o, c in zip(origins, contents):
+                k = int(_re.search(r"h(\d+)", o).group(1))
+                extra = ["# synthetic audit suffix", "badline without colon"]
+                if k % 3 == 0:
+                    extra.append(f"  ALLOW : /sec{k % 4}/ok")
+                extra.append("Crawl-delay: nonsense")
+                if k % 2 == 0:
+                    extra.append(f"Sitemap: {o}/sitemap.xml")
+                if k % 5 == 0:
+                    extra += ["User-agent: otherbot", "Disallow: /private"]
+                d = parse_robots((c or "") + "\n" + "\n".join(extra) + "\n", "urlmap")
+                n_allow.append(sum(1 for r in d.rules if r.directive == "Allow"))
+                n_dis.append(sum(1 for r in d.rules if r.directive == "Disallow"))
+                delay_ms.append(int(round(d.crawl_delay_s * 1000)))
+                n_sm.append(len(d.sitemaps))
+            return pa.table(
+                {
+                    "origin": t.column("origin"),
+                    "n_allow": pa.array(n_allow, pa.int64()),
+                    "n_disallow": pa.array(n_dis, pa.int64()),
+                    "crawl_delay_ms": pa.array(delay_ms, pa.int64()),
+                    "n_sitemaps": pa.array(n_sm, pa.int64()),
+                }
+            )
+
+        return ray.data.read_parquet(info.robots_path).map_batches(
+            rollup, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def sitemap_seeds(sf_dir):
         # the sitemap INPUT seam driver-gated: a sitemap-index fixture over
         # the corpus (entry rule k%3!=1, '#frag' doubles for k%7==0, junk
@@ -2047,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lr_train": doc_lr_train,
         "sitemap_seeds": sitemap_seeds,
         "cdxj_plan": cdxj_plan,
+        "robots_rules": robots_rules,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -2597,6 +2648,75 @@ def oracle_sql() -> dict[str, str]:
         # RE2), explode (zipped unnest), keep rule, and ordered reassembly
         # in ANSI SQL — the owner key url||chr(1)||lpad(line_no,12,'0') is
         # the engine's exact min() contract
+        # the robots parser as a SQL line machine: same injection rule by
+        # host number k, last-user-agent window, UA-match '*' or substring
+        # of 'urlmap', numeric crawl-delay regex, last numeric wins
+        "robots_rules": f"""
+            WITH r AS (
+                SELECT origin, content,
+                       CAST(regexp_extract(origin, 'h([0-9]+)', 1) AS BIGINT)
+                           AS k
+                FROM read_parquet('{SF001_CORPUS_DIR}/robots.parquet')
+            ), aug AS (
+                SELECT origin,
+                       content || chr(10) || '# synthetic audit suffix'
+                               || chr(10) || 'badline without colon'
+                               || CASE WHEN k % 3 = 0 THEN chr(10)
+                                    || '  ALLOW : /sec' || CAST(k % 4 AS VARCHAR)
+                                    || '/ok' ELSE '' END
+                               || chr(10) || 'Crawl-delay: nonsense'
+                               || CASE WHEN k % 2 = 0 THEN chr(10)
+                                    || 'Sitemap: ' || origin || '/sitemap.xml'
+                                    ELSE '' END
+                               || CASE WHEN k % 5 = 0 THEN chr(10)
+                                    || 'User-agent: otherbot' || chr(10)
+                                    || 'Disallow: /private' ELSE '' END
+                               || chr(10)
+                           AS content
+                FROM r
+            ), lines AS (
+                SELECT origin,
+                       trim(unnest(string_split(content, chr(10)))) AS line,
+                       unnest(range(1, len(string_split(content, chr(10))) + 1))
+                           AS ln
+                FROM aug
+            ), parsed AS (
+                SELECT origin, ln,
+                       lower(trim(substr(line, 1, strpos(line, ':') - 1)))
+                           AS directive,
+                       trim(substr(line, strpos(line, ':') + 1)) AS value
+                FROM lines
+                WHERE line <> '' AND NOT starts_with(line, '#')
+                      AND strpos(line, ':') > 0
+            ), ua AS (
+                SELECT *,
+                       last_value(CASE WHEN directive = 'user-agent'
+                                       THEN value END IGNORE NULLS)
+                           OVER (PARTITION BY origin ORDER BY ln
+                                 ROWS UNBOUNDED PRECEDING) AS cur_ua
+                FROM parsed
+            ), m AS (
+                SELECT *,
+                       (cur_ua IS NOT NULL AND cur_ua <> ''
+                        AND (cur_ua = '*'
+                             OR strpos('urlmap', lower(cur_ua)) > 0))
+                           AS ua_ok
+                FROM ua
+            )
+            SELECT origin,
+                   CAST(count(*) FILTER (WHERE directive = 'allow' AND ua_ok)
+                        AS BIGINT) AS n_allow,
+                   CAST(count(*) FILTER (WHERE directive = 'disallow' AND ua_ok)
+                        AS BIGINT) AS n_disallow,
+                   CAST(coalesce(round(CAST(arg_max(value, ln)
+                            FILTER (WHERE directive = 'crawl-delay' AND ua_ok
+                                    AND regexp_full_match(value,
+                                        '[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)'))
+                            AS DOUBLE) * 1000), 0) AS BIGINT) AS crawl_delay_ms,
+                   CAST(count(*) FILTER (WHERE directive = 'sitemap')
+                        AS BIGINT) AS n_sitemaps
+            FROM m GROUP BY origin
+        """,
         # the sitemap seam: the fixture lists every url with page-number
         # k % 3 != 1 (the '#frag' doubles normalize back onto these; junk
         # schemes are dropped by the validator)

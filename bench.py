@@ -183,6 +183,12 @@ def run_bench() -> dict:
         "page_line_filter",
         "page_clean_pipeline",
         "docs_source_filter",
+        "doc_normalize",
+        "recrawl_plan",
+        "doc_lr_train",
+        "sitemap_seeds",
+        "cdxj_plan",
+        "robots_rules",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

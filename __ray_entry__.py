@@ -732,6 +732,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.degrees(pages, nodes).sort("url")
 
+    def page_triangles(sf_dir):
+        # per-node triangle participation + local clustering coefficient,
+        # degree-ordered (wedges only at oriented out-neighborhoods, O(√m)
+        # each — hub-safe); every stage a bucketed exchange; oracle = the
+        # classic three-way self-join over the page_edges ground truth
+        from urlmap_ray.functions import graph as gr
+
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.triangle_counts(pages, nodes).sort("url")
+
     def page_components(sf_dir):
         # weakly-connected components of the link graph (site clusters):
         # hash urls → star-round CC (hybrid driver union-find at toy
@@ -2098,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_seeds": sitemap_seeds,
         "cdxj_plan": cdxj_plan,
         "robots_rules": robots_rules,
+        "page_triangles": page_triangles,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -2973,6 +2984,38 @@ def oracle_sql() -> dict[str, str]:
         # path under test is the shuffle-free edge build, the one-key
         # degree exchange, and the bucketed deterministic rank iteration
         "page_edges": f"SELECT * FROM read_parquet('{_exp('page_edges')}')",
+        # triangles: three-way self-join over the undirected closure of the
+        # page_edges ground truth; clustering = integer floor division on
+        # both sides (DuckDB // == numpy // for non-negative int64)
+        "page_triangles": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{_exp('page_edges')}') WHERE src <> dst
+            ), deg AS (
+                SELECT url, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS url FROM und UNION ALL SELECT b FROM und)
+                GROUP BY url
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), pern AS (
+                SELECT url, CAST(count(*) AS BIGINT) AS n_tri
+                FROM (SELECT x AS url FROM tri UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+                GROUP BY url
+            )
+            SELECT p.url,
+                   coalesce(n.n_tri, 0) AS n_tri,
+                   coalesce(d.deg, 0) AS deg,
+                   CASE WHEN coalesce(d.deg, 0) >= 2
+                        THEN (2 * coalesce(n.n_tri, 0) * 1000000000)
+                             // (d.deg * (d.deg - 1))
+                        ELSE 0 END AS clustering_ppb
+            FROM (SELECT url
+                  FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')) p
+            LEFT JOIN deg d USING (url) LEFT JOIN pern n USING (url)
+        """,
         "page_degrees": f"SELECT * FROM read_parquet('{_exp('page_degrees')}')",
         # single-process union-find over the page_edges ground truth, same
         # 63-bit url-hash labels as the distributed star rounds

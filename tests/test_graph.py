@@ -233,3 +233,46 @@ def test_anchor_text_index_counts_and_tiebreak(ray_session):
     u = out["u"]
     assert u["n_refs"] == 2 and u["n_unique_anchors"] == 1
     assert u["top_anchor"] == "x" and u["top_anchor_count"] == 2
+
+
+def test_triangle_counts_known_graph(ray_session):
+    # K4 on a,b,c,d (4 triangles, each node in 3, deg 3 → C=1) plus a
+    # pendant e–a (deg(a)=4, C(a)=3/6) and an isolated node f
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.graph import triangle_counts
+
+    urls = [f"https://x.org/{c}" for c in "abcdef"]
+    a, b, c, d, e, f = urls
+    und = [(a, b), (a, c), (a, d), (b, c), (b, d), (c, d), (e, a)]
+    # feed as a fake "pages" edge set: build pages html with hrefs
+    links = {u: [] for u in urls}
+    for s, t in und:
+        links[s].append(t)  # one direction is enough — undirect dedups
+    links[b].append(a)  # and a reverse duplicate must not double-count
+
+    def html(u):
+        return "<html><body>" + "".join(
+            f'<a href="{t}">x</a>' for t in links[u]
+        ) + "</body></html>"
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array([html(u).encode() for u in urls], pa.binary()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    for buckets in (1, 7):
+        out = {
+            r["url"]: (r["n_tri"], r["deg"], r["clustering_ppb"])
+            for r in triangle_counts(pages, nodes, n_buckets=buckets).take_all()
+        }
+        assert out[a] == (3, 4, (2 * 3 * 10**9) // (4 * 3))
+        for u in (b, c, d):
+            assert out[u] == (3, 3, 10**9)
+        assert out[e] == (0, 1, 0)
+        assert out[f] == (0, 0, 0)

@@ -82,6 +82,7 @@ __all__ = [
     "pagerank_reference",
     "hits",
     "hits_reference",
+    "triangle_counts",
     "SHUFFLE_MODE_NODES",
 ]
 
@@ -1673,3 +1674,354 @@ def anchor_text_index(pairs_ds, *, dst_col: str = "dst", anchor_col: str = "anch
         .groupby(dst_col)
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / clustering coefficient
+
+_TRI_SEP = "\x01"
+
+
+def _tri_bucket(col, n_buckets: int) -> pa.Array:
+    from .sketch import hash64_column
+
+    return pa.array(
+        (hash64_column(col) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+    )
+
+
+def _tri_run_pairs(run_starts: np.ndarray, run_lens: np.ndarray):
+    """All within-run unordered index pairs (i < j), vectorized per
+    DISTINCT run length: one ``np.triu_indices`` per distinct degree,
+    broadcast over every run of that length — the Python loop is over
+    O(√m) distinct degrees, never over runs or pairs."""
+    out_i, out_j = [], []
+    for d in np.unique(run_lens):
+        if d < 2:
+            continue
+        sel = run_starts[run_lens == d]
+        ti, tj = np.triu_indices(int(d), k=1)
+        out_i.append((sel[:, None] + ti[None, :]).ravel())
+        out_j.append((sel[:, None] + tj[None, :]).ravel())
+    if not out_i:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def triangle_counts(
+    pages_ds,
+    nodes,
+    *,
+    membership: str = "auto",
+    n_buckets: int = _MAP_BUCKETS,
+):
+    """Per-node triangle participation + local clustering coefficient over
+    the undirected corpus link graph → (url, n_tri, deg, clustering_ppb).
+
+    The classic degree-ordered formulation (node-iterator++ / the GraphX
+    triangleCount shape): orient every undirected edge from its lower
+    (degree, url) endpoint to the higher, enumerate wedges only at each
+    node's ORIENTED out-neighborhood — whose size is O(√m) by the
+    degree-ordering bound, so hub nodes cannot explode the wedge set —
+    and close each wedge against the oriented edge set. Each triangle is
+    found exactly once (at its unique (deg, url)-minimal apex).
+
+    Every stage is a bucketed exchange (groupby(hash % B), never one
+    group per key): undirected dedup, degree sum, one FUSED degree
+    attach (each edge enters twice, recombined by an exact int64
+    hash-agg — the collocations pattern), adjacency grouping + wedge
+    generation, wedge⋈edge closing, and the final per-node fold. Inside
+    buckets everything is Arrow sorts + run-boundary numpy; the wedge
+    pair generation vectorizes per distinct degree (``_tri_run_pairs``).
+
+    ``clustering_ppb = (2·n_tri·10^9) // (deg·(deg−1))`` — integer floor
+    division, mirrored exactly by SQL ``//`` (documented int64 bound:
+    per-node n_tri < 4.6·10^9; beyond that carry the division in Python
+    ints). Dangling nodes keep (0, 0, 0) rows.
+    """
+    edges = build_edges(pages_ds, nodes, membership=membership, n_buckets=n_buckets)
+
+    # -- stage A: undirected distinct edges (one exchange) ------------------
+    def undirect(t: pa.Table) -> pa.Table:
+        src, dst = t.column("src"), t.column("dst")
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        lt = pc.less(src, dst)
+        a = pc.if_else(lt, src, dst)
+        b = pc.if_else(lt, dst, src)
+        key = pc.binary_join_element_wise(a, b, _TRI_SEP)
+        return pa.table(
+            {"a": a, "b": b, "ebk": _tri_bucket(key, n_buckets)}
+        )
+
+    def dedup_ab(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        d = g.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+        return d
+
+    und = (
+        edges.map_batches(undirect, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ebk")
+        .map_groups(dedup_ab, batch_format="pyarrow")
+        .materialize()  # reused by degree, attach and closing stages
+    )
+
+    # -- stage B: undirected degrees (one exchange, partial-agg'd) ---------
+    def deg_partials(t: pa.Table) -> pa.Table:
+        both = pa.table(
+            {"url": pa.concat_arrays([_ca(t.column("a")), _ca(t.column("b"))])}
+        )
+        p = both.group_by(["url"]).aggregate([([], "count_all")])
+        return p.rename_columns(["url", "dpart"])
+
+    def node_zeros(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "dpart": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    deg = (
+        und.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .union(nodes.map_batches(node_zeros, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("url")
+        .sum("dpart")
+        .map_batches(
+            lambda t: t.rename_columns(["url", "deg"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    # -- stage C: fused degree attach + orientation (two exchanges) --------
+    def edge_halves(t: pa.Table) -> pa.Table:
+        # each edge enters twice: keyed by a (side 1) and by b (side 2)
+        a, b = _ca(t.column("a")), _ca(t.column("b"))
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.ones(len(a), np.int8), np.full(len(b), 2, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "kbk": _tri_bucket(pa.concat_arrays([a, b]), n_buckets),
+            }
+        )
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("url"),
+                "a": t.column("url"),
+                "b": pa.nulls(t.num_rows, pa.string()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+                "kbk": _tri_bucket(t.column("url"), n_buckets),
+                "deg": t.column("deg"),
+            }
+        )
+
+    halves = und.map_batches(
+        edge_halves, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.append_column("deg", pa.nulls(t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    unioned = halves.union(
+        deg.map_batches(deg_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        dmask = side == 0
+        dkeys = _ca(g.column("key").filter(pa.array(dmask)))
+        dvals = (
+            g.column("deg")
+            .filter(pa.array(dmask))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        e = g.filter(pa.array(~dmask))
+        pos = pc.index_in(e.column("key"), value_set=dkeys)
+        got = dvals[pos.to_numpy(zero_copy_only=False).astype(np.int64)]
+        es = e.column("side").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": e.column("a"),
+                "b": e.column("b"),
+                "deg_a_p": pa.array(np.where(es == 1, got, 0), pa.int64()),
+                "deg_b_p": pa.array(np.where(es == 2, got, 0), pa.int64()),
+            }
+        )
+
+    attached = (
+        unioned.groupby("kbk")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .sum(["deg_a_p", "deg_b_p"])
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "deg_a", "deg_b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    # -- orient: u → v from lower (deg, url) to higher ----------------------
+    def orient(t: pa.Table) -> pa.Table:
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        a_lt = pc.less(t.column("a"), t.column("b")).to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & a_lt)
+        af = pa.array(a_first)
+        u = pc.if_else(af, t.column("a"), t.column("b"))
+        v = pc.if_else(af, t.column("b"), t.column("a"))
+        dv = np.where(a_first, db, da).astype(np.int64)
+        return pa.table(
+            {
+                "u": u,
+                "v": v,
+                "deg_v": pa.array(dv, pa.int64()),
+                "ubk": _tri_bucket(u, n_buckets),
+            }
+        )
+
+    oriented = attached.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # -- stage D: adjacency grouping → wedge generation (one exchange) -----
+    def wedges(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "x": pa.array([], pa.string()),
+                "y": pa.array([], pa.string()),
+                "apex": pa.array([], pa.string()),
+            }
+        )
+        if not n:
+            return empty
+        order = pc.sort_indices(
+            g, sort_keys=[("u", "ascending"), ("deg_v", "ascending"), ("v", "ascending")]
+        )
+        u_s = _ca(g.column("u")).take(order)
+        v_s = _ca(g.column("v")).take(order)
+        starts = np.flatnonzero(_tri_run_starts(u_s))
+        lens = np.diff(np.append(starts, n))
+        i_idx, j_idx = _tri_run_pairs(starts, lens)
+        if not len(i_idx):
+            return empty
+        x = v_s.take(pa.array(i_idx, pa.int64()))
+        y = v_s.take(pa.array(j_idx, pa.int64()))
+        apex = u_s.take(pa.array(i_idx, pa.int64()))
+        # (x, y) is already canonical: neighbors sorted by (deg, url) is
+        # exactly the edge-orientation order, so the closing edge is x→y
+        key = pc.binary_join_element_wise(x, y, _TRI_SEP)
+        return pa.table({"key": key, "x": x, "y": y, "apex": apex})
+
+    wedge_rows = (
+        oriented.groupby("ubk")
+        .map_groups(wedges, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("wbk", _tri_bucket(t.column("key"), n_buckets)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t.column("u"), t.column("v"), _TRI_SEP)
+        return pa.table(
+            {
+                "key": key,
+                "x": pa.nulls(t.num_rows, pa.string()),
+                "y": pa.nulls(t.num_rows, pa.string()),
+                "apex": pa.nulls(t.num_rows, pa.string()),
+                "wbk": _tri_bucket(key, n_buckets),
+            }
+        )
+
+    closing = wedge_rows.union(
+        oriented.map_batches(edge_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    # -- stage E: close wedges against edges (one exchange) ----------------
+    def close(g: pa.Table) -> pa.Table:
+        is_edge = pc.is_null(g.column("apex"))
+        ekeys = _ca(g.column("key").filter(is_edge))
+        w = g.filter(pc.invert(is_edge))
+        if not w.num_rows or not len(ekeys):
+            return pa.table({"url": pa.array([], pa.string()), "tpart": pa.array([], pa.int64())})
+        hit = pc.is_in(w.column("key"), value_set=ekeys)
+        tri = w.filter(hit)
+        urls = pa.concat_arrays(
+            [_ca(tri.column("apex")), _ca(tri.column("x")), _ca(tri.column("y"))]
+        )
+        p = pa.table({"url": urls}).group_by(["url"]).aggregate([([], "count_all")])
+        return p.rename_columns(["url", "tpart"])
+
+    tri_parts = closing.groupby("wbk").map_groups(close, batch_format="pyarrow")
+
+    # -- stage F: per-node fold + clustering coefficient (one exchange) ----
+    def tri_pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "tpart": t.column("tpart").cast(pa.int64()),
+                "dpart": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def deg_pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "tpart": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "dpart": t.column("deg"),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tri = t.column("sum(tpart)").to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = t.column("sum(dpart)").to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = dg * (dg - 1)
+        ppb = np.where(denom >= 2, (2 * tri * 1_000_000_000) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "n_tri": pa.array(tri, pa.int64()),
+                "deg": pa.array(dg, pa.int64()),
+                "clustering_ppb": pa.array(ppb.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        tri_parts.map_batches(tri_pad, batch_format="pyarrow", zero_copy_batch=True)
+        .union(deg.map_batches(deg_pad, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("url")
+        .sum(["tpart", "dpart"])
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _ca(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _tri_run_starts(sorted_arr: pa.Array) -> np.ndarray:
+    n = len(sorted_arr)
+    starts = np.ones(n, dtype=bool)
+    if n > 1:
+        starts[1:] = pc.not_equal(
+            sorted_arr.slice(1), sorted_arr.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    return starts

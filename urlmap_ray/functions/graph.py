@@ -1903,8 +1903,6 @@ def triangle_counts(
         empty = pa.table(
             {
                 "key": pa.array([], pa.string()),
-                "x": pa.array([], pa.string()),
-                "y": pa.array([], pa.string()),
                 "apex": pa.array([], pa.string()),
             }
         )
@@ -1924,9 +1922,11 @@ def triangle_counts(
         y = v_s.take(pa.array(j_idx, pa.int64()))
         apex = u_s.take(pa.array(i_idx, pa.int64()))
         # (x, y) is already canonical: neighbors sorted by (deg, url) is
-        # exactly the edge-orientation order, so the closing edge is x→y
+        # exactly the edge-orientation order, so the closing edge is x→y.
+        # Only (key, apex) cross the exchange — x/y are recovered from the
+        # key after the close, keeping the widest exchange ~40% narrower.
         key = pc.binary_join_element_wise(x, y, _TRI_SEP)
-        return pa.table({"key": key, "x": x, "y": y, "apex": apex})
+        return pa.table({"key": key, "apex": apex})
 
     wedge_rows = (
         oriented.groupby("ubk")
@@ -1943,8 +1943,6 @@ def triangle_counts(
         return pa.table(
             {
                 "key": key,
-                "x": pa.nulls(t.num_rows, pa.string()),
-                "y": pa.nulls(t.num_rows, pa.string()),
                 "apex": pa.nulls(t.num_rows, pa.string()),
                 "wbk": _tri_bucket(key, n_buckets),
             }
@@ -1963,9 +1961,9 @@ def triangle_counts(
             return pa.table({"url": pa.array([], pa.string()), "tpart": pa.array([], pa.int64())})
         hit = pc.is_in(w.column("key"), value_set=ekeys)
         tri = w.filter(hit)
-        urls = pa.concat_arrays(
-            [_ca(tri.column("apex")), _ca(tri.column("x")), _ca(tri.column("y"))]
-        )
+        parts = pc.split_pattern(_ca(tri.column("key")), _TRI_SEP)
+        xy = pc.list_flatten(parts)
+        urls = pa.concat_arrays([_ca(tri.column("apex")), _ca(xy)])
         p = pa.table({"url": urls}).group_by(["url"]).aggregate([([], "count_all")])
         return p.rename_columns(["url", "tpart"])
 

@@ -2093,6 +2093,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         row = ds.aggregate(*[Sum(f, alias_name=f"sum_{f}") for f in STATS_FIELDS])
         return pa.table({k: [v] for k, v in row.items()})
 
+    def page_reach(sf_dir):
+        # bounded-radius multi-source BFS distances from the crawl seed —
+        # the graph analog of the depth-limited crawl (M4) over the full
+        # link graph (no same-domain/robots gating). radius=4 bounds the
+        # rounds the toy-scale bench pays, mirroring --max-depth; the
+        # oracle is a pure recursive CTE over the page_edges ground truth
+        from urlmap_ray.functions import graph as gr
+
+        info = _corpus(sf_dir)
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.bfs_distances(pages, nodes, [info.seeds[0]], radius=4).sort("url")
+
+    def page_kcore(sf_dir):
+        # k-core membership (k=3) of the undirected link graph: iterative
+        # peeling, broadcast survivor set at toy scale / bucketed
+        # semi-joins above SHUFFLE_MODE_NODES (graph.py kcore docstring)
+        from urlmap_ray.expected import ensure_kcore_expected
+        from urlmap_ray.functions import graph as gr
+
+        info = _corpus(sf_dir)
+        ensure_kcore_expected(info, k=3)
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.kcore(pages, nodes, k=3).sort("url")
+
+    def docs_weighted(sf_dir):
+        # deterministic weighted (byte-length-proportional) sample without
+        # replacement — the training-mixture reweighting primitive; the
+        # u/w priority is one IEEE division, bit-identical to the SQL side
+        return sp.weighted_priority_sample(
+            _docs_slim(sf_dir), k=50, salt="ws1"
+        ).sort("doc_id")
+
     # Registration order = driver-evidence rotation (VERDICT r3 #7): the
     # driver re-checks a prefix of this dict each round, so entries the
     # driver has NEVER checked come first (new this round, then the
@@ -2101,6 +2133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "page_reach": page_reach,
+        "page_kcore": page_kcore,
+        "docs_weighted": docs_weighted,
         "page_clean_pipeline": page_clean_pipeline,
         "doc_normalize": doc_normalize,
         "recrawl_plan": recrawl_plan,
@@ -2460,7 +2495,12 @@ def oracle_sql() -> dict[str, str]:
     # single-process ground truth materialized as Parquet by the query
     # callables (urlmap_ray/expected.py — the driver runs the query before
     # the SQL, and the gate runs at sf=0.01, hence the hardcoded path).
+    from urlmap_ray.corpus import host_name
     from urlmap_ray.expected import SF001_CORPUS_DIR, expected_file
+
+    # the sf0.01 crawl seed (corpus.py pins seeds[0] = host 0's root; the
+    # page_reach oracle needs it as a literal)
+    _seed = f"https://{host_name(0)}/"
 
     def _exp(name: str) -> str:
         return expected_file(SF001_CORPUS_DIR, name)
@@ -3017,6 +3057,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN deg d USING (url) LEFT JOIN pern n USING (url)
         """,
         "page_degrees": f"SELECT * FROM read_parquet('{_exp('page_degrees')}')",
+        # bounded-radius BFS from the crawl seed: a pure recursive CTE over
+        # the page_edges ground truth — the one graph oracle SQL itself can
+        # iterate (UNION-dedup on (url, dist) pairs, dist-capped), so the
+        # distributed wave loop is checked against the SQL engine's own
+        # fixpoint rather than a Python reference
+        "page_reach": f"""
+            WITH RECURSIVE bfs AS (
+                SELECT '{_seed}' AS url, 0 AS dist
+                UNION
+                SELECT e.dst, bfs.dist + 1
+                FROM bfs JOIN read_parquet('{_exp('page_edges')}') e
+                     ON e.src = bfs.url
+                WHERE bfs.dist < 4
+            )
+            SELECT url, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY url ORDER BY url
+        """,
+        # single-process synchronous peeling over the page_edges ground
+        # truth (expected.py ensure_kcore_expected), same k
+        "page_kcore": f"SELECT * FROM read_parquet('{_exp('page_kcore3')}')",
         # single-process union-find over the page_edges ground truth, same
         # 63-bit url-hash labels as the distributed star rounds
         "page_components": f"SELECT * FROM read_parquet('{_exp('page_components')}')",
@@ -3061,6 +3121,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('s1' || coalesce(text, '')), 1, 8)) AS BIGINT)
                   < 429496729
+        """,
+        # weighted sample: priority = u52 / (byte length + 1) is a single
+        # IEEE double division over exactly-representable operands — numpy
+        # and DuckDB produce bit-identical doubles (sampling.py
+        # weighted_priority_sample docstring)
+        "docs_weighted": """
+            WITH pr AS (
+                SELECT doc_id,
+                       CAST(strlen(coalesce(text, '')) + 1 AS BIGINT) AS weight,
+                       CAST(CAST(('0x' || substr(md5('ws1' || coalesce(text, '')), 1, 13))
+                                 AS BIGINT) AS DOUBLE)
+                           / CAST(strlen(coalesce(text, '')) + 1 AS DOUBLE)
+                           AS priority
+                FROM documents
+            ), pick AS (
+                SELECT * FROM pr ORDER BY priority, doc_id LIMIT 50
+            )
+            SELECT doc_id, weight, priority FROM pick ORDER BY doc_id
         """,
         # global shuffle: the engine's (md5 hex, id) sort order is exactly
         # ORDER BY md5(...), doc_id; shard = contiguous range of that order

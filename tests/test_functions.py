@@ -1708,3 +1708,71 @@ def test_host_stats_rollup(ray_session):
     }
     # 301 is neither ok nor err; null body counts 0 bytes
     assert out == {"a.example": (3, 1, 1, 9), "b.example": (1, 1, 0, 0)}
+
+
+def test_weighted_priority_sample_matches_reference(ray_session, docs_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.sampling import weighted_priority_sample
+
+    texts = docs_tbl.column("text").to_pylist()
+    ids = docs_tbl.column("doc_id").to_pylist()
+    rows = []
+    for i, t in zip(ids, texts):
+        b = (t or "").encode("utf-8")
+        u = int(hashlib.md5(b"ws-t" + b).hexdigest()[:13], 16)
+        w = len(b) + 1
+        rows.append((u / w, i, w))
+    rows.sort()
+    k = 25
+    exp = sorted((i, w, p) for p, i, w in rows[:k])
+
+    # two different partitionings must give the identical sample
+    for blocks in (2, 7):
+        ds = ray.data.from_arrow(docs_tbl).repartition(blocks)
+        got = [
+            (r["doc_id"], r["weight"], r["priority"])
+            for r in weighted_priority_sample(ds, k=k, salt="ws-t")
+            .sort("doc_id")
+            .take_all()
+        ]
+        assert [(i, w) for i, w, _ in got] == [(i, w) for i, w, _ in exp]
+        # bit-exact priorities (single IEEE division both sides)
+        assert [p for _, _, p in got] == [p for _, _, p in exp]
+
+
+def test_weighted_priority_sample_oversamples_heavy_rows(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sampling import weighted_priority_sample
+
+    # 50 short docs and 50 docs 100x longer: the long half must win most
+    # of a k=20 sample under byte-length weighting
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array(
+                ["x" * 10] * 50 + ["y" * 1000] * 50, pa.string()
+            ),
+        }
+    )
+    got = weighted_priority_sample(
+        ray.data.from_arrow(tbl), k=20, salt="heavy"
+    ).take_all()
+    heavy = sum(1 for r in got if r["doc_id"] >= 50)
+    assert heavy >= 15
+
+
+def test_weighted_priority_sample_k_exceeds_n(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sampling import weighted_priority_sample
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(["a", "bb", None], pa.string())}
+    )
+    got = weighted_priority_sample(ray.data.from_arrow(tbl), k=10).take_all()
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
+    # null text weighs like empty: weight 1
+    assert {r["doc_id"]: r["weight"] for r in got}[3] == 1

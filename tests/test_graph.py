@@ -276,3 +276,91 @@ def test_triangle_counts_known_graph(ray_session):
             assert out[u] == (3, 3, 10**9)
         assert out[e] == (0, 1, 0)
         assert out[f] == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS distances / k-core
+
+
+def _bfs_reference(edges, seeds, radius=None):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {u: 0 for u in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if radius is not None and dist[u] >= radius:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _kcore_reference(edges, k):
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    nbr = dict(nbr)
+    while True:
+        drop = [u for u, vs in nbr.items() if len(vs) < k]
+        if not drop:
+            return set(nbr)
+        for u in drop:
+            for v in nbr[u]:
+                nbr[v].discard(u)
+            del nbr[u]
+
+
+def test_bfs_distances_matches_reference_both_modes(ray_session, corpus, truth):
+    from urlmap_ray.functions.graph import bfs_distances
+
+    urls, _, edges = truth
+    seed = sorted(urls)[0]
+    exp = _bfs_reference(edges, [seed], radius=3)
+    for mode in ("broadcast", "shuffle"):
+        got = {
+            r["url"]: r["dist"]
+            for r in bfs_distances(
+                _pages_ds(corpus), _nodes_ds(corpus), [seed], radius=3, mode=mode
+            ).take_all()
+        }
+        assert got == exp, f"mode={mode}"
+
+
+def test_bfs_distances_fixpoint_multisource(ray_session, corpus, truth):
+    from urlmap_ray.functions.graph import bfs_distances
+
+    urls, _, edges = truth
+    seeds = sorted(urls)[:2]
+    exp = _bfs_reference(edges, seeds, radius=None)
+    got = {
+        r["url"]: r["dist"]
+        for r in bfs_distances(
+            _pages_ds(corpus), _nodes_ds(corpus), seeds, radius=None
+        ).take_all()
+    }
+    assert got == exp
+
+
+def test_kcore_matches_peel_both_modes(ray_session, corpus, truth):
+    from urlmap_ray.functions.graph import kcore
+
+    urls, _, edges = truth
+    for k in (2, 3):
+        core = _kcore_reference(edges, k)
+        for mode in ("broadcast", "shuffle"):
+            rows = kcore(
+                _pages_ds(corpus), _nodes_ds(corpus), k=k, mode=mode
+            ).take_all()
+            assert len(rows) == len(urls), f"k={k} mode={mode}"
+            got = {r["url"] for r in rows if r["in_core"]}
+            assert got == core, f"k={k} mode={mode}"

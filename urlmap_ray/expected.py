@@ -510,6 +510,47 @@ def ensure_components_expected(info: CorpusInfo) -> str:
     return path
 
 
+def ensure_kcore_expected(info: CorpusInfo, k: int = 3) -> str:
+    """Expected (url, in_core) for the k-core of the undirected link
+    graph via single-process synchronous peeling over the page_edges
+    ground truth (drop all deg < k nodes each round, to fixpoint — the
+    same peel order the distributed rounds follow). Sorted by url."""
+    path = expected_path(info, f"page_kcore{k}")
+    if not _should_generate(info, path):
+        return path
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    e_path, _, _ = ensure_graph_expected(info)
+    edges = pq.read_table(e_path)
+    nbr: dict[str, set] = defaultdict(set)
+    for s, d in zip(edges.column("src").to_pylist(), edges.column("dst").to_pylist()):
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    nbr = dict(nbr)
+    while True:
+        drop = [u for u, vs in nbr.items() if len(vs) < k]
+        if not drop:
+            break
+        for u in drop:
+            for v in nbr[u]:
+                nbr[v].discard(u)
+            del nbr[u]
+    urls = sorted(_pages_table(info).column("url").to_pylist())
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "in_core": pa.array([u in nbr for u in urls], pa.bool_()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_kmeans_expected(sf_dir: str, *, k: int = 8, iters: int = 5,
                            max_rows: int = 10_000) -> str:
     """Expected (vec_id, cluster) labels from the single-process fixed-

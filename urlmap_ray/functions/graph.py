@@ -83,6 +83,8 @@ __all__ = [
     "hits",
     "hits_reference",
     "triangle_counts",
+    "bfs_distances",
+    "kcore",
     "SHUFFLE_MODE_NODES",
 ]
 
@@ -2023,3 +2025,445 @@ def _tri_run_starts(sorted_arr: pa.Array) -> np.ndarray:
             sorted_arr.slice(1), sorted_arr.slice(0, n - 1)
         ).to_numpy(zero_copy_only=False)
     return starts
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS distances
+
+
+def bfs_distances(pages_ds, nodes, seeds, *, radius=None, mode="auto", n_buckets=64):
+    """Minimum link-hop distance from any seed, as (url, dist) rows.
+
+    The graph-analytics analog of the crawler's depth-limited wave loop
+    (reference crawler.go depth semantics, M4): dist d = the BFS wave a
+    page would be reached in if every in-corpus link were followed (no
+    same-domain / robots gating — that is the crawl engine's job).
+    ``radius`` bounds exploration like ``--max-depth`` bounds the crawl;
+    ``None`` runs to fixpoint. Seeds are settled at dist 0 as given,
+    exactly as the crawl engine takes its seed list.
+
+    Two regimes, the graph family's standard split (both produce the
+    identical (url, dist) set — test-pinned):
+
+    - **broadcast** (``n ≤ SHUFFLE_MODE_NODES``): frontier and settled
+      sets live as sorted Arrow arrays in the object store (the driver
+      holds ObjectRefs and one int per round). Each round is ONE
+      map_batches pass over the materialized edge Dataset (vectorized
+      ``pc.is_in`` probes against frontier + settled) plus ONE remote
+      fold task that dedups candidates and advances the settled array —
+      the same O(nodes) single-object bound as pagerank's rank vector.
+      Per-round frontier tables stay in the object store;
+      ``from_arrow_refs`` assembles the result without driver
+      materialization.
+    - **shuffle** (above it): no O(nodes) object anywhere. Each round is
+      two bucketed exchanges, the crawl engine's admit→claim split over
+      a pre-built edge Dataset: (1) scatter — frontier ∪ edge rows
+      keyed ``hash(src) % B``, in-group ``is_in`` emits the frontier's
+      out-neighborhood; (2) claim — candidate ∪ settled rows keyed
+      ``hash(url) % B``, in-group anti-join keeps first discoveries.
+      Settled state stays a Dataset (union of materialized per-round
+      frontiers); the claim exchange re-ships it each round — O(settled)
+      rows, the stateless tradeoff vs the crawl engine's actor-sharded
+      seen set (state/seen.py), which is the high-churn alternative.
+
+    With a bounded radius both regimes and the recursive-CTE oracle do
+    the same O(radius · reach) edge-probing work.
+    """
+    n = nodes.count()
+    edges_b = build_edges(pages_ds, nodes).materialize()
+    seed_urls = sorted(set(seeds))
+    if _resolve_membership(mode, n) == "broadcast":
+        return _bfs_broadcast(edges_b, seed_urls, radius)
+    return _bfs_shuffle(edges_b, seed_urls, radius, n_buckets)
+
+
+def _bfs_broadcast(edges_b, seed_urls, radius):
+    import ray
+    import ray.data
+
+    @ray.remote(num_cpus=1)
+    def fold(settled, d, *cand_tables):
+        """Dedup candidate dsts across blocks, drop settled, advance both
+        arrays. Returns (frontier_table, frontier_array, new_settled, n_new)."""
+        parts = [_ca(t.column("url")) for t in cand_tables if t.num_rows]
+        if parts:
+            cand = pc.unique(pa.concat_arrays(parts))
+            new = pc.filter(cand, pc.invert(pc.is_in(cand, value_set=settled)))
+            new = new.take(pc.array_sort_indices(new))
+        else:
+            new = pa.array([], pa.string())
+        tbl = pa.table(
+            {
+                "url": new,
+                "dist": pa.array(np.full(len(new), d, np.int64), pa.int64()),
+            }
+        )
+        merged = pa.concat_arrays([_ca(settled), new])
+        merged = merged.take(pc.array_sort_indices(merged))
+        return tbl, new, merged, len(new)
+
+    seed_arr = pa.array(seed_urls, pa.string())
+    settled_ref = ray.put(seed_arr)
+    f0 = pa.table(
+        {
+            "url": seed_arr,
+            "dist": pa.array(np.zeros(len(seed_urls), np.int64), pa.int64()),
+        }
+    )
+    frontier_ref = ray.put(seed_arr)
+    table_refs = [ray.put(f0)]
+
+    d = 0
+    while radius is None or d < radius:
+        d += 1
+        fr, sr = frontier_ref, settled_ref
+
+        def probe(t: pa.Table, _fr=fr, _sr=sr) -> pa.Table:
+            import ray as _ray
+
+            front = _ray.get(_fr)
+            keep = pc.is_in(t.column("src"), value_set=front)
+            dst = pc.unique(_ca(pc.filter(t.column("dst"), keep)))
+            dst = pc.filter(dst, pc.invert(pc.is_in(dst, value_set=_ray.get(_sr))))
+            return pa.table({"url": dst})
+
+        cand = edges_b.map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        tbl_ref, frontier_ref, settled_ref, n_new_ref = fold.options(
+            num_returns=4
+        ).remote(settled_ref, d, *cand.to_arrow_refs())
+        if ray.get(n_new_ref) == 0:
+            break
+        table_refs.append(tbl_ref)
+
+    return ray.data.from_arrow_refs(table_refs)
+
+
+def _bfs_shuffle(edges_b, seed_urls, radius, n_buckets):
+    import functools
+
+    import ray.data
+
+    from .sketch import hash64_column
+
+    f0 = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(seed_urls, pa.string()),
+                "dist": pa.array([0] * len(seed_urls), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontiers = [f0]
+
+    def edge_pad(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("src")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {"bk": pa.array(bk, pa.int64()), "src": t.column("src"), "dst": t.column("dst")}
+        )
+
+    def frontier_pad(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "src": t.column("url"),
+                "dst": pa.array([None] * t.num_rows, pa.string()),
+            }
+        )
+
+    def scatter_group(g: pa.Table) -> pa.Table:
+        is_f = pc.is_null(g.column("dst"))
+        front = _ca(pc.filter(g.column("src"), is_f))
+        e = g.filter(pc.invert(is_f))
+        keep = pc.is_in(e.column("src"), value_set=front)
+        return pa.table({"url": pc.unique(_ca(pc.filter(e.column("dst"), keep)))})
+
+    def cand_pad(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "url": t.column("url"),
+                "is_cand": pa.array(np.ones(t.num_rows, bool)),
+            }
+        )
+
+    def settled_pad(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "url": t.column("url"),
+                "is_cand": pa.array(np.zeros(t.num_rows, bool)),
+            }
+        )
+
+    d = 0
+    while radius is None or d < radius:
+        d += 1
+        cand = (
+            frontiers[-1]
+            .map_batches(frontier_pad, batch_format="pyarrow", zero_copy_batch=True)
+            .union(edges_b.map_batches(edge_pad, batch_format="pyarrow", zero_copy_batch=True))
+            .groupby("bk")
+            .map_groups(scatter_group, batch_format="pyarrow")
+        )
+        settled = functools.reduce(lambda a, b: a.union(b), frontiers)
+
+        def claim_group(g: pa.Table, _d=d) -> pa.Table:
+            is_c = g.column("is_cand")
+            seen = _ca(pc.filter(g.column("url"), pc.invert(is_c)))
+            cand_urls = pc.unique(_ca(pc.filter(g.column("url"), is_c)))
+            new = pc.filter(cand_urls, pc.invert(pc.is_in(cand_urls, value_set=seen)))
+            return pa.table(
+                {
+                    "url": new,
+                    "dist": pa.array(np.full(len(new), _d, np.int64), pa.int64()),
+                }
+            )
+
+        newf = (
+            cand.map_batches(cand_pad, batch_format="pyarrow", zero_copy_batch=True)
+            .union(
+                settled.map_batches(settled_pad, batch_format="pyarrow", zero_copy_batch=True)
+            )
+            .groupby("bk")
+            .map_groups(claim_group, batch_format="pyarrow")
+            .materialize()
+        )
+        if newf.count() == 0:
+            break
+        frontiers.append(newf)
+
+    import functools as _ft
+
+    return _ft.reduce(lambda a, b: a.union(b), frontiers)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k)
+
+
+def kcore(pages_ds, nodes, *, k=3, mode="auto", max_rounds=64, n_buckets=_MAP_BUCKETS):
+    """k-core membership of the undirected link graph: (url, in_core).
+
+    The k-core is the maximal subgraph where every node has undirected
+    degree ≥ k (Seidman 1983) — the standard dense-center vs fringe
+    split of a web graph. Synchronous peeling: drop all nodes with
+    degree < k, remove their edges, repeat to fixpoint (``max_rounds``
+    bounds the peel depth; the registered toy-scale query converges in
+    ≤4 rounds).
+
+    The symmetric distinct edge closure is built ONCE with a single
+    ``groupby(u, v)`` exchange (string pairs move once). Then the graph
+    family's standard two regimes (identical output, test-pinned):
+
+    - **broadcast** (``n ≤ SHUFFLE_MODE_NODES``): the survivor set is a
+      sorted Arrow array in the object store. Each round is ONE
+      map_batches pass over the closure (``pc.is_in`` on both endpoints
+      + per-batch dictionary-encoded partial degree counts) and ONE
+      remote fold task summing partials into the next survivor array —
+      O(nodes) single-object state, pagerank's broadcast bound. The
+      driver holds an ObjectRef and one int per round.
+    - **shuffle** (above it): survivors stay a Dataset. Each round is
+      TWO :func:`_member_semijoin` exchanges (endpoint ∈ survivors, one
+      per direction with a row-local swap between) plus ONE degree
+      exchange (per-batch partials → ``groupby(url).sum``). No O(nodes)
+      object anywhere.
+
+    Output: every node flagged — broadcast probes the final survivor
+    array row-locally; shuffle unions node and survivor rows through one
+    keyed exchange.
+    """
+    from ray.data.aggregate import Count
+
+    n = nodes.count()
+    edges_b = build_edges(pages_ds, nodes)
+
+    def sym_pad(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("src"), t.column("dst")))
+        e = t.filter(keep)
+        return pa.table(
+            {
+                "u": pa.chunked_array([_ca(e.column("src")), _ca(e.column("dst"))]),
+                "v": pa.chunked_array([_ca(e.column("dst")), _ca(e.column("src"))]),
+            }
+        )
+
+    sym = (
+        edges_b.map_batches(sym_pad, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+        .materialize()
+    )
+    if _resolve_membership(mode, n) == "broadcast":
+        return _kcore_broadcast(sym, nodes, k, max_rounds)
+    return _kcore_shuffle(sym, nodes, k, max_rounds, n_buckets)
+
+
+def _kcore_broadcast(sym, nodes, k, max_rounds):
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def fold(k_, *deg_tables):
+        """Sum per-batch (url, dpart) partials; survivors = deg ≥ k."""
+        tabs = [t for t in deg_tables if t.num_rows]
+        if not tabs:
+            return pa.array([], pa.string()), 0
+        merged = pa.concat_tables(tabs)
+        agg = merged.group_by("url").aggregate([("dpart", "sum")])
+        keep = pc.greater_equal(agg.column("dpart_sum"), pa.scalar(k_, pa.int64()))
+        surv = _ca(pc.filter(agg.column("url"), keep))
+        surv = surv.take(pc.array_sort_indices(surv))
+        return surv, len(surv)
+
+    def partials(t: pa.Table, _sref=None) -> pa.Table:
+        import ray as _ray
+
+        if _sref is not None:
+            s = _ray.get(_sref)
+            keep = pc.and_(
+                pc.is_in(t.column("u"), value_set=s), pc.is_in(t.column("v"), value_set=s)
+            )
+            t = t.filter(keep)
+        enc = pc.dictionary_encode(_ca(t.column("u")))
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table(
+            {
+                "url": enc.dictionary,
+                "dpart": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def survivors_of(surv_ref):
+        import functools
+
+        fn = functools.partial(partials, _sref=surv_ref)
+        parts = sym.map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        return fold.options(num_returns=2).remote(k, *parts.to_arrow_refs())
+
+    surv_ref, n_ref = survivors_of(None)
+    n_surv = ray.get(n_ref)
+    for _ in range(max_rounds):
+        surv2_ref, n2_ref = survivors_of(surv_ref)
+        n2 = ray.get(n2_ref)
+        surv_ref = surv2_ref
+        if n2 == n_surv:
+            break
+        n_surv = n2
+
+    def flag(t: pa.Table, _sref=surv_ref) -> pa.Table:
+        import ray as _ray
+
+        s = _ray.get(_sref)
+        return pa.table(
+            {"url": t.column("url"), "in_core": pc.is_in(t.column("url"), value_set=s)}
+        )
+
+    return nodes.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _kcore_shuffle(sym, nodes, k, max_rounds, n_buckets):
+    from ray.data.aggregate import Sum
+
+    from .sketch import hash64_column
+
+    def deg_partials(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(_ca(t.column("u")))
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table(
+            {
+                "url": enc.dictionary,
+                "dpart": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def survivors_of(sym_ds):
+        return (
+            sym_ds.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("url")
+            .aggregate(Sum("dpart", alias_name="deg"))
+            .map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t.column("deg"), pa.scalar(k, pa.int64()))
+                ).select(["url"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    surv = survivors_of(sym)
+    n_surv = surv.count()
+    for _ in range(max_rounds):
+        # keep edges with BOTH endpoints surviving: semi-join on v, swap,
+        # semi-join on the other endpoint (row-local rename between)
+        half = _member_semijoin(
+            sym.map_batches(
+                lambda t: pa.table({"src": t.column("u"), "dst": t.column("v")}),
+                batch_format="pyarrow",
+            ),
+            surv,
+            n_buckets=n_buckets,
+        )
+        sym2 = _member_semijoin(
+            half.map_batches(
+                lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+                batch_format="pyarrow",
+            ),
+            surv,
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda t: pa.table({"u": t.column("src"), "v": t.column("dst")}),
+            batch_format="pyarrow",
+        )
+        surv2 = survivors_of(sym2)
+        n2 = surv2.count()
+        sym, surv = sym2.materialize(), surv2
+        if n2 == n_surv:
+            break
+        n_surv = n2
+
+    def node_pad(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "url": t.column("url"),
+                "is_surv": pa.array(np.zeros(t.num_rows, bool)),
+            }
+        )
+
+    def surv_pad(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                "url": t.column("url"),
+                "is_surv": pa.array(np.ones(t.num_rows, bool)),
+            }
+        )
+
+    def flag_group(g: pa.Table) -> pa.Table:
+        is_s = g.column("is_surv")
+        survs = _ca(pc.filter(g.column("url"), is_s))
+        node_urls = _ca(pc.filter(g.column("url"), pc.invert(is_s)))
+        return pa.table(
+            {
+                "url": node_urls,
+                "in_core": pc.is_in(node_urls, value_set=survs),
+            }
+        )
+
+    return (
+        nodes.map_batches(node_pad, batch_format="pyarrow", zero_copy_batch=True)
+        .union(surv.map_batches(surv_pad, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("bk")
+        .map_groups(flag_group, batch_format="pyarrow")
+    )

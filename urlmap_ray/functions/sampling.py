@@ -38,6 +38,7 @@ __all__ = [
     "hash_split",
     "mixture_sample",
     "stratified_sample",
+    "weighted_priority_sample",
 ]
 
 _U32_SPAN = 1 << 32
@@ -310,4 +311,75 @@ def hash_shuffle(
 
     return positions.map_batches(
         shard, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _salted_u52(texts: list, salt: str) -> np.ndarray:
+    """First 52 bits (13 hex chars, big-endian) of md5(salt + text) per
+    row — chosen because 52-bit integers are exactly representable as
+    IEEE doubles, so ``u / w`` is a single correctly-rounded division
+    that numpy and any SQL engine compute bit-identically."""
+    pre = salt.encode("utf-8")
+    return np.array(
+        [
+            int(hashlib.md5(pre + (t or "").encode("utf-8")).hexdigest()[:13], 16)
+            for t in texts
+        ],
+        dtype=np.uint64,
+    )
+
+
+def weighted_priority_sample(
+    ds,
+    *,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+):
+    """Deterministic weighted sample of ``k`` rows without replacement.
+
+    Training mixtures oversample by weight (here: the row's UTF-8 byte
+    length + 1, i.e. token-budget-proportional); reproducibility demands
+    the choice be content-keyed, not RNG-keyed. Every row gets
+
+        ``priority = u / w``,  u = first 52 bits of md5(salt + text)
+
+    and the ``k`` smallest priorities win — the Efraimidis–Spirakis
+    weighted-reservoir scheme with the uniform key kept in place of
+    ``-ln(u)``. The substitution is deliberate: IEEE division is
+    correctly rounded, so numpy and the DuckDB oracle produce
+    bit-identical priorities, while ``ln`` is libm-dependent and is not.
+    Selection probability is strictly increasing in weight and converges
+    to the exponential-clock scheme's weight-proportional inclusion as
+    ``k/n → 0``; the deviation is documented, not hidden.
+
+    Scale shape: priorities are row-local; each batch pre-prunes to its
+    own ``k`` smallest rows, so at most ``k × n_blocks`` rows reach the
+    final distributed ``sort(priority).limit(k)``. No driver state.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def prio(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        u = _salted_u52(texts, salt)
+        w = np.array(
+            [len((t or "").encode("utf-8")) + 1 for t in texts], dtype=np.int64
+        )
+        p = u.astype(np.float64) / w.astype(np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, p))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "weight": pa.array(w[order], pa.int64()),
+                "priority": pa.array(p[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["priority", id_col])
+        .limit(k)
     )

@@ -742,6 +742,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.triangle_counts(pages, nodes).sort("url")
 
+    def page_edge_jaccard(sf_dir):
+        # per-edge common-neighbor counts + neighbor-set Jaccard (link
+        # prediction / related-page similarity): common = triangles
+        # through the edge, reusing the degree-ordered wedge machinery;
+        # oracle = sym-closure self-joins over the page_edges ground truth
+        from urlmap_ray.functions import graph as gr
+
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.edge_jaccard(pages, nodes).sort(["a", "b"])
+
     def page_components(sf_dir):
         # weakly-connected components of the link graph (site clusters):
         # hash urls → star-round CC (hybrid driver union-find at toy
@@ -2144,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdxj_plan": cdxj_plan,
         "robots_rules": robots_rules,
         "page_triangles": page_triangles,
+        "page_edge_jaccard": page_edge_jaccard,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -3055,6 +3066,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT url
                   FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')) p
             LEFT JOIN deg d USING (url) LEFT JOIN pern n USING (url)
+        """,
+        # per-edge Jaccard: common neighbors via the symmetric closure
+        # self-join over the page_edges ground truth; same integer ppb
+        # floor division as the distributed side
+        "page_edge_jaccard": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{_exp('page_edges')}') WHERE src <> dst
+            ), sym AS (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b AS u, a AS v FROM und
+            ), deg AS (
+                SELECT u AS url, CAST(count(*) AS BIGINT) AS d
+                FROM sym GROUP BY u
+            ), com AS (
+                SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
+                FROM und e
+                JOIN sym s1 ON s1.u = e.a
+                JOIN sym s2 ON s2.u = e.b AND s2.v = s1.v
+                GROUP BY e.a, e.b
+            )
+            SELECT e.a, e.b,
+                   coalesce(c.c, 0) AS common,
+                   da.d AS deg_a, db.d AS deg_b,
+                   CASE WHEN da.d + db.d - coalesce(c.c, 0) > 0
+                        THEN (coalesce(c.c, 0) * 1000000000)
+                             // (da.d + db.d - coalesce(c.c, 0))
+                        ELSE 0 END AS jaccard_ppb
+            FROM und e
+            JOIN deg da ON da.url = e.a
+            JOIN deg db ON db.url = e.b
+            LEFT JOIN com c ON c.a = e.a AND c.b = e.b
+            ORDER BY e.a, e.b
         """,
         "page_degrees": f"SELECT * FROM read_parquet('{_exp('page_degrees')}')",
         # bounded-radius BFS from the crawl seed: a pure recursive CTE over

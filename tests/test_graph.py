@@ -278,6 +278,64 @@ def test_triangle_counts_known_graph(ray_session):
         assert out[f] == (0, 0, 0)
 
 
+def test_edge_jaccard_known_graph(ray_session):
+    # same K4 + pendant graph as the triangle test: per-edge common
+    # neighbors are the triangles through the edge, jaccard over
+    # |N(a)∪N(b)| = deg_a + deg_b − common
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.graph import edge_jaccard
+
+    urls = [f"https://x.org/{c}" for c in "abcdef"]
+    a, b, c, d, e, f = urls
+    und = [(a, b), (a, c), (a, d), (b, c), (b, d), (c, d), (e, a)]
+    links = {u: [] for u in urls}
+    for s, t in und:
+        links[s].append(t)
+    links[b].append(a)  # reverse duplicate must not double-count
+
+    def html(u):
+        return "<html><body>" + "".join(
+            f'<a href="{t}">x</a>' for t in links[u]
+        ) + "</body></html>"
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array([html(u).encode() for u in urls], pa.binary()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+
+    # brute-force reference over undirected neighbor sets
+    nbr = {u: set() for u in urls}
+    for s, t in und:
+        nbr[s].add(t)
+        nbr[t].add(s)
+    want = {}
+    for s, t in und:
+        lo, hi = min(s, t), max(s, t)
+        common = len(nbr[lo] & nbr[hi])
+        da, db = len(nbr[lo]), len(nbr[hi])
+        denom = da + db - common
+        want[(lo, hi)] = (common, da, db, (common * 10**9) // denom if denom else 0)
+
+    for buckets in (1, 7):
+        rows = edge_jaccard(pages, nodes, n_buckets=buckets).take_all()
+        got = {
+            (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"], r["jaccard_ppb"])
+            for r in rows
+        }
+        assert got == want
+    # spot-check hand values: K4 edge (a,b) shares {c,d}
+    assert want[(a, b)] == (2, 4, 3, (2 * 10**9) // 5)
+    assert want[(b, c)] == (2, 3, 3, (2 * 10**9) // 4)
+    assert want[(a, e)] == (0, 4, 1, 0)
+
+
 # ---------------------------------------------------------------------------
 # multi-source BFS distances / k-core
 

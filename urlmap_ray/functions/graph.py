@@ -1711,38 +1711,19 @@ def _tri_run_pairs(run_starts: np.ndarray, run_lens: np.ndarray):
     return np.concatenate(out_i), np.concatenate(out_j)
 
 
-def triangle_counts(
-    pages_ds,
-    nodes,
-    *,
-    membership: str = "auto",
-    n_buckets: int = _MAP_BUCKETS,
-):
-    """Per-node triangle participation + local clustering coefficient over
-    the undirected corpus link graph → (url, n_tri, deg, clustering_ppb).
+def _tri_base(edges, nodes, n_buckets: int):
+    """Shared stages of the degree-ordered triangle machinery, reused by
+    :func:`triangle_counts` (per-node counts) and :func:`edge_jaccard`
+    (per-edge common-neighbor counts): undirected distinct edges, degree
+    fold, fused degree attach, (deg, url)-orientation, wedge generation
+    and the wedge∪edge closing union. Returns ``(und, deg, oriented,
+    closing)`` — ``und``/``deg``/``oriented`` materialized (each is
+    consumed by more than one downstream stage), ``closing`` lazy.
 
-    The classic degree-ordered formulation (node-iterator++ / the GraphX
-    triangleCount shape): orient every undirected edge from its lower
-    (degree, url) endpoint to the higher, enumerate wedges only at each
-    node's ORIENTED out-neighborhood — whose size is O(√m) by the
-    degree-ordering bound, so hub nodes cannot explode the wedge set —
-    and close each wedge against the oriented edge set. Each triangle is
-    found exactly once (at its unique (deg, url)-minimal apex).
-
-    Every stage is a bucketed exchange (groupby(hash % B), never one
-    group per key): undirected dedup, degree sum, one FUSED degree
-    attach (each edge enters twice, recombined by an exact int64
-    hash-agg — the collocations pattern), adjacency grouping + wedge
-    generation, wedge⋈edge closing, and the final per-node fold. Inside
-    buckets everything is Arrow sorts + run-boundary numpy; the wedge
-    pair generation vectorizes per distinct degree (``_tri_run_pairs``).
-
-    ``clustering_ppb = (2·n_tri·10^9) // (deg·(deg−1))`` — integer floor
-    division, mirrored exactly by SQL ``//`` (documented int64 bound:
-    per-node n_tri < 4.6·10^9; beyond that carry the division in Python
-    ints). Dangling nodes keep (0, 0, 0) rows.
+    ``oriented`` carries BOTH endpoint degrees (u, v, deg_u, deg_v, ubk)
+    so consumers needing per-edge degrees never re-run the attach
+    exchange.
     """
-    edges = build_edges(pages_ds, nodes, membership=membership, n_buckets=n_buckets)
 
     # -- stage A: undirected distinct edges (one exchange) ------------------
     def undirect(t: pa.Table) -> pa.Table:
@@ -1885,11 +1866,13 @@ def triangle_counts(
         af = pa.array(a_first)
         u = pc.if_else(af, t.column("a"), t.column("b"))
         v = pc.if_else(af, t.column("b"), t.column("a"))
+        du = np.where(a_first, da, db).astype(np.int64)
         dv = np.where(a_first, db, da).astype(np.int64)
         return pa.table(
             {
                 "u": u,
                 "v": v,
+                "deg_u": pa.array(du, pa.int64()),
                 "deg_v": pa.array(dv, pa.int64()),
                 "ubk": _tri_bucket(u, n_buckets),
             }
@@ -1953,6 +1936,42 @@ def triangle_counts(
     closing = wedge_rows.union(
         oriented.map_batches(edge_keys, batch_format="pyarrow", zero_copy_batch=True)
     )
+    return und, deg, oriented, closing
+
+
+def triangle_counts(
+    pages_ds,
+    nodes,
+    *,
+    membership: str = "auto",
+    n_buckets: int = _MAP_BUCKETS,
+):
+    """Per-node triangle participation + local clustering coefficient over
+    the undirected corpus link graph → (url, n_tri, deg, clustering_ppb).
+
+    The classic degree-ordered formulation (node-iterator++ / the GraphX
+    triangleCount shape): orient every undirected edge from its lower
+    (degree, url) endpoint to the higher, enumerate wedges only at each
+    node's ORIENTED out-neighborhood — whose size is O(√m) by the
+    degree-ordering bound, so hub nodes cannot explode the wedge set —
+    and close each wedge against the oriented edge set. Each triangle is
+    found exactly once (at its unique (deg, url)-minimal apex).
+
+    Every stage is a bucketed exchange (groupby(hash % B), never one
+    group per key): undirected dedup, degree sum, one FUSED degree
+    attach (each edge enters twice, recombined by an exact int64
+    hash-agg — the collocations pattern), adjacency grouping + wedge
+    generation, wedge⋈edge closing, and the final per-node fold. Inside
+    buckets everything is Arrow sorts + run-boundary numpy; the wedge
+    pair generation vectorizes per distinct degree (``_tri_run_pairs``).
+
+    ``clustering_ppb = (2·n_tri·10^9) // (deg·(deg−1))`` — integer floor
+    division, mirrored exactly by SQL ``//`` (documented int64 bound:
+    per-node n_tri < 4.6·10^9; beyond that carry the division in Python
+    ints). Dangling nodes keep (0, 0, 0) rows.
+    """
+    edges = build_edges(pages_ds, nodes, membership=membership, n_buckets=n_buckets)
+    _und, deg, _oriented, closing = _tri_base(edges, nodes, n_buckets)
 
     # -- stage E: close wedges against edges (one exchange) ----------------
     def close(g: pa.Table) -> pa.Table:
@@ -2009,6 +2028,129 @@ def triangle_counts(
         .union(deg.map_batches(deg_pad, batch_format="pyarrow", zero_copy_batch=True))
         .groupby("url")
         .sum(["tpart", "dpart"])
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def edge_jaccard(
+    pages_ds,
+    nodes,
+    *,
+    membership: str = "auto",
+    n_buckets: int = _MAP_BUCKETS,
+):
+    """Per-edge common-neighbor counts + neighbor-set Jaccard over the
+    undirected corpus link graph → (a, b, common, deg_a, deg_b,
+    jaccard_ppb), one row per distinct undirected edge (a < b) — the
+    classic link-prediction / related-page similarity signal.
+
+    ``common = |N(a) ∩ N(b)|`` is exactly the number of triangles through
+    the edge, so it reuses the degree-ordered wedge machinery of
+    :func:`triangle_counts` (:func:`_tri_base`): each closed wedge
+    (apex u, closing edge x→y) is one triangle {u, x, y}, and the close
+    stage credits all THREE of its edges (lexicographically canonicalized)
+    instead of its three nodes. ``|N(a) ∪ N(b)| = deg_a + deg_b − common``
+    (a and b are in each other's neighbor sets but never in the loop-free
+    intersection), giving ``jaccard_ppb = common·10⁹ // (deg_a + deg_b −
+    common)`` — integer floor division mirrored exactly by the SQL oracle.
+
+    Scale shape: identical to triangle_counts (every stage a bucketed
+    exchange, wedge sets O(√m) per node by degree ordering); per-edge
+    degrees ride along on the materialized oriented edge set, so the
+    final fold is one union + one (a, b) hash-agg with no extra attach
+    exchange. Zero-triangle edges keep common = 0 rows via the oriented
+    pad.
+    """
+    edges = build_edges(pages_ds, nodes, membership=membership, n_buckets=n_buckets)
+    _und, _deg, oriented, closing = _tri_base(edges, nodes, n_buckets)
+
+    # -- close wedges against edges, crediting edges not nodes -------------
+    def close_edges(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "cpart": pa.array([], pa.int64()),
+            }
+        )
+        is_edge = pc.is_null(g.column("apex"))
+        ekeys = _ca(g.column("key").filter(is_edge))
+        w = g.filter(pc.invert(is_edge))
+        if not w.num_rows or not len(ekeys):
+            return empty
+        tri = w.filter(pc.is_in(w.column("key"), value_set=ekeys))
+        if not tri.num_rows:
+            return empty
+        parts = pc.split_pattern(_ca(tri.column("key")), _TRI_SEP)
+        x = _ca(pc.list_element(parts, 0))
+        y = _ca(pc.list_element(parts, 1))
+        apex = _ca(tri.column("apex"))
+        lo, hi = [], []
+        for p, q in ((apex, x), (apex, y), (x, y)):
+            lt = pc.less(p, q)
+            lo.append(_ca(pc.if_else(lt, p, q)))
+            hi.append(_ca(pc.if_else(lt, q, p)))
+        per_edge = (
+            pa.table({"a": pa.concat_arrays(lo), "b": pa.concat_arrays(hi)})
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+        )
+        return per_edge.rename_columns(["a", "b", "cpart"])
+
+    tri_edges = closing.groupby("wbk").map_groups(close_edges, batch_format="pyarrow")
+
+    # -- final fold: triangle credits ∪ per-edge degree pad → one hash-agg --
+    def tri_pad(t: pa.Table) -> pa.Table:
+        zeros = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "cpart": t.column("cpart").cast(pa.int64()),
+                "dap": zeros,
+                "dbp": zeros,
+            }
+        )
+
+    def deg_pad(t: pa.Table) -> pa.Table:
+        # oriented (u, v, deg_u, deg_v) → lexicographic (a, b) with degrees
+        # swapped alongside; one row per undirected edge already
+        lt = pc.less(t.column("u"), t.column("v"))
+        ltn = lt.to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg_v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pc.if_else(lt, t.column("u"), t.column("v")),
+                "b": pc.if_else(lt, t.column("v"), t.column("u")),
+                "cpart": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "dap": pa.array(np.where(ltn, du, dv).astype(np.int64), pa.int64()),
+                "dbp": pa.array(np.where(ltn, dv, du).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t.column("sum(cpart)").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t.column("sum(dap)").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("sum(dbp)").to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = da + db - c
+        ppb = np.where(denom > 0, (c * 1_000_000_000) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "common": pa.array(c, pa.int64()),
+                "deg_a": pa.array(da, pa.int64()),
+                "deg_b": pa.array(db, pa.int64()),
+                "jaccard_ppb": pa.array(ppb.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        tri_edges.map_batches(tri_pad, batch_format="pyarrow", zero_copy_batch=True)
+        .union(oriented.map_batches(deg_pad, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby(["a", "b"])
+        .sum(["cpart", "dap", "dbp"])
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     )
 

@@ -1906,6 +1906,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=1024,
         )
 
+    def events_users_hll(sf_dir):
+        # HyperLogLog distinct-user estimate: each batch ships ONE 4 KiB
+        # register row (exchange is O(n_batches), cardinality-free — the
+        # constant-cost counterpart of the KMV sketch above), bucketed
+        # register-max fold, <= n_buckets rows reach the driver. Register
+        # max is associative so the estimate is identical at any
+        # parallelism; oracle = the sequential single-process HLL pass
+        # (expected.ensure_hll_expected, the kmeans/PCA trust model).
+        import pyarrow as pa
+        import ray.data
+
+        from urlmap_ray.expected import ensure_hll_expected
+        from urlmap_ray.functions.sketch import hll_distinct
+
+        ensure_hll_expected(sf_dir)
+        est = hll_distinct(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+            ),
+            col="user_id",
+        )
+        return pa.table({"n_users_est": pa.array([est], pa.int64())})
+
     def events_windowed(sf_dir):
         # Tumbling 6h windows per user: count + exact integer sum (value
         # quantized to cents BEFORE the shuffle so the sum is
@@ -2211,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_purchase": events_last_purchase,
         "events_session_join": events_session_join,
         "events_distinct_users": events_distinct_users,
+        "events_users_hll": events_users_hll,
         # -- green in CORRECTNESS_r03 --
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
@@ -3778,6 +3802,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events
         """,
+        # HLL estimate vs the sequential single-process HLL pass over the
+        # same hashes (register max is associative — any parallelism must
+        # land on the exact same register array and estimate)
+        "events_users_hll": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/hll_users.parquet')"
+        ),
         # Keyed KMV: exact below k=2048 distinct users per day (max
         # observed 141 at the sf0.01 gate), so COUNT(DISTINCT) GROUP BY
         # certifies the sketch fold per key.

@@ -856,6 +856,64 @@ def test_kmv_merge_order_independent():
     assert a == b
 
 
+def test_hll_parallelism_independent(ray_session):
+    # register max is associative: any repartition must land on the exact
+    # same register array → identical estimate
+    import ray.data
+
+    from urlmap_ray.functions.sketch import hll_distinct
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 5000, 40000)
+    ests = set()
+    for parts, buckets in ((1, 1), (4, 8), (16, 32)):
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.int64())})
+        ).repartition(parts)
+        ests.add(hll_distinct(ds, col="v", n_buckets=buckets))
+    assert len(ests) == 1
+
+
+def test_hll_matches_sequential_reference_and_error(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        _HLL_M,
+        hash64_column,
+        hll_batch_registers,
+        hll_distinct,
+        hll_estimate,
+    )
+
+    rng = np.random.default_rng(11)
+    true_n = 30_000
+    vals = rng.permutation(true_n).astype(np.int64)
+    # sequential reference: chunked maximum fold over the same hashes
+    regs = np.zeros(_HLL_M, np.uint8)
+    for lo in range(0, len(vals), 7001):
+        regs = np.maximum(
+            regs, hll_batch_registers(hash64_column(pa.array(vals[lo : lo + 7001])))
+        )
+    want = hll_estimate(regs)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(6)
+    got = hll_distinct(ds, col="v")
+    assert got == want
+    assert abs(got - true_n) / true_n < 5 * 1.04 / np.sqrt(_HLL_M)  # 5 sigma
+
+
+def test_hll_small_cardinality_near_exact(ray_session):
+    # linear-counting regime: n << m ⇒ near-exact (±1 from the log)
+    import ray.data
+
+    from urlmap_ray.functions.sketch import hll_distinct
+
+    svals = [f"user-{i % 137}" for i in range(5000)]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(svals, pa.string())}))
+    assert abs(hll_distinct(ds, col="v") - 137) <= 2
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    assert hll_distinct(empty, col="v") == 0
+
+
 def test_hash_sample_deterministic_and_rate(ray_session, docs_tbl):
     import ray.data
 

@@ -391,6 +391,41 @@ def ensure_compression_expected(sf_dir: str, max_docs: int = 1000) -> str:
     return path
 
 
+def ensure_hll_expected(sf_dir: str, max_rows: int = 500_000) -> str:
+    """Expected one-row (n_users_est) from a SEQUENTIAL HyperLogLog pass
+    over events.user_id: same register/estimate primitives as the engine
+    (the kmeans/PCA trust model — SQL cannot express HLL), independent
+    fold path. What the events_users_hll gate checks is the distributed
+    side's bucketed register-max exchange: register max is associative,
+    so any parallelism must land on THIS exact register array."""
+    import numpy as np
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "hll_users.parquet")
+    if os.path.exists(path):
+        return path
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    if pf.metadata.num_rows > max_rows:
+        return path
+    from .functions.sketch import (
+        _HLL_M,
+        hash64_column,
+        hll_batch_registers,
+        hll_estimate,
+    )
+
+    regs = np.zeros(_HLL_M, np.uint8)
+    for b in pf.iter_batches(columns=["user_id"], batch_size=8192):
+        col = b.column(0).drop_null()
+        if len(col):
+            regs = np.maximum(regs, hll_batch_registers(hash64_column(col)))
+    _write_atomic(
+        pa.table({"n_users_est": pa.array([hll_estimate(regs)], pa.int64())}),
+        path,
+    )
+    return path
+
+
 def ensure_quality_model_expected(sf_dir: str, max_docs: int = 1000) -> str:
     """Expected (doc_id, model_score, model_keep) from the single-process
     per-doc reference (quality_model.quality_model_reference). Scores are

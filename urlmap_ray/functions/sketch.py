@@ -449,3 +449,90 @@ def quantile_sketch(
             col: pa.array(vals[picks], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096 registers, std error ~1.04/sqrt(m) = 1.6%
+
+
+def hll_batch_registers(hashes: np.ndarray) -> np.ndarray:
+    """Fold a batch of 64-bit hashes into a fresh uint8[4096] register
+    array (Flajolet et al. 2007, the 64-bit variant): index = top p bits,
+    rho = leading-zero run of the remaining 64−p bits + 1. The
+    bit-length comes from ``np.frexp`` on a float64 cast — EXACT because
+    the remaining 52 bits always fit float64's 53-bit mantissa (this is
+    why p = 12 is pinned, not tunable)."""
+    idx = (hashes >> _U64(64 - _HLL_P)).astype(np.int64)
+    w = hashes & _U64((1 << (64 - _HLL_P)) - 1)
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = np.where(w > 0, (64 - _HLL_P) + 1 - exp, (64 - _HLL_P) + 1).astype(np.uint8)
+    regs = np.zeros(_HLL_M, np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Deterministic estimate from a register array: the classic raw
+    harmonic mean with the linear-counting small-range correction (no
+    large-range correction needed for 64-bit hashes). Floor to int64 —
+    the pinned cross-engine rule. The 2^-M sum runs in fixed register
+    order over a fixed-length array, so it is bit-deterministic."""
+    import math
+
+    m = _HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = np.ldexp(1.0, -regs.astype(np.int64))
+    est = alpha * m * m / float(inv.sum())
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return int(est)
+
+
+def hll_distinct(ds, *, col: str, n_buckets: int = 32) -> int:
+    """Approximate COUNT(DISTINCT col) via a distributed HyperLogLog:
+    each batch ships ONE 4 KiB register row (never keys — the exchange is
+    O(n_batches), independent of cardinality), a bucketed groupby folds
+    them by elementwise max, and the driver folds the <= n_buckets
+    surviving rows. Register max is associative + commutative, so the
+    final register array — and therefore the estimate — is IDENTICAL at
+    any batch split or parallelism. ~1.6% standard error at p=12; the
+    linear-counting regime makes small cardinalities near-exact.
+
+    Complements the exact-below-saturation KMV sketch (:func:`kmv_distinct`):
+    KMV's exchange grows with k, HLL's is constant — at 10^10-URL seen-set
+    scale this is the cheap "how many distinct" probe."""
+
+    def batch_regs(t: pa.Table) -> pa.Table:
+        h = hash64_column(t.column(col).drop_null())
+        regs = hll_batch_registers(h)
+        blob = regs.tobytes()
+        bk = int.from_bytes(hashlib.md5(blob).digest()[:8], "little") % n_buckets
+        return pa.table(
+            {
+                "bk": pa.array([bk], pa.int64()),
+                "regs": pa.array([blob], pa.binary()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        arrs = [
+            np.frombuffer(b, np.uint8) for b in g.column("regs").to_pylist()
+        ]
+        return pa.table(
+            {"regs": pa.array([np.maximum.reduce(arrs).tobytes()], pa.binary())}
+        )
+
+    rows = (
+        ds.map_batches(batch_regs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bk")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()  # <= n_buckets 4 KiB rows — constant driver bound
+    )
+    if not rows:
+        return 0
+    regs = np.maximum.reduce([np.frombuffer(r["regs"], np.uint8) for r in rows])
+    return hll_estimate(regs)

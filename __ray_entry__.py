@@ -1929,6 +1929,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"n_users_est": pa.array([est], pa.int64())})
 
+    def events_type_users_hll(sf_dir):
+        # keyed HyperLogLog: distinct users per event_type via the SPARSE
+        # (key, register_idx, rho) exchange — ≤ min(n_distinct, 4096) rows
+        # per (batch, key) no matter the cardinality — one keyed max fold;
+        # oracle = the sequential per-key HLL pass (same trust model as
+        # events_users_hll). The 100-TB shape for per-host distinct
+        # outlink counting without shuffling every value.
+        import ray.data
+
+        from urlmap_ray.expected import ensure_hll_bytype_expected
+        from urlmap_ray.functions.sketch import hll_distinct_per_key
+
+        ensure_hll_bytype_expected(sf_dir)
+        return hll_distinct_per_key(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["event_type", "user_id"],
+            ),
+            key_col="event_type",
+            col="user_id",
+        ).sort("event_type")
+
     def events_windowed(sf_dir):
         # Tumbling 6h windows per user: count + exact integer sum (value
         # quantized to cents BEFORE the shuffle so the sum is
@@ -2235,6 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join": events_session_join,
         "events_distinct_users": events_distinct_users,
         "events_users_hll": events_users_hll,
+        "events_type_users_hll": events_type_users_hll,
         # -- green in CORRECTNESS_r03 --
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
@@ -3808,6 +3831,12 @@ def oracle_sql() -> dict[str, str]:
         "events_users_hll": (
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/hll_users.parquet')"
+        ),
+        # keyed HLL vs the sequential per-key register fold
+        "events_type_users_hll": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/hll_bytype.parquet') "
+            "ORDER BY event_type"
         ),
         # Keyed KMV: exact below k=2048 distinct users per day (max
         # observed 141 at the sf0.01 gate), so COUNT(DISTINCT) GROUP BY

@@ -140,6 +140,8 @@ def run_bench() -> dict:
         "events_session_join",
         "events_distinct_users",
         "events_daily_users",
+        "events_users_hll",
+        "events_type_users_hll",
         "events_pivot",
         "events_running",
         "events_lag",
@@ -189,10 +191,11 @@ def run_bench() -> dict:
         "sitemap_seeds",
         "cdxj_plan",
         "robots_rules",
-        # page_triangles is deliberately NOT benched at sf0.1: the corpus
-        # link graph is host-dense (~80s of wedge volume there vs 13s at
-        # the driver's sf0.01 correctness gate); its scale story is the
-        # degree-ordering bound, not this suite's wall-clock
+        # page_triangles / page_edge_jaccard are deliberately NOT benched
+        # at sf0.1: the corpus link graph is host-dense (~80s of wedge
+        # volume there vs 13s at the driver's sf0.01 correctness gate);
+        # their scale story is the degree-ordering bound, not this
+        # suite's wall-clock
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)

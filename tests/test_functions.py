@@ -914,6 +914,76 @@ def test_hll_small_cardinality_near_exact(ray_session):
     assert hll_distinct(empty, col="v") == 0
 
 
+def test_hll_per_key_matches_dense_reference(ray_session):
+    # the sparse (key, ridx, rho) exchange + keyed max fold must land on
+    # the same registers as a dense per-key sequential fold, at any split
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        hash64_column,
+        hll_batch_registers,
+        hll_distinct_per_key,
+        hll_estimate,
+    )
+
+    rng = np.random.default_rng(17)
+    keys = rng.choice(["a", "b", "c"], 30000)
+    vals = rng.integers(0, 8000, 30000)
+    want = {}
+    for k in "abc":
+        sub = vals[keys == k]
+        want[k] = hll_estimate(
+            hll_batch_registers(hash64_column(pa.array(sub.astype(np.int64))))
+        )
+    tbl = pa.table(
+        {
+            "k": pa.array(keys, pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = {
+            r["k"]: r["n_est"]
+            for r in hll_distinct_per_key(ds, key_col="k", col="v").take_all()
+        }
+        assert got == want
+    # per-key error sanity vs exact
+    for k in "abc":
+        exact = len(np.unique(vals[keys == k]))
+        assert abs(want[k] - exact) / exact < 0.1
+
+
+def test_hll_per_key_hot_key_capped(ray_session):
+    # a hot key with 100k distinct values in one batch still ships at most
+    # m = 4096 sparse register rows (the structural cap KMV lacks), and
+    # the estimate stays inside the published error band
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        _HLL_M,
+        hash64_column,
+        hll_distinct_per_key,
+    )
+
+    vals = np.arange(100000, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "k": pa.array(["hot"] * len(vals), pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    # the sparse representation is one row per touched register
+    h = hash64_column(pa.array(vals))
+    touched = len(np.unique((h >> np.uint64(64 - 12)).astype(np.int64)))
+    assert touched <= _HLL_M
+    out = hll_distinct_per_key(
+        ray.data.from_arrow(tbl), key_col="k", col="v"
+    ).take_all()
+    assert len(out) == 1
+    assert abs(out[0]["n_est"] - 100000) / 100000 < 5 * 1.04 / np.sqrt(_HLL_M)
+
+
 def test_hash_sample_deterministic_and_rate(ray_session, docs_tbl):
     import ray.data
 

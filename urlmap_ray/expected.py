@@ -426,6 +426,51 @@ def ensure_hll_expected(sf_dir: str, max_rows: int = 500_000) -> str:
     return path
 
 
+def ensure_hll_bytype_expected(sf_dir: str, max_rows: int = 500_000) -> str:
+    """Expected (event_type, n_est) from a SEQUENTIAL keyed HyperLogLog
+    pass over events: one dense register array per event_type, same
+    register/estimate primitives as the engine. The events_type_users_hll
+    gate checks the distributed sparse (key, ridx, rho) exchange + keyed
+    max fold against this."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "hll_bytype.parquet")
+    if os.path.exists(path):
+        return path
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    if pf.metadata.num_rows > max_rows:
+        return path
+    from .functions.sketch import (
+        _HLL_M,
+        hash64_column,
+        hll_batch_registers,
+        hll_estimate,
+    )
+
+    regs: dict[str, object] = {}
+    for b in pf.iter_batches(columns=["event_type", "user_id"], batch_size=8192):
+        tbl = pa.Table.from_batches([b])
+        for et in pc.unique(tbl.column("event_type")).to_pylist():
+            sub = tbl.filter(pc.equal(tbl.column("event_type"), et))
+            r = hll_batch_registers(hash64_column(sub.column("user_id")))
+            regs[et] = np.maximum(regs[et], r) if et in regs else r
+    keys = sorted(regs)
+    _write_atomic(
+        pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "n_est": pa.array(
+                    [hll_estimate(regs[k]) for k in keys], pa.int64()
+                ),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_quality_model_expected(sf_dir: str, max_docs: int = 1000) -> str:
     """Expected (doc_id, model_score, model_keep) from the single-process
     per-doc reference (quality_model.quality_model_reference). Scores are

@@ -536,3 +536,80 @@ def hll_distinct(ds, *, col: str, n_buckets: int = 32) -> int:
         return 0
     regs = np.maximum.reduce([np.frombuffer(r["regs"], np.uint8) for r in rows])
     return hll_estimate(regs)
+
+
+def hll_distinct_per_key(ds, *, key_col: str, col: str):
+    """Per-key approximate distinct counts via keyed HyperLogLog →
+    Dataset of ``(key_col, n_est)``. The grouped analogue of
+    :func:`hll_distinct` with a SPARSE register exchange: each batch
+    ships (key, register_idx, rho) triples for its nonzero registers —
+    pre-deduped to the per-(key, register) max by one vectorized lexsort
+    + run scan, so a (batch, key) pair contributes at most
+    ``min(n_distinct, 4096)`` 3-column rows no matter how many values it
+    holds (KMV's per-key exchange grows with k; this one is hard-capped
+    at m). One ``groupby(key)`` folds triples into dense registers via
+    ``np.maximum.at`` — associative, so estimates are bit-identical at
+    any parallelism. ~1.6% standard error per key at p=12, near-exact in
+    the linear-counting regime (small keys).
+
+    The 100-TB use: distinct-outbound-hosts per host, distinct users per
+    segment — anywhere an exact per-key COUNT(DISTINCT) would shuffle
+    every value."""
+
+    def batch_sparse(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, col])
+        if t.num_rows and t.column(col).null_count:
+            t = t.filter(pc.is_valid(t.column(col)))
+        keyc = t.column(key_col).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: keyc,
+                    "ridx": pa.array([], pa.int32()),
+                    "rho": pa.array([], pa.int32()),
+                }
+            )
+        h = hash64_column(t.column(col))
+        idx = (h >> _U64(64 - _HLL_P)).astype(np.int64)
+        w = h & _U64((1 << (64 - _HLL_P)) - 1)
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = np.where(w > 0, (64 - _HLL_P) + 1 - exp, (64 - _HLL_P) + 1).astype(
+            np.int64
+        )
+        codes = (
+            pc.dictionary_encode(keyc)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.lexsort((-rho, idx, codes))
+        kc, ic = codes[order], idx[order]
+        first = np.ones(len(kc), dtype=bool)  # max-rho row per (key, ridx)
+        first[1:] = (kc[1:] != kc[:-1]) | (ic[1:] != ic[:-1])
+        sel = order[first]
+        return pa.table(
+            {
+                key_col: keyc.take(pa.array(sel)),
+                "ridx": pa.array(idx[sel].astype(np.int32), pa.int32()),
+                "rho": pa.array(rho[sel].astype(np.int32), pa.int32()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        regs = np.zeros(_HLL_M, np.uint8)
+        np.maximum.at(
+            regs,
+            group.column("ridx").to_numpy(zero_copy_only=False),
+            group.column("rho").to_numpy(zero_copy_only=False).astype(np.uint8),
+        )
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1).combine_chunks(),
+                "n_est": pa.array([hll_estimate(regs)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_sparse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
+    )

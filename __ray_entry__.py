@@ -752,6 +752,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.edge_jaccard(pages, nodes).sort(["a", "b"])
 
+    def page_neighborhood(sf_dir):
+        # HyperANF (Boldi et al. 2011): per-node ≤3-hop out-reach estimate
+        # via sparse HLL registers folded along edges — radius synchronous
+        # rounds, two bucketed exchanges each, register-capped rows; the
+        # pinned run estimator makes the dense sequential reference
+        # bit-identical (expected.ensure_neighborhood_expected)
+        from urlmap_ray.expected import ensure_neighborhood_expected
+        from urlmap_ray.functions import graph as gr
+
+        info = _corpus(sf_dir)
+        ensure_neighborhood_expected(info)
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.neighborhood_sizes(pages, nodes, radius=3).sort("url")
+
     def page_components(sf_dir):
         # weakly-connected components of the link graph (site clusters):
         # hash urls → star-round CC (hybrid driver union-find at toy
@@ -2200,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_rules": robots_rules,
         "page_triangles": page_triangles,
         "page_edge_jaccard": page_edge_jaccard,
+        "page_neighborhood": page_neighborhood,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -3168,6 +3183,12 @@ def oracle_sql() -> dict[str, str]:
         # single-process synchronous peeling over the page_edges ground
         # truth (expected.py ensure_kcore_expected), same k
         "page_kcore": f"SELECT * FROM read_parquet('{_exp('page_kcore3')}')",
+        # sequential dense HyperANF over the page_edges ground truth —
+        # bit-identical by associative register max + the pinned run
+        # estimator (expected.ensure_neighborhood_expected)
+        "page_neighborhood": (
+            f"SELECT * FROM read_parquet('{_exp('page_neighborhood3')}')"
+        ),
         # single-process union-find over the page_edges ground truth, same
         # 63-bit url-hash labels as the distributed star rounds
         "page_components": f"SELECT * FROM read_parquet('{_exp('page_components')}')",

@@ -336,6 +336,80 @@ def test_edge_jaccard_known_graph(ray_session):
     assert want[(a, e)] == (0, 4, 1, 0)
 
 
+def test_neighborhood_sizes_hyperanf(ray_session):
+    # directed path a→b→c→d plus a cycle e→f→e: radius-2 out-reach is
+    # a:{a,b,c} b:{b,c,d} c:{c,d} d:{d} e:{e,f} f:{e,f}; the distributed
+    # rounds must land bit-identically on the dense sequential reference
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.graph import neighborhood_sizes
+    from urlmap_ray.functions.sketch import (
+        _HLL_M,
+        _HLL_P,
+        hash64_column,
+        hll_estimate_runs,
+    )
+
+    urls = [f"https://n.org/{c}" for c in "abcdef"]
+    a, b, c, d, e, f = urls
+    direct = [(a, b), (b, c), (c, d), (e, f), (f, e)]
+    links = {u: [] for u in urls}
+    for s, t in direct:
+        links[s].append(t)
+
+    def html(u):
+        return "<html><body>" + "".join(
+            f'<a href="{t}">x</a>' for t in links[u]
+        ) + "</body></html>"
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array([html(u).encode() for u in urls], pa.binary()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+
+    # dense sequential HyperANF reference (same primitives, same rounds)
+    h = hash64_column(pa.array(urls, pa.string()))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = np.where(w > 0, (64 - _HLL_P) + 1 - exp, (64 - _HLL_P) + 1).astype(np.uint8)
+    regs = {}
+    for i, u in enumerate(urls):
+        r = np.zeros(_HLL_M, np.uint8)
+        r[idx[i]] = rho[i]
+        regs[u] = r
+    for _ in range(2):
+        regs = {
+            u: np.maximum.reduce([regs[u]] + [regs[v] for v in links[u]])
+            for u in urls
+        }
+    want = {}
+    for u in urls:
+        nz = np.flatnonzero(regs[u])
+        want[u] = int(
+            hll_estimate_runs(regs[u][nz].astype(np.int64), np.array([0]))[0]
+        )
+
+    exact = {a: 3, b: 3, c: 2, d: 1, e: 2, f: 2}
+    for buckets in (1, 7):
+        got = {
+            r["url"]: r["n_reach_est"]
+            for r in neighborhood_sizes(
+                pages, nodes, radius=2, n_buckets=buckets
+            ).take_all()
+        }
+        assert got == want
+        for u in urls:  # linear-counting regime: within ±1 of exact
+            assert abs(got[u] - exact[u]) <= 1
+
+
 # ---------------------------------------------------------------------------
 # multi-source BFS distances / k-core
 

@@ -590,6 +590,68 @@ def ensure_components_expected(info: CorpusInfo) -> str:
     return path
 
 
+def ensure_neighborhood_expected(info: CorpusInfo, radius: int = 3) -> str:
+    """Expected (url, n_reach_est) from a SEQUENTIAL HyperANF pass over
+    the page_edges ground truth: dense uint8[4096] registers per node,
+    ``radius`` synchronous rounds of successor-register max, estimates
+    via the SAME pinned vectorized run estimator the distributed fold
+    uses (``sketch.hll_estimate_runs``) — register max is associative
+    and the estimator's float order is pinned, so the distributed result
+    must be bit-identical. Sorted by url."""
+    import numpy as np
+
+    from .functions.sketch import _HLL_M, _HLL_P, hash64_column, hll_estimate_runs
+
+    path = expected_path(info, f"page_neighborhood{radius}")
+    if not _should_generate(info, path):
+        return path
+    e_path, _, _ = ensure_graph_expected(info)
+    edges = pq.read_table(e_path)
+    urls = sorted(_pages_table(info).column("url").to_pylist())
+    h = hash64_column(pa.array(urls, pa.string()))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = np.where(w > 0, (64 - _HLL_P) + 1 - exp, (64 - _HLL_P) + 1).astype(np.uint8)
+    regs = {u: None for u in urls}
+    for i, u in enumerate(urls):
+        r = np.zeros(_HLL_M, np.uint8)
+        r[idx[i]] = rho[i]
+        regs[u] = r
+    succ: dict[str, list[str]] = {}
+    for s, d in zip(edges.column("src").to_pylist(), edges.column("dst").to_pylist()):
+        succ.setdefault(s, []).append(d)
+    for _ in range(radius):
+        new = {}
+        for u in urls:
+            r = regs[u]
+            for v in succ.get(u, ()):
+                r = np.maximum(r, regs[v])
+            new[u] = r
+        regs = new
+    all_rho, starts = [], []
+    off = 0
+    for u in urls:
+        nz = np.flatnonzero(regs[u])  # ascending register order
+        starts.append(off)
+        all_rho.append(regs[u][nz].astype(np.int64))
+        off += len(nz)
+    ests = hll_estimate_runs(
+        np.concatenate(all_rho) if all_rho else np.zeros(0, np.int64),
+        np.asarray(starts, np.int64),
+    )
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_reach_est": pa.array(ests, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_kcore_expected(info: CorpusInfo, k: int = 3) -> str:
     """Expected (url, in_core) for the k-core of the undirected link
     graph via single-process synchronous peeling over the page_edges

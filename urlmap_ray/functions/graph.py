@@ -2609,3 +2609,203 @@ def _kcore_shuffle(sym, nodes, k, max_rounds, n_buckets):
         .groupby("bk")
         .map_groups(flag_group, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperANF neighborhood-size estimation
+
+
+def neighborhood_sizes(
+    pages_ds,
+    nodes,
+    *,
+    radius: int = 3,
+    membership: str = "auto",
+    n_buckets: int = _MAP_BUCKETS,
+):
+    """HyperANF (Boldi, Rosa & Vigna 2011): per-node estimated count of
+    distinct nodes reachable within ``radius`` directed hops (the node
+    itself included) → (url, n_reach_est). The neighborhood function
+    without per-source BFS: every node carries a sparse HyperLogLog
+    register set seeded with its own url hash, and each round folds each
+    node's successors' registers into its own — register max is
+    associative, so after r synchronous rounds node u's registers hold
+    exactly the hash set of its ≤ r-hop out-neighborhood.
+
+    Ray shape: state is a Dataset of (url, ridx, rho) sparse register
+    rows (≤ min(|N≤t(u)|, 4096) per node — the HLL cap bounds even hub
+    neighborhoods at 4096 rows). Each round is TWO bucketed exchanges:
+    (1) scatter — edges keyed by dst union state keyed by url; inside a
+    bucket each edge (src→dst) re-keys dst's state rows to src via one
+    Arrow sort + searchsorted run-gather; (2) fold — propagated rows
+    union current state, per-(url, register) max by lexsort + run scan.
+    The per-round exchange is Σ_edges |state(dst)| rows — HyperANF's
+    native cost, register-capped, never the neighborhood VALUES. The
+    final estimate reuses the pinned vectorized run estimator
+    (``sketch.hll_estimate_runs``), so the sequential reference is
+    bit-identical.
+    """
+    from .sketch import hash64_column, hll_estimate_runs, _HLL_P, _HLL_M
+
+    edges = build_edges(
+        pages_ds, nodes, membership=membership, n_buckets=n_buckets
+    ).materialize()
+
+    def _idx_rho(h: np.ndarray):
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = np.where(w > 0, (64 - _HLL_P) + 1 - exp, (64 - _HLL_P) + 1)
+        return idx, rho.astype(np.int64)
+
+    def init_state(t: pa.Table) -> pa.Table:
+        idx, rho = _idx_rho(hash64_column(t.column("url")))
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "ridx": pa.array(idx.astype(np.int32), pa.int32()),
+                "rho": pa.array(rho.astype(np.int32), pa.int32()),
+            }
+        )
+
+    state = nodes.map_batches(
+        init_state, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def edge_pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("dst"),
+                "tgt": t.column("src"),
+                "ridx": pa.nulls(t.num_rows, pa.int32()),
+                "rho": pa.nulls(t.num_rows, pa.int32()),
+                "bk": _tri_bucket(t.column("dst"), n_buckets),
+            }
+        )
+
+    def state_pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("url"),
+                "tgt": pa.nulls(t.num_rows, pa.string()),
+                "ridx": t.column("ridx"),
+                "rho": t.column("rho"),
+                "bk": _tri_bucket(t.column("url"), n_buckets),
+            }
+        )
+
+    def scatter(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "ridx": pa.array([], pa.int32()),
+                "rho": pa.array([], pa.int32()),
+            }
+        )
+        is_edge = pc.is_valid(g.column("tgt"))
+        e = g.filter(is_edge)
+        s = g.filter(pc.invert(is_edge))
+        if not e.num_rows or not s.num_rows:
+            return empty
+        order = pc.sort_indices(s, sort_keys=[("key", "ascending")])
+        skey = _ca(s.column("key")).take(order)
+        sridx = _ca(s.column("ridx")).take(order).to_numpy(zero_copy_only=False)
+        srho = _ca(s.column("rho")).take(order).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(_tri_run_starts(skey))
+        uniq = skey.take(pa.array(starts, pa.int64()))
+        lens = np.diff(np.append(starts, len(skey)))
+        pos = (
+            pc.index_in(e.column("key"), value_set=uniq)
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        valid = pos >= 0
+        if not valid.any():
+            return empty
+        vpos = pos[valid]
+        counts = lens[vpos]
+        total = int(counts.sum())
+        g0 = np.repeat(starts[vpos], counts)
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        gather = g0 + within
+        tgt_rows = np.repeat(np.flatnonzero(valid), counts)
+        return pa.table(
+            {
+                "url": _ca(e.column("tgt")).take(pa.array(tgt_rows, pa.int64())),
+                "ridx": pa.array(sridx[gather], pa.int32()),
+                "rho": pa.array(srho[gather], pa.int32()),
+            }
+        )
+
+    def add_nbk(t: pa.Table) -> pa.Table:
+        return t.append_column("nbk", _tri_bucket(t.column("url"), n_buckets))
+
+    def dedup_max(g: pa.Table) -> pa.Table:
+        urlc = _ca(g.column("url"))
+        codes = (
+            pc.dictionary_encode(urlc)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ridx = g.column("ridx").to_numpy(zero_copy_only=False).astype(np.int64)
+        rho = g.column("rho").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((-rho, ridx, codes))
+        kc, ic = codes[order], ridx[order]
+        first = np.ones(len(kc), dtype=bool)
+        first[1:] = (kc[1:] != kc[:-1]) | (ic[1:] != ic[:-1])
+        sel = order[first]
+        return pa.table(
+            {
+                "url": urlc.take(pa.array(sel, pa.int64())),
+                "ridx": pa.array(ridx[sel].astype(np.int32), pa.int32()),
+                "rho": pa.array(rho[sel].astype(np.int32), pa.int32()),
+            }
+        )
+
+    for _ in range(radius):
+        prop = (
+            edges.map_batches(edge_pad, batch_format="pyarrow", zero_copy_batch=True)
+            .union(
+                state.map_batches(
+                    state_pad, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("bk")
+            .map_groups(scatter, batch_format="pyarrow")
+        )
+        state = (
+            prop.union(state)
+            .map_batches(add_nbk, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("nbk")
+            .map_groups(dedup_max, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def estimate(g: pa.Table) -> pa.Table:
+        urlc = _ca(g.column("url"))
+        codes = (
+            pc.dictionary_encode(urlc)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ridx = g.column("ridx").to_numpy(zero_copy_only=False).astype(np.int64)
+        rho = g.column("rho").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ridx, codes))
+        kc = codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], kc[1:] != kc[:-1]]) if len(kc) else []
+        )
+        ests = hll_estimate_runs(rho[order], starts)
+        return pa.table(
+            {
+                "url": urlc.take(pa.array(order[starts], pa.int64())),
+                "n_reach_est": pa.array(ests, pa.int64()),
+            }
+        )
+
+    return (
+        state.map_batches(add_nbk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nbk")
+        .map_groups(estimate, batch_format="pyarrow")
+    )

@@ -613,3 +613,33 @@ def hll_distinct_per_key(ds, *, key_col: str, col: str):
         .groupby(key_col)
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def hll_estimate_runs(rho: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Vectorized HLL estimates for RUNS of deduped (register, rho) rows,
+    each run sorted by ascending register index → int64 estimate per run
+    (floor). Used by the per-node HyperANF fold (``graph.neighborhood_
+    sizes``), where thousands of estimates happen per bucket and the
+    dense 4 KiB array per node would be waste.
+
+    The float contract is PINNED so the distributed fold and the
+    sequential reference land on identical bits: per run, ``raw =
+    αm² / ((m − run_len)·2⁰ + Σ 2^−rho)`` with the Σ one
+    ``np.add.reduceat`` in ascending register order, then the linear-
+    counting branch ``m·ln(m/V)`` when ``raw ≤ 2.5m`` and empty
+    registers exist. Any reordering of the sum would change bits —
+    callers must present rows register-sorted."""
+    m = _HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    lens = np.diff(np.append(starts, len(rho)))
+    if not len(starts):
+        return np.zeros(0, np.int64)
+    inv = np.ldexp(1.0, -rho.astype(np.int64))
+    sums = np.add.reduceat(inv, starts)
+    denom = (m - lens).astype(np.float64) + sums
+    raw = alpha * m * m / denom
+    v = (m - lens).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(np.where(v > 0, m / np.maximum(v, 1e-300), 1.0))
+    est = np.where((raw <= 2.5 * m) & (lens < m), lin, raw)
+    return est.astype(np.int64)

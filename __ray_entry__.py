@@ -766,6 +766,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.neighborhood_sizes(pages, nodes, radius=3).sort("url")
 
+    def page_trustrank(sf_dir):
+        # TrustRank (Gyöngyi et al. 2004): PageRank with the teleport
+        # personalized to a trusted seed set — here every host's root
+        # page — the spam-demotion / crawl-prioritization form; both
+        # modes bit-identical to the seeded single-process reference
+        # (test-asserted), registered at 3 iterations like
+        # pagerank_shuffle
+        from urlmap_ray.corpus import page_url
+        from urlmap_ray.expected import ensure_trustrank_expected
+        from urlmap_ray.functions import graph as gr
+
+        info = _corpus(sf_dir)
+        ensure_trustrank_expected(info)
+        seeds = [page_url(h, 0) for h in range(info.n_hosts)]
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.pagerank(pages, nodes, n_iters=3, seed_urls=seeds).sort("url")
+
     def page_components(sf_dir):
         # weakly-connected components of the link graph (site clusters):
         # hash urls → star-round CC (hybrid driver union-find at toy
@@ -2215,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_triangles": page_triangles,
         "page_edge_jaccard": page_edge_jaccard,
         "page_neighborhood": page_neighborhood,
+        "page_trustrank": page_trustrank,
         "page_line_dedup": page_line_dedup,
         "page_boilerplate": page_boilerplate,
         "page_line_filter": page_line_filter,
@@ -3189,6 +3207,9 @@ def oracle_sql() -> dict[str, str]:
         "page_neighborhood": (
             f"SELECT * FROM read_parquet('{_exp('page_neighborhood3')}')"
         ),
+        # seeded single-process pagerank_reference (TrustRank teleport,
+        # host-root seeds, 3 iterations)
+        "page_trustrank": f"SELECT * FROM read_parquet('{_exp('trustrank3')}')",
         # single-process union-find over the page_edges ground truth, same
         # 63-bit url-hash labels as the distributed star rounds
         "page_components": f"SELECT * FROM read_parquet('{_exp('page_components')}')",

@@ -169,6 +169,7 @@ def run_bench() -> dict:
         "page_degrees",
         "pagerank",
         "pagerank_shuffle",
+        "page_trustrank",
         "page_hits",
         "page_hits_shuffle",
         "page_components",

@@ -130,6 +130,48 @@ def test_pagerank_shuffle_mode_identical(ray_session, corpus, truth):
     assert got_b == pagerank_reference(urls, links, n_iters=3)
 
 
+def test_trustrank_modes_identical_and_match_reference(ray_session, corpus, truth):
+    # personalized teleport (TrustRank): both modes bit-identical to the
+    # seeded reference; non-seed-reachable nodes get zero mass
+    urls, links, _ = truth
+    seeds = sorted(urls)[:3]
+    b = pagerank(
+        _pages_ds(corpus),
+        _nodes_ds(corpus),
+        mode="broadcast",
+        n_iters=3,
+        n_buckets=7,
+        seed_urls=seeds,
+    )
+    s = pagerank(
+        _pages_ds(corpus),
+        _nodes_ds(corpus),
+        mode="shuffle",
+        n_iters=3,
+        n_buckets=7,
+        seed_urls=seeds,
+    )
+    got_b = {r["url"]: r["rank_ppb"] for r in b.take_all()}
+    got_s = {r["url"]: r["rank_ppb"] for r in s.take_all()}
+    exp = pagerank_reference(urls, links, n_iters=3, seed_urls=seeds)
+    assert got_s == got_b
+    assert got_b == exp
+    # teleport mass is concentrated: seeds hold rank, total ≤ 1e9
+    assert all(exp[u] > 0 for u in seeds)
+    assert sum(exp.values()) <= 1_000_000_000
+    # uniform path unchanged by the refactor (pinned one-division floats)
+    assert pagerank_reference(urls, links, n_iters=3) == {
+        r["url"]: r["rank_ppb"]
+        for r in pagerank(
+            _pages_ds(corpus), _nodes_ds(corpus), mode="broadcast", n_iters=3
+        ).take_all()
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank_reference(urls, links, seed_urls=["https://nope.example/x"])
+
+
 def test_hits_matches_reference_any_actor_count(ray_session, corpus, truth):
     """Distributed HITS must be bit-identical to the single-process
     reference at 1 actor AND at several actors (the per-bucket hub

@@ -590,6 +590,40 @@ def ensure_components_expected(info: CorpusInfo) -> str:
     return path
 
 
+def ensure_trustrank_expected(info: CorpusInfo, n_iters: int = 3) -> str:
+    """Expected (url, rank_ppb) for TrustRank over the corpus link graph:
+    the single-process :func:`~urlmap_ray.functions.graph.pagerank_reference`
+    with the personalized teleport (seeds = every host's root page — the
+    corpus's trusted-homepage set), 3 iterations like the pagerank_shuffle
+    registration. Sorted by url."""
+    from .corpus import page_url
+    from .extract import extract_links
+    from .functions.graph import pagerank_reference
+
+    path = expected_path(info, f"trustrank{n_iters}")
+    if not _should_generate(info, path):
+        return path
+    tbl = _pages_table(info)
+    urls = tbl.column("url").to_pylist()
+    links_per_url = {
+        u: extract_links(u, h) if h is not None else []
+        for u, h in zip(urls, tbl.column("html").to_pylist())
+    }
+    seeds = [page_url(h, 0) for h in range(info.n_hosts)]
+    tr = pagerank_reference(urls, links_per_url, n_iters=n_iters, seed_urls=seeds)
+    su = sorted(urls)
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(su, pa.string()),
+                "rank_ppb": pa.array([tr[u] for u in su], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_neighborhood_expected(info: CorpusInfo, radius: int = 3) -> str:
     """Expected (url, n_reach_est) from a SEQUENTIAL HyperANF pass over
     the page_edges ground truth: dense uint8[4096] registers per node,

@@ -664,6 +664,7 @@ def pagerank(
     damping: float = _DAMPING,
     mode: str = "auto",
     n_buckets: int | None = None,
+    seed_urls: list[str] | None = None,
 ):
     """PageRank over the corpus link graph → Dataset of (url, rank_ppb).
 
@@ -675,10 +676,19 @@ def pagerank(
     iteration — the ≤``SHUFFLE_MODE_NODES`` regime), "shuffle" (ranks
     stay a Dataset, two single-key exchanges per iteration, no O(nodes)
     state on the driver or in any single object), or "auto".
+
+    ``seed_urls`` personalizes the teleport (TrustRank, Gyöngyi et al.
+    2004): restart mass lands only on the seed set (p = 1/|S| on seeds,
+    0 elsewhere) instead of uniformly — the spam-demotion / crawl-
+    prioritization form. Seed lists are config-sized (a trusted-site
+    list), so holding one as a Python list is the same contract as
+    crawl seeds; every seed must be in the node set.
     """
     import ray
     import ray.data
 
+    if seed_urls is not None and not seed_urls:
+        raise ValueError("seed_urls must be non-empty when given")
     n = nodes.count()
     if n == 0:
         return ray.data.from_arrow(
@@ -712,6 +722,23 @@ def pagerank(
             .repartition(nb, shuffle=False)
             .materialize()
         )
+        teleport = None
+        if seed_urls is not None:
+            ss = sorted(set(seed_urls))
+            seeds_arr = pa.array(ss, pa.string())
+            id_rows = index_ds.map_batches(
+                lambda t, _sa=seeds_arr: t.filter(
+                    pc.is_in(t.column("url"), value_set=_sa)
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).take_all()  # ≤ |seed_urls| rows — seed lists are config-sized
+            ids = np.sort(
+                np.array([r["node_id"] for r in id_rows], dtype=np.int64)
+            )
+            if len(ids) != len(ss):
+                raise ValueError("seed_urls not all present in the node set")
+            teleport = (ray.put(ids), len(ids))
         return _pagerank_shuffle(
             edges_b,
             index_ds,
@@ -719,6 +746,7 @@ def pagerank(
             n_iters=n_iters,
             damping=damping,
             per_bucket=per_bucket,
+            teleport=teleport,
         )
 
     # ---- broadcast mode --------------------------------------------------
@@ -730,6 +758,26 @@ def pagerank(
     urls_ref = _sorted_urls_ref(nodes)
     edges_b = _bucketed_edge_ids(_edges_broadcast(pages_ds, urls_ref), urls_ref, per_bucket)
     base = (1.0 - damping) / n
+    if seed_urls is None:
+        base_vec = np.full(n, base, dtype=np.float64)
+        rank0_vec = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+
+        @ray.remote(num_cpus=1)
+        def _seed_positions(urls_arr: pa.Array, seeds: list[str]) -> np.ndarray:
+            pos = pc.index_in(pa.array(seeds, pa.string()), value_set=urls_arr)
+            if pos.null_count:
+                missing = [
+                    s for s, p in zip(seeds, pos.to_pylist()) if p is None
+                ]
+                raise ValueError(f"seed_urls not in node set: {missing[:3]}")
+            return pos.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        pos = ray.get(_seed_positions.remote(urls_ref, sorted(set(seed_urls))))
+        rank0_vec = np.zeros(n, dtype=np.float64)
+        rank0_vec[pos] = 1.0 / len(pos)
+        base_vec = np.zeros(n, dtype=np.float64)
+        base_vec[pos] = (1.0 - damping) / len(pos)
     block_refs = edges_b.to_arrow_refs()
     shard_cls = ray.remote(num_cpus=1)(_EdgeShard)
     n_actors = max(1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))))
@@ -742,13 +790,13 @@ def pagerank(
         nz = out_vec > 0
         inv_out[nz] = 1.0 / out_vec[nz]
         inv_ref = ray.put(inv_out)
-        ranks = np.full(n, 1.0 / n, dtype=np.float64)
+        ranks = rank0_vec.copy()
         for _ in range(n_iters):
             ranks_ref = ray.put(ranks)
             parts = ray.get(
                 [a.contribs.remote(ranks_ref, inv_ref) for a in actors]
             )
-            new = np.full(n, base, dtype=np.float64)
+            new = base_vec.copy()
             dsts = np.concatenate([p[0] for p in parts])
             if len(dsts):
                 sums = np.concatenate([p[1] for p in parts])
@@ -773,7 +821,9 @@ def pagerank(
     return ray.data.from_arrow_refs([finish.remote(urls_ref, ranks)])
 
 
-def _pagerank_shuffle(edges_b, index_ds, *, n, n_iters, damping, per_bucket):
+def _pagerank_shuffle(
+    edges_b, index_ds, *, n, n_iters, damping, per_bucket, teleport=None
+):
     """Fully-distributed PageRank: no O(nodes) state on the driver OR in
     any single broadcast object. Rank state is a Dataset of
     (node_id, rank, inv) rows — ``inv`` (1/out-degree) rides along so the
@@ -795,6 +845,26 @@ def _pagerank_shuffle(edges_b, index_ds, *, n, n_iters, damping, per_bucket):
 
     base = (1.0 - damping) / n
     r0 = 1.0 / n
+    seed_ref, n_seeds = teleport if teleport is not None else (None, 0)
+
+    def _teleport_slices(lo: int, hi: int):
+        """(base, rank0) dense slices for node ids [lo, hi): uniform
+        without teleport (the pinned one-division floats), else mass only
+        on the broadcast seed-id set (TrustRank personalization)."""
+        if seed_ref is None:
+            return (
+                np.full(hi - lo, base, dtype=np.float64),
+                np.full(hi - lo, r0, dtype=np.float64),
+            )
+        import ray
+
+        ids = ray.get(seed_ref)
+        sel = ids[(ids >= lo) & (ids < hi)]
+        b = np.zeros(hi - lo, dtype=np.float64)
+        r = np.zeros(hi - lo, dtype=np.float64)
+        b[sel - lo] = (1.0 - damping) / n_seeds
+        r[sel - lo] = 1.0 / n_seeds
+        return b, r
 
     # --- initial (node_id, rank, inv) rows: out-degree partials + the
     # dense node range from the index, ONE groupby(db) ---------------------
@@ -834,7 +904,7 @@ def _pagerank_shuffle(edges_b, index_ds, *, n, n_iters, damping, per_bucket):
         return pa.table(
             {
                 "node_id": pa.array(np.arange(lo, hi, dtype=np.int64), pa.int64()),
-                "rank": pa.array(np.full(hi - lo, r0), pa.float64()),
+                "rank": pa.array(_teleport_slices(lo, hi)[1], pa.float64()),
                 "inv": pa.array(inv, pa.float64()),
             }
         )
@@ -919,7 +989,7 @@ def _pagerank_shuffle(edges_b, index_ds, *, n, n_iters, damping, per_bucket):
         inv_dense[dst[is_inv] - lo] = c[is_inv]
         e_src = src[~is_inv]
         e_dst = dst[~is_inv]
-        ranks = np.full(hi - lo, base, dtype=np.float64)
+        ranks = _teleport_slices(lo, hi)[0]
         if len(e_dst):
             order = np.lexsort((e_src, e_dst))
             e_dst = e_dst[order]
@@ -1593,10 +1663,14 @@ def pagerank_reference(
     *,
     n_iters: int = _N_ITERS,
     damping: float = _DAMPING,
+    seed_urls: list[str] | None = None,
 ) -> dict[str, int]:
     """Single-process oracle: same graph semantics, same deterministic
     summation primitive, no Ray. Used by expected.py to materialize the
-    pagerank ground truth the DuckDB oracle reads."""
+    pagerank ground truth the DuckDB oracle reads. With ``seed_urls``
+    this is the TrustRank personalization (Gyöngyi et al. 2004):
+    teleport mass lands only on the seed set — p_v = 1/|S| on seeds,
+    0 elsewhere — instead of uniformly."""
     urls_sorted = sorted(urls)
     n = len(urls_sorted)
     if n == 0:
@@ -1616,11 +1690,24 @@ def pagerank_reference(
     out = np.bincount(src, minlength=n).astype(np.int64)
     inv_out = np.zeros(n, dtype=np.float64)
     inv_out[out > 0] = 1.0 / out[out > 0]
-    base = (1.0 - damping) / n
-    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    if seed_urls is None:
+        # pinned float path of the uniform ground truth: ONE division
+        base_vec = np.full(n, (1.0 - damping) / n, dtype=np.float64)
+        ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        ss = sorted(set(seed_urls))
+        missing = [s for s in ss if s not in idx]
+        if missing or not ss:
+            raise ValueError(f"seed_urls not in node set: {missing[:3]}")
+        p = np.zeros(n, dtype=np.float64)
+        p[[idx[s] for s in ss]] = 1.0 / len(ss)
+        # pinned: teleport entries are the ONE division (1-d)/|S|
+        base_vec = np.zeros(n, dtype=np.float64)
+        base_vec[p > 0] = (1.0 - damping) / len(ss)
+        ranks = p.copy()
     for _ in range(n_iters):
         d, s = _contrib_sums(dst, src, ranks, inv_out)
-        new = np.full(n, base, dtype=np.float64)
+        new = base_vec.copy()
         np.add.at(new, d, damping * s)
         ranks = new
     q = np.round(ranks * 1e9).astype(np.int64)

@@ -1982,6 +1982,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             col="user_id",
         ).sort("event_type")
 
+    def events_type_counts_cms(sf_dir):
+        # Count-Min frequency sketch: ONE 64 KiB counter row per batch
+        # (cardinality-free exchange), elementwise-sum fold, point queries
+        # for the 5 DECLARED event types. Exact-below-collision regime:
+        # with 5 distinct values ≪ w=2048 the min row is collision-free
+        # for the pinned corpus hashes (verified across sf levels), so
+        # COUNT(*) GROUP BY certifies the distributed fold — the CMS
+        # analogue of KMV's exact-below-saturation story.
+        import pyarrow as pa
+        import ray.data
+
+        from urlmap_ray.functions.sketch import cms_counts, cms_estimate, hash64_column
+
+        counts = cms_counts(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+            ),
+            col="event_type",
+        )
+        probe = ["click", "error", "purchase", "signup", "view"]
+        parr = pa.array(probe, pa.string())
+        est = cms_estimate(counts, hash64_column(parr))
+        return pa.table(
+            {
+                "event_type": parr,
+                "n_est": pa.array(est, pa.int64()),
+            }
+        )
+
+    def events_user_skew_ams(sf_dir):
+        # AMS second-moment sketch: F2 (repeat rate / skew) of user_id —
+        # each batch ships ONE 64-counter row, integer elementwise-sum
+        # fold ⇒ counters bit-identical at any parallelism; the pinned
+        # median-of-means estimate vs the sequential same-counter
+        # reference (expected-parquet trust model). The pre-shuffle skew
+        # probe: F2/n ≈ 1 means unique keys, large means a hot key.
+        import pyarrow as pa
+        import ray.data
+
+        from urlmap_ray.expected import ensure_ams_expected
+        from urlmap_ray.functions.sketch import ams_f2
+
+        ensure_ams_expected(sf_dir)
+        est = ams_f2(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+            ),
+            col="user_id",
+        )
+        return pa.table({"f2_est": pa.array([est], pa.int64())})
+
     def events_windowed(sf_dir):
         # Tumbling 6h windows per user: count + exact integer sum (value
         # quantized to cents BEFORE the shuffle so the sum is
@@ -2291,6 +2342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": events_distinct_users,
         "events_users_hll": events_users_hll,
         "events_type_users_hll": events_type_users_hll,
+        "events_type_counts_cms": events_type_counts_cms,
+        "events_user_skew_ams": events_user_skew_ams,
         # -- green in CORRECTNESS_r03 --
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
@@ -3879,6 +3932,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/hll_bytype.parquet') "
             "ORDER BY event_type"
+        ),
+        # CMS point queries in the collision-free regime: exact counts
+        "events_type_counts_cms": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_est
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # AMS counters vs the sequential same-counter fold
+        "events_user_skew_ams": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/ams_f2.parquet')"
         ),
         # Keyed KMV: exact below k=2048 distinct users per day (max
         # observed 141 at the sf0.01 gate), so COUNT(DISTINCT) GROUP BY

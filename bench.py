@@ -142,6 +142,8 @@ def run_bench() -> dict:
         "events_daily_users",
         "events_users_hll",
         "events_type_users_hll",
+        "events_type_counts_cms",
+        "events_user_skew_ams",
         "events_pivot",
         "events_running",
         "events_lag",

@@ -984,6 +984,71 @@ def test_hll_per_key_hot_key_capped(ray_session):
     assert abs(out[0]["n_est"] - 100000) / 100000 < 5 * 1.04 / np.sqrt(_HLL_M)
 
 
+def test_cms_overestimate_and_parallelism_independent(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        cms_batch_counts,
+        cms_counts,
+        cms_estimate,
+        hash64_column,
+    )
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 500, 60000).astype(np.int64)
+    true = np.bincount(vals, minlength=500)
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    probe = hash64_column(pa.array(np.arange(500, dtype=np.int64)))
+    outs = []
+    for parts in (1, 8):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        counts = cms_counts(ds, col="v", n_buckets=4)
+        outs.append(counts)
+        est = cms_estimate(counts, probe)
+        assert (est >= true).all()  # CM never underestimates
+        assert (est - true).max() <= 2 * len(vals) // 2048 + 60  # CM bound slack
+    assert np.array_equal(outs[0], outs[1])  # associative integer sums
+    # sequential reference = the same single-batch fold
+    seq = cms_batch_counts(hash64_column(pa.array(vals, pa.int64())))
+    assert np.array_equal(outs[0], seq)
+
+
+def test_ams_f2_skew_detection(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        ams_batch_counters,
+        ams_f2,
+        ams_f2_estimate,
+        hash64_column,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 40000
+    uni = rng.integers(0, 4000, n).astype(np.int64)
+    hot = np.zeros(n, np.int64)
+    for vals, lo, hi in ((uni, 0.5, 2.0), (hot, 0.9, 1.1)):
+        true = float((np.bincount(vals - vals.min()) ** 2).sum())
+        tbl = pa.table({"v": pa.array(vals, pa.int64())})
+        ests = {
+            ams_f2(ray.data.from_arrow(tbl).repartition(p), col="v", n_buckets=4)
+            for p in (1, 6)
+        }
+        assert len(ests) == 1  # associative counters → identical estimate
+        est = ests.pop()
+        assert lo * true <= est <= hi * true, (est, true)
+        # sequential same-counter reference
+        assert est == ams_f2_estimate(
+            ams_batch_counters(hash64_column(pa.array(vals, pa.int64())))
+        )
+    # skew separation: hot-key F2 ≫ uniform F2
+    assert ams_f2(
+        ray.data.from_arrow(pa.table({"v": pa.array(hot, pa.int64())})), col="v"
+    ) > 100 * ams_f2(
+        ray.data.from_arrow(pa.table({"v": pa.array(uni, pa.int64())})), col="v"
+    )
+
+
 def test_hash_sample_deterministic_and_rate(ray_session, docs_tbl):
     import ray.data
 

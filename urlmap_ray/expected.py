@@ -471,6 +471,39 @@ def ensure_hll_bytype_expected(sf_dir: str, max_rows: int = 500_000) -> str:
     return path
 
 
+def ensure_ams_expected(sf_dir: str, max_rows: int = 500_000) -> str:
+    """Expected one-row (f2_est) from a SEQUENTIAL AMS pass over
+    events.user_id: same sign-hash counters, integer sums — the
+    distributed bucketed fold must land on identical counters (associative
+    adds) and therefore the identical pinned median-of-means estimate."""
+    import numpy as np
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "ams_f2.parquet")
+    if os.path.exists(path):
+        return path
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    if pf.metadata.num_rows > max_rows:
+        return path
+    from .functions.sketch import (
+        _AMS_K,
+        ams_batch_counters,
+        ams_f2_estimate,
+        hash64_column,
+    )
+
+    counters = np.zeros(_AMS_K, np.int64)
+    for b in pf.iter_batches(columns=["user_id"], batch_size=8192):
+        col = b.column(0).drop_null()
+        if len(col):
+            counters += ams_batch_counters(hash64_column(col))
+    _write_atomic(
+        pa.table({"f2_est": pa.array([ams_f2_estimate(counters)], pa.int64())}),
+        path,
+    )
+    return path
+
+
 def ensure_quality_model_expected(sf_dir: str, max_docs: int = 1000) -> str:
     """Expected (doc_id, model_score, model_keep) from the single-process
     per-doc reference (quality_model.quality_model_reference). Scores are

@@ -643,3 +643,172 @@ def hll_estimate_runs(rho: np.ndarray, starts: np.ndarray) -> np.ndarray:
         lin = m * np.log(np.where(v > 0, m / np.maximum(v, 1e-300), 1.0))
     est = np.where((raw <= 2.5 * m) & (lens < m), lin, raw)
     return est.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+
+_CMS_W = 2048  # counters per row
+_CMS_D = 4  # independent rows
+_CMS_SALTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def cms_batch_counts(hashes: np.ndarray) -> np.ndarray:
+    """Fold a batch of 64-bit value hashes into a fresh int64[d, w]
+    Count-Min counter array (Cormode & Muthukrishnan 2005): row i indexes
+    by ``splitmix64(h ^ salt_i) % w`` and adds 1 per occurrence. Integer
+    adds are associative, so per-batch arrays merge by elementwise sum in
+    any order — the sketch is exactly mergeable, no float anywhere."""
+    counts = np.zeros((_CMS_D, _CMS_W), np.int64)
+    for i, salt in enumerate(_CMS_SALTS):
+        idx = (_splitmix64(hashes ^ _U64(salt)) % _U64(_CMS_W)).astype(np.int64)
+        np.add.at(counts[i], idx, 1)
+    return counts
+
+
+def cms_estimate(counts: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates for the given value hashes: the min over
+    the d row counters (the classic CM upper bound — never an
+    underestimate; overestimate ≤ 2n/w with prob ≥ 1 − 2^−d)."""
+    ests = np.empty((_CMS_D, len(hashes)), np.int64)
+    for i, salt in enumerate(_CMS_SALTS):
+        idx = (_splitmix64(hashes ^ _U64(salt)) % _U64(_CMS_W)).astype(np.int64)
+        ests[i] = counts[i][idx]
+    return ests.min(axis=0)
+
+
+def cms_counts(ds, *, col: str, n_buckets: int = 32) -> np.ndarray:
+    """Distributed Count-Min fold over ``ds[col]`` → the final int64[d, w]
+    counter array. Each batch ships ONE 64 KiB counter row (O(n_batches),
+    cardinality-free — the frequency-query counterpart of
+    :func:`hll_distinct`); a bucketed groupby sums partials elementwise
+    and ≤ n_buckets rows reach the driver. Integer sums are associative
+    ⇒ the array is bit-identical at any parallelism.
+
+    The 100-TB use: approximate per-URL / per-term hit counts without a
+    key shuffle — point queries, heavy-hitter confirmation, join-size
+    estimation. Pair with :func:`mg_topk` (which finds WHICH keys are
+    heavy; CMS answers HOW OFTEN for any key after one pass)."""
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        counts = (
+            cms_batch_counts(hash64_column(c))
+            if len(c)
+            else np.zeros((_CMS_D, _CMS_W), np.int64)
+        )
+        blob = counts.tobytes()
+        bk = int.from_bytes(hashlib.md5(blob).digest()[:8], "little") % n_buckets
+        return pa.table(
+            {
+                "bk": pa.array([bk], pa.int64()),
+                "counts": pa.array([blob], pa.binary()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        arrs = [
+            np.frombuffer(b, np.int64).reshape(_CMS_D, _CMS_W)
+            for b in g.column("counts").to_pylist()
+        ]
+        summed = np.sum(np.stack(arrs), axis=0, dtype=np.int64)
+        return pa.table({"counts": pa.array([summed.tobytes()], pa.binary())})
+
+    rows = (
+        ds.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bk")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()  # <= n_buckets 64 KiB rows — constant driver bound
+    )
+    total = np.zeros((_CMS_D, _CMS_W), np.int64)
+    for r in rows:
+        total += np.frombuffer(r["counts"], np.int64).reshape(_CMS_D, _CMS_W)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# AMS second-moment (F2) sketch
+
+_AMS_K = 64  # estimators (8 groups × 8 for the pinned median-of-means)
+_AMS_SALT = _U64(0x2545F4914F6CDD1D)
+
+
+def ams_batch_counters(hashes: np.ndarray) -> np.ndarray:
+    """Fold a batch of value hashes into k signed AMS counters (Alon,
+    Matias & Szegedy 1996): estimator j adds ``s_j(v) ∈ {±1}`` per
+    occurrence, with the sign drawn from bit j of
+    ``splitmix64(h ^ salt)`` (k ≤ 64 so one rehash serves all
+    estimators). Integer adds ⇒ exactly mergeable in any order."""
+    signs_bits = _splitmix64(hashes ^ _AMS_SALT)
+    counters = np.empty(_AMS_K, np.int64)
+    for j in range(_AMS_K):
+        bit = ((signs_bits >> _U64(j)) & _U64(1)).astype(np.int64)
+        counters[j] = int((2 * bit - 1).sum())
+    return counters
+
+
+def ams_f2_estimate(counters: np.ndarray) -> int:
+    """F2 = Σ count(v)² estimate: mean of counter² within each of 8
+    groups of 8, then the median of the 8 group means — fixed grouping
+    and order, so the float chain is pinned. Floor to int64."""
+    sq = counters.astype(np.float64) ** 2
+    means = sq.reshape(8, 8).mean(axis=1)
+    return int(np.median(means))
+
+
+def ams_f2(ds, *, col: str, n_buckets: int = 32) -> int:
+    """Distributed AMS F2 (repeat rate / skew) of ``ds[col]``: each batch
+    ships ONE k-counter row (k = 64 int64s — O(n_batches) exchange),
+    bucketed elementwise-sum fold, ≤ n_buckets rows to the driver.
+    Integer counter sums are associative ⇒ bit-identical at any
+    parallelism; only the final estimate touches floats, through the
+    pinned median-of-means.
+
+    The 100-TB use: detecting key skew BEFORE paying for a shuffle — F2
+    ≈ n²/k for uniform keys but → n² under a hot key, so
+    F2 / n (the repeat rate) says whether a groupby needs salting. The
+    second-moment member of the sketch family (cardinality = KMV/HLL,
+    heavy hitters = MG, quantiles = QS, frequency = CMS)."""
+
+    def batch_counters(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        counters = (
+            ams_batch_counters(hash64_column(c))
+            if len(c)
+            else np.zeros(_AMS_K, np.int64)
+        )
+        blob = counters.tobytes()
+        bk = int.from_bytes(hashlib.md5(blob).digest()[:8], "little") % n_buckets
+        return pa.table(
+            {
+                "bk": pa.array([bk], pa.int64()),
+                "counters": pa.array([blob], pa.binary()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        arrs = [
+            np.frombuffer(b, np.int64) for b in g.column("counters").to_pylist()
+        ]
+        summed = np.sum(np.stack(arrs), axis=0, dtype=np.int64)
+        return pa.table({"counters": pa.array([summed.tobytes()], pa.binary())})
+
+    rows = (
+        ds.map_batches(batch_counters, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bk")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()  # <= n_buckets 512-byte rows
+    )
+    total = np.zeros(_AMS_K, np.int64)
+    for r in rows:
+        total += np.frombuffer(r["counters"], np.int64)
+    return ams_f2_estimate(total)

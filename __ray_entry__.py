@@ -1628,6 +1628,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_kmeans_expected(sf_dir)
         return kmeans_assign(_emb(sf_dir), k=8, iters=5)
 
+    def embedding_semdedup(sf_dir):
+        # SemDeDup (Abbas et al. 2023): the engine's own bit-deterministic
+        # kmeans assigns clusters, ONE bucketed id exchange attaches
+        # vectors, a groupby(cluster) prunes any row whose cluster has a
+        # smaller-id member at cosine ≥ 0.4 (the pinned transitive-free
+        # rule, NOT EXISTS in SQL); oracle joins the kmeans ground-truth
+        # assignments with DuckDB's exact list_cosine_similarity
+        from urlmap_ray.expected import ensure_kmeans_expected
+        from urlmap_ray.functions.dedup import semdedup
+
+        ensure_kmeans_expected(sf_dir)  # assignment ground truth for the oracle
+        return semdedup(_emb(sf_dir), k=8, iters=5, threshold=0.4).sort("id")
+
     def embedding_pca(sf_dir):
         # distributed PCA: exact integer second-moment partials → driver
         # eigh on the d×d covariance → streaming projection; ppb-quantized
@@ -2329,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "embedding_kmeans": embedding_kmeans,
+        "embedding_semdedup": embedding_semdedup,
         "embedding_pca": embedding_pca,
         "orders_cust_nation": orders_cust_nation,
         "custs_no_urgent": custs_no_urgent,
@@ -3293,6 +3307,25 @@ def oracle_sql() -> dict[str, str]:
         # distributed update is associative integer math; see clustering.py)
         "embedding_kmeans": "SELECT * FROM "
         "read_parquet('/tmp/urlmap_oracle/sf0.01/kmeans_k8i5.parquet')",
+        # SemDeDup: kmeans ground-truth assignments + exact within-cluster
+        # cosine NOT EXISTS — the pinned transitive-free drop rule
+        "embedding_semdedup": """
+            WITH assign AS (
+                SELECT vec_id, cluster
+                FROM read_parquet('/tmp/urlmap_oracle/sf0.01/kmeans_k8i5.parquet')
+            ), dups AS (
+                SELECT DISTINCT a2.vec_id AS i
+                FROM assign a1
+                JOIN assign a2 ON a1.cluster = a2.cluster
+                     AND a1.vec_id < a2.vec_id
+                JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+                JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+                WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+            )
+            SELECT a.vec_id AS id, a.cluster,
+                   a.vec_id NOT IN (SELECT i FROM dups) AS keep
+            FROM assign a ORDER BY id
+        """,
         # Single-process LR-training reference — exact equality (gradients
         # are integer sums of row-local quantized residuals; lrtrain.py)
         "doc_lr_train": "SELECT * FROM "

@@ -105,6 +105,7 @@ def run_bench() -> dict:
         "ann_topk",
         "ann_topk_ivf",
         "embedding_kmeans",
+        "embedding_semdedup",
         "embedding_pca",
         "doc_quality",
         "docs_clean",

@@ -77,3 +77,50 @@ def test_update_empty_cluster_keeps_centroid():
 def test_quantize_is_round_half_even():
     q = _quantize(np.array([[0.5 / (1 << 20), 1.5 / (1 << 20)]]), 1 << 20)
     assert q.tolist() == [[0, 2]]
+
+
+def test_semdedup_known_duplicates(ray_session):
+    # two tight groups of near-identical vectors + lone outliers: within
+    # each group only the smallest id survives; outliers always survive;
+    # result identical at any partitioning
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.dedup import semdedup
+
+    rng = np.random.default_rng(41)
+    base_a = rng.normal(size=16)
+    base_b = rng.normal(size=16)
+    vecs, ids = [], []
+    for i in range(4):  # ids 0-3: copies of A with tiny noise
+        vecs.append(base_a + rng.normal(scale=1e-3, size=16))
+        ids.append(i)
+    for i in range(4, 8):  # ids 4-7: copies of B
+        vecs.append(base_b + rng.normal(scale=1e-3, size=16))
+        ids.append(i)
+    for i in range(8, 20):  # ids 8-19: random (orthogonal-ish) outliers
+        vecs.append(rng.normal(size=16) * 3)
+        ids.append(i)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        rows = semdedup(ds, k=4, iters=3, threshold=0.9).take_all()
+        outs.append({r["id"]: (r["cluster"], r["keep"]) for r in rows})
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert len(got) == 20
+    # each near-dup group keeps exactly its smallest id
+    assert got[0][1] and not any(got[i][1] for i in (1, 2, 3))
+    assert got[4][1] and not any(got[i][1] for i in (5, 6, 7))
+    # a cross-group pair is never conflated (A vs B far apart)
+    kept = [i for i, (_, k) in got.items() if k]
+    assert 0 in kept and 4 in kept and len(kept) >= 10

@@ -823,3 +823,111 @@ def substring_dup_pairs(
         .groupby("gb")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+
+
+def semdedup(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_buckets: int = 32,
+):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning → (id, cluster, keep) for
+    every row. A row is dropped when ANY smaller-id member of its cluster
+    has cosine ≥ threshold with it — the pinned transitive-free variant
+    of the paper's per-cluster representative rule (keep[i] depends only
+    on pairwise cosines, never on the kept set, so it is order-free and
+    expressible as a NOT EXISTS in the SQL oracle).
+
+    Shape: clustering is the engine's own bit-deterministic fixed-point
+    ``kmeans_assign``; vectors are attached to their cluster label by ONE
+    bucketed id exchange (pad→union→index_in recombine — the collocations
+    pattern); the prune is a ``groupby(cluster)`` whose per-group work is
+    one normalized matmul + an upper-triangle any() — O(c²) on cluster
+    size c ≈ n/k, the paper's own regime (at 10^9-vector scale you cap c
+    by sub-clustering within cells; the matmul stays the unit of work).
+    Cosines in float64; threshold must sit in a gap of the corpus cosine
+    distribution (the embedding_neardup seam contract).
+    """
+    from .clustering import kmeans_assign
+
+    assign = kmeans_assign(ds, k=k, iters=iters, vec_col=emb_col, id_col=id_col)
+
+    def _bk(col):
+        from .sketch import hash64_column
+
+        return pa.array(
+            (hash64_column(col) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+        )
+
+    def a_pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column(id_col),
+                "cluster": t.column("cluster").cast(pa.int32()),
+                emb_col: pa.nulls(t.num_rows, pa.list_(pa.float32())),
+                "bk": _bk(t.column(id_col)),
+            }
+        )
+
+    def v_pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column(id_col),
+                "cluster": pa.nulls(t.num_rows, pa.int32()),
+                emb_col: t.column(emb_col).cast(pa.list_(pa.float32())),
+                "bk": _bk(t.column(id_col)),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_a = pc.is_valid(g.column("cluster"))
+        a = g.filter(is_a)
+        v = g.filter(pc.invert(is_a))
+        pos = pc.index_in(a.column("id"), value_set=v.column("id").combine_chunks())
+        emb = v.column(emb_col).combine_chunks().take(pos)
+        return pa.table(
+            {
+                "id": a.column("id"),
+                "cluster": a.column("cluster"),
+                emb_col: emb,
+            }
+        )
+
+    clustered = (
+        assign.map_batches(a_pad, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            ds.map_batches(
+                lambda t: v_pad(t.select([id_col, emb_col])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        .groupby("bk")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def prune(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("id", "ascending")])
+        gt = g.take(order)
+        ids = gt.column("id")
+        unit = _unit_rows(_emb_matrix(gt, emb_col))
+        sims = unit @ unit.T
+        dup = np.zeros(len(ids), dtype=bool)
+        iu = np.triu_indices(len(ids), k=1)
+        hit = sims[iu] >= threshold
+        if hit.any():
+            dup[np.unique(iu[1][hit])] = True  # column index = larger id
+        return pa.table(
+            {
+                "id": ids,
+                "cluster": gt.column("cluster"),
+                "keep": pa.array(~dup, pa.bool_()),
+            }
+        )
+
+    return clustered.groupby("cluster").map_groups(prune, batch_format="pyarrow")

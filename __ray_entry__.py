@@ -1084,6 +1084,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _eval_hashes(sf_dir),
         )
 
+    def docs_dsir(sf_dir):
+        # DSIR importance weights (Xie et al. 2023): raw-vs-target hashed
+        # unigram log-ratio per doc — raw distribution via lm_train's
+        # capped-vocab shuffle, target counted against that vocab from the
+        # external eval-set fixture (ONE keyed fold, ≤max_vocab+1 rows),
+        # log-ratio broadcast once, scoring row-local through the shared
+        # reduceat contract ⇒ bit-equal to the single-process reference
+        import ray.data
+
+        from urlmap_ray.corpus import ensure_eval_set
+        from urlmap_ray.expected import ensure_dsir_expected
+        from urlmap_ray.functions.dsir import dsir_weights
+
+        ensure_dsir_expected(sf_dir)
+        target = ray.data.read_parquet(
+            ensure_eval_set(sf_dir), columns=["doc_id", "text"]
+        )
+        return dsir_weights(
+            _docs(sf_dir).map_batches(
+                lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+            ),
+            target,
+        ).sort("doc_id")
+
     def term_postings(sf_dir):
         # inverted-index build: per term, exact df + the 20 smallest doc
         # ids as a comma-joined posting list; the exchange ships ≤cap ids
@@ -2403,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": bpe_vocab,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_lm_score": doc_lm_score,
+        "docs_dsir": docs_dsir,
         "docs_mix": docs_mix,
         "docs_pipeline": docs_pipeline,
         "dedup_exact": dedup_exact,
@@ -3445,6 +3470,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": (
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/lm_score.parquet')"
+        ),
+        # single-process DSIR reference (shared log/score primitives,
+        # independent Counter train + sequential target count)
+        "docs_dsir": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/dsir.parquet') "
+            "ORDER BY doc_id"
         ),
         "docs_split": """
             WITH h AS (

@@ -1335,6 +1335,34 @@ def test_lm_score_matches_reference_any_parallelism(ray_session, docs_tbl):
         assert got == want  # bit-equal train+score at any partitioning
 
 
+def test_dsir_matches_reference_and_separates(ray_session, docs_tbl):
+    # distributed two-distribution build + broadcast scoring must be
+    # bit-equal to the single-process reference at any partitioning, and
+    # target-slice docs must score above the rest (the selection signal)
+    import ray.data
+
+    from urlmap_ray.functions.dsir import dsir_reference, dsir_weights
+
+    docs = docs_tbl.select(["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy()
+    target = docs.filter(pa.array(ids % 5 == 2))
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_ppb"])
+        for r in dsir_reference(docs, target).to_pylist()
+    }
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(docs).repartition(parts)
+        tds = ray.data.from_arrow(target)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dsir_ppb"])
+            for r in dsir_weights(ds, tds).take_all()
+        }
+        assert got == want
+    in_t = [want[i][1] for i in want if i % 5 == 2]
+    out_t = [want[i][1] for i in want if i % 5 != 2]
+    assert np.mean(in_t) > np.mean(out_t)
+
+
 def test_lm_vocab_cap_and_oov(ray_session):
     import pyarrow as pa
     import ray.data

@@ -504,6 +504,29 @@ def ensure_ams_expected(sf_dir: str, max_rows: int = 500_000) -> str:
     return path
 
 
+def ensure_dsir_expected(sf_dir: str, max_docs: int = 1000) -> str:
+    """Expected (doc_id, n_tokens, dsir_ppb) from the single-process DSIR
+    reference (Counter-trained raw vocab, sequential target counting, the
+    shared log/score primitives) over documents + the external eval-set
+    fixture. The docs_dsir gate checks the distributed two-distribution
+    build + broadcast scoring lands on identical bits."""
+    from .corpus import ensure_eval_set
+    from .functions.dsir import dsir_reference
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "dsir.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if docs.num_rows > max_docs:
+        return path
+    target = pq.read_table(ensure_eval_set(sf_dir), columns=["doc_id", "text"])
+    _write_atomic(dsir_reference(docs, target), path)
+    return path
+
+
 def ensure_quality_model_expected(sf_dir: str, max_docs: int = 1000) -> str:
     """Expected (doc_id, model_score, model_keep) from the single-process
     per-doc reference (quality_model.quality_model_reference). Scores are

@@ -2070,6 +2070,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"f2_est": pa.array([est], pa.int64())})
 
+    def events_profile(sf_dir):
+        # Table profiler: per column (rows, nulls, distinct) in ONE pass +
+        # two bounded exchanges; distinct via the KMV bottom-k contract —
+        # EXACT below k=2^17 (all events columns are, even at sf0.1:
+        # max 100k event_ids) so a pure COUNT(DISTINCT) oracle certifies
+        # the fold; beyond saturation it degrades to the ±1/sqrt(k-2)
+        # estimate, the only honest answer at 10^10 rows.
+        import ray.data
+
+        from urlmap_ray.functions.profile import table_profile
+
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=cols
+        )
+        return table_profile(ds, columns=cols).sort("column")
+
     def events_windowed(sf_dir):
         # Tumbling 6h windows per user: count + exact integer sum (value
         # quantized to cents BEFORE the shuffle so the sum is
@@ -2382,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_users_hll": events_type_users_hll,
         "events_type_counts_cms": events_type_counts_cms,
         "events_user_skew_ams": events_user_skew_ams,
+        "events_profile": events_profile,
         # -- green in CORRECTNESS_r03 --
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,
@@ -4007,6 +4025,20 @@ def oracle_sql() -> dict[str, str]:
         "events_user_skew_ams": (
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/ams_f2.parquet')"
+        ),
+        # Profiler distinct counts are exact below the 2^17 KMV
+        # saturation (events' max cardinality is 100k at sf0.1), so the
+        # SQL COUNT(DISTINCT) certifies the sketch fold per column.
+        "events_profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\","
+                f" CAST(count(*) AS BIGINT) AS n_rows,"
+                f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+                f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct"
+                f" FROM events"
+                for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+            + ' ORDER BY "column"'
         ),
         # Keyed KMV: exact below k=2048 distinct users per day (max
         # observed 141 at the sf0.01 gate), so COUNT(DISTINCT) GROUP BY

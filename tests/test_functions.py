@@ -1997,3 +1997,41 @@ def test_weighted_priority_sample_k_exceeds_n(ray_session):
     assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
     # null text weighs like empty: weight 1
     assert {r["doc_id"]: r["weight"] for r in got}[3] == 1
+
+
+def test_table_profile_nulls_and_types(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.profile import table_profile
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, None, None], pa.int64()),
+            "s": pa.array(["x", None, "x", "y", "z"], pa.string()),
+            "f": pa.array([0.5, 0.5, 1.5, None, 2.5], pa.float64()),
+        }
+    )
+    rows = {
+        r["column"]: r
+        for r in table_profile(
+            ray.data.from_arrow(tbl).repartition(3), columns=["a", "s", "f"]
+        ).take_all()
+    }
+    assert rows["a"] == {"column": "a", "n_rows": 5, "n_nulls": 2, "n_distinct": 2}
+    assert rows["s"] == {"column": "s", "n_rows": 5, "n_nulls": 1, "n_distinct": 3}
+    assert rows["f"] == {"column": "f", "n_rows": 5, "n_nulls": 1, "n_distinct": 3}
+
+
+def test_table_profile_saturation_estimate(ray_session):
+    # Above k the KMV estimate kicks in: bounded error, never exact-k.
+    import ray.data
+
+    from urlmap_ray.functions.profile import table_profile
+
+    n = 4000
+    tbl = pa.table({"v": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    (row,) = table_profile(
+        ray.data.from_arrow(tbl).repartition(4), columns=["v"], k=256
+    ).take_all()
+    assert row["n_rows"] == n and row["n_nulls"] == 0
+    assert abs(row["n_distinct"] - n) / n < 0.2

@@ -813,6 +813,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_hits_expected(_corpus(sf_dir))
         return gr.hits(pages, nodes).sort("url")
 
+    def page_communities(sf_dir):
+        # Deterministic synchronous label propagation (Raghavan et al.
+        # 2007, pinned ties → min label, fixed rounds): community =
+        # the modal-neighbor fixed label's URL. Broadcast regime here
+        # (whole dst buckets pinned in actors, one O(n) int64 vector per
+        # round); the >5M-node shuffle regime is bit-identical
+        # (test_lpa_shuffle_mode_identical). Oracle = the single-process
+        # same-kernel reference (pagerank trust model).
+        from urlmap_ray.expected import ensure_lpa_expected
+        from urlmap_ray.functions.labelprop import label_propagation
+
+        pages, nodes = _graph_inputs(sf_dir)
+        ensure_lpa_expected(_corpus(sf_dir))
+        return label_propagation(pages, nodes).sort("url")
+
     def page_hits_shuffle(sf_dir):
         # the >SHUFFLE_MODE_NODES HITS formulation: scores stay Datasets,
         # four bucketed exchanges per iteration, driver state two floats +
@@ -2346,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_page_text": warc_page_text,
         "term_postings": term_postings,
         "page_components": page_components,
+        "page_communities": page_communities,
         "host_stats": host_stats,
         "page_hits_shuffle": page_hits_shuffle,
         "events_funnel": events_funnel,
@@ -3323,6 +3339,11 @@ def oracle_sql() -> dict[str, str]:
         # single-process union-find over the page_edges ground truth, same
         # 63-bit url-hash labels as the distributed star rounds
         "page_components": f"SELECT * FROM read_parquet('{_exp('page_components')}')",
+        # LPA vs the single-process same-kernel reference (integer counts
+        # + pinned min-label ties ⇒ identical at any parallelism)
+        "page_communities": (
+            f"SELECT * FROM read_parquet('{_exp('page_communities')}')"
+        ),
         "pagerank": f"SELECT * FROM read_parquet('{_exp('pagerank')}')",
         # shuffle mode is bit-identical to broadcast mode (shared summation
         # primitive, test-asserted); registered at 3 iterations against a

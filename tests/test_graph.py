@@ -538,3 +538,46 @@ def test_kcore_matches_peel_both_modes(ray_session, corpus, truth):
             assert len(rows) == len(urls), f"k={k} mode={mode}"
             got = {r["url"] for r in rows if r["in_core"]}
             assert got == core, f"k={k} mode={mode}"
+
+
+def test_mode_per_dst_kernel():
+    """Max count wins; ties break to the smallest label; unsorted and
+    duplicated input rows are handled."""
+    import numpy as np
+
+    from urlmap_ray.functions.labelprop import _mode_per_dst
+
+    dst = np.array([2, 0, 0, 0, 2, 1, 2, 2], dtype=np.int64)
+    lab = np.array([9, 5, 4, 5, 9, 7, 3, 3], dtype=np.int64)
+    d, m = _mode_per_dst(dst, lab)
+    assert d.tolist() == [0, 1, 2]
+    # dst 0: 5×2 beats 4×1 → 5; dst 1: only 7; dst 2: 9×2 ties 3×2 → 3
+    assert m.tolist() == [5, 7, 3]
+    d, m = _mode_per_dst(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(d) == 0 and len(m) == 0
+
+
+def test_lpa_modes_identical_and_match_reference(ray_session, corpus, truth):
+    """Broadcast ≡ shuffle ≡ the single-process reference — integer
+    counts + pinned min-label ties make LPA partition-independent."""
+    from urlmap_ray.functions.labelprop import (
+        label_propagation,
+        label_propagation_reference,
+    )
+
+    urls, links, _ = truth
+    b = label_propagation(
+        _pages_ds(corpus), _nodes_ds(corpus), mode="broadcast", n_iters=3, n_buckets=7
+    )
+    s = label_propagation(
+        _pages_ds(corpus), _nodes_ds(corpus), mode="shuffle", n_iters=3, n_buckets=7
+    )
+    got_b = {r["url"]: r["community"] for r in b.take_all()}
+    got_s = {r["url"]: r["community"] for r in s.take_all()}
+    assert got_s == got_b
+    ref = label_propagation_reference(urls, links, n_iters=3)
+    assert got_b == dict(
+        zip(ref.column("url").to_pylist(), ref.column("community").to_pylist())
+    )
+    # sanity: propagation actually groups pages (fewer labels than nodes)
+    assert len(set(got_b.values())) < len(got_b)

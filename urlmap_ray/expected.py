@@ -646,6 +646,28 @@ def ensure_components_expected(info: CorpusInfo) -> str:
     return path
 
 
+def ensure_lpa_expected(info: CorpusInfo) -> str:
+    """Expected (url, community) for deterministic synchronous label
+    propagation over the corpus link graph via the single-process
+    :func:`~urlmap_ray.functions.labelprop.label_propagation_reference`
+    (same symmetric closure, same mode/tie-break kernel, no Ray — the
+    pagerank/HITS trust model). Sorted by url."""
+    path = expected_path(info, "page_communities")
+    if not _should_generate(info, path):
+        return path
+    from .extract import extract_links
+    from .functions.labelprop import label_propagation_reference
+
+    tbl = _pages_table(info)
+    urls = tbl.column("url").to_pylist()
+    links_per_url = {
+        url: (extract_links(url, html) if html is not None else [])
+        for url, html in zip(urls, tbl.column("html").to_pylist())
+    }
+    _write_atomic(label_propagation_reference(urls, links_per_url), path)
+    return path
+
+
 def ensure_trustrank_expected(info: CorpusInfo, n_iters: int = 3) -> str:
     """Expected (url, rank_ppb) for TrustRank over the corpus link graph:
     the single-process :func:`~urlmap_ray.functions.graph.pagerank_reference`

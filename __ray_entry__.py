@@ -2339,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "events_profile": events_profile,
+        "page_communities": page_communities,
         "page_reach": page_reach,
         "page_kcore": page_kcore,
         "docs_weighted": docs_weighted,
@@ -2361,7 +2363,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_page_text": warc_page_text,
         "term_postings": term_postings,
         "page_components": page_components,
-        "page_communities": page_communities,
         "host_stats": host_stats,
         "page_hits_shuffle": page_hits_shuffle,
         "events_funnel": events_funnel,
@@ -2415,7 +2416,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_users_hll": events_type_users_hll,
         "events_type_counts_cms": events_type_counts_cms,
         "events_user_skew_ams": events_user_skew_ams,
-        "events_profile": events_profile,
         # -- green in CORRECTNESS_r03 --
         "crawl_bfs": crawl_bfs,
         "crawl_depth3": crawl_depth3,

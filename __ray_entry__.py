@@ -732,6 +732,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.degrees(pages, nodes).sort("url")
 
+    def host_graph(sf_dir):
+        # weighted host-level link graph (spam-resistant ranking substrate):
+        # page edges -> (src_host, dst_host, weight), intra-host dropped;
+        # oracle = host regexp_extract + GROUP BY over the page_edges
+        # ground truth
+        from urlmap_ray.functions import graph as gr
+
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.host_graph(pages, nodes).sort(["src_host", "dst_host"])
+
+    def host_degrees(sf_dir):
+        # per-host fan-out/fan-in (distinct neighbor hosts + page-edge
+        # multiplicity) over the host graph
+        from urlmap_ray.functions import graph as gr
+
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.host_degrees(gr.host_graph(pages, nodes)).sort("host")
+
     def page_triangles(sf_dir):
         # per-node triangle participation + local clustering coefficient,
         # degree-ordered (wedges only at oriented out-neighborhoods, O(√m)
@@ -2339,6 +2357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "host_graph": host_graph,
+        "host_degrees": host_degrees,
         "events_profile": events_profile,
         "page_communities": page_communities,
         "page_reach": page_reach,
@@ -3241,6 +3261,55 @@ def oracle_sql() -> dict[str, str]:
         # path under test is the shuffle-free edge build, the one-key
         # degree exchange, and the bucketed deterministic rank iteration
         "page_edges": f"SELECT * FROM read_parquet('{_exp('page_edges')}')",
+        # host-level graph: same pinned host seam as urlmine/lines
+        # (_HOST_RE ≡ regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1));
+        # DuckDB's regexp_extract returns '' where Arrow's extract_regex
+        # returns null, so the <> '' guards pin the drop rule on both sides
+        "host_graph": f"""
+            WITH e AS (
+                SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS src_host,
+                       regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS dst_host
+                FROM read_parquet('{_exp('page_edges')}')
+            )
+            SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS weight
+            FROM e
+            WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "host_degrees": f"""
+            WITH e AS (
+                SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS src_host,
+                       regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS dst_host
+                FROM read_parquet('{_exp('page_edges')}')
+            ), hg AS (
+                SELECT src_host, dst_host, count(*) AS weight
+                FROM e
+                WHERE src_host <> dst_host AND src_host <> ''
+                      AND dst_host <> ''
+                GROUP BY 1, 2
+            ), o AS (
+                SELECT src_host AS host,
+                       CAST(count(*) AS BIGINT) AS out_hosts,
+                       CAST(sum(weight) AS BIGINT) AS out_weight
+                FROM hg GROUP BY 1
+            ), i AS (
+                SELECT dst_host AS host,
+                       CAST(count(*) AS BIGINT) AS in_hosts,
+                       CAST(sum(weight) AS BIGINT) AS in_weight
+                FROM hg GROUP BY 1
+            )
+            SELECT coalesce(o.host, i.host) AS host,
+                   coalesce(o.out_hosts, 0) AS out_hosts,
+                   coalesce(i.in_hosts, 0) AS in_hosts,
+                   coalesce(o.out_weight, 0) AS out_weight,
+                   coalesce(i.in_weight, 0) AS in_weight
+            FROM o FULL OUTER JOIN i ON o.host = i.host
+            ORDER BY 1
+        """,
         # triangles: three-way self-join over the undirected closure of the
         # page_edges ground truth; clustering = integer floor division on
         # both sides (DuckDB // == numpy // for non-negative int64)

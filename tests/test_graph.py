@@ -581,3 +581,67 @@ def test_lpa_modes_identical_and_match_reference(ray_session, corpus, truth):
     )
     # sanity: propagation actually groups pages (fewer labels than nodes)
     assert len(set(got_b.values())) < len(got_b)
+
+
+def test_host_graph_matches_pure_both_regimes(ray_session, corpus, truth):
+    """host_graph == the pure per-edge host collapse (intra-host dropped,
+    weight = page-edge multiplicity), in both membership regimes."""
+    import re
+    from collections import Counter
+
+    from urlmap_ray.functions.graph import host_graph
+
+    _, _, edges = truth
+    host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+
+    def host(u):
+        m = host_re.match(u)
+        return m.group(1) if m else None
+
+    want = Counter()
+    for s, d in edges:
+        hs, hd = host(s), host(d)
+        if hs and hd and hs != hd:
+            want[(hs, hd)] += 1
+
+    for regime in ("broadcast", "shuffle"):
+        got = {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in host_graph(
+                _pages_ds(corpus), _nodes_ds(corpus), membership=regime
+            ).take_all()
+        }
+        assert got == dict(want), regime
+
+
+def test_host_degrees_matches_pure(ray_session, corpus, truth):
+    """host_degrees sums the host-graph rows per endpoint: distinct
+    neighbor hosts + weight mass, zero-free (only hosts with edges)."""
+    import re
+    from collections import Counter
+
+    from urlmap_ray.functions.graph import host_degrees, host_graph
+
+    _, _, edges = truth
+    host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+    pair_w = Counter()
+    for s, d in edges:
+        hs = host_re.match(s).group(1)
+        hd = host_re.match(d).group(1)
+        if hs != hd:
+            pair_w[(hs, hd)] += 1
+    want = {}
+    for (hs, hd), w in pair_w.items():
+        o = want.setdefault(hs, [0, 0, 0, 0])
+        o[0] += 1
+        o[2] += w
+        i = want.setdefault(hd, [0, 0, 0, 0])
+        i[1] += 1
+        i[3] += w
+
+    rows = host_degrees(host_graph(_pages_ds(corpus), _nodes_ds(corpus))).take_all()
+    got = {
+        r["host"]: [r["out_hosts"], r["in_hosts"], r["out_weight"], r["in_weight"]]
+        for r in rows
+    }
+    assert got == want

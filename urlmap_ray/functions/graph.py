@@ -2896,3 +2896,112 @@ def neighborhood_sizes(
         .groupby("nbk")
         .map_groups(estimate, batch_format="pyarrow")
     )
+
+
+def host_graph(pages_ds, nodes, *, membership: str = "auto", n_buckets: int = _MAP_BUCKETS):
+    """Weighted host-level link graph: ``(src_host, dst_host, weight)``.
+
+    Collapses the distinct page-level edges (:func:`build_edges`, i.e.
+    "what the crawler saw", reference parser.go:120-208) to host→host
+    rows, dropping intra-host edges — the standard substrate for
+    host-level ranking (host PageRank / TrustRank seeds / spam-mass) in
+    web-scale pipelines, where page-level centrality is too easy to
+    manipulate with on-site link farms. ``weight`` counts the distinct
+    page-level edges between the two hosts.
+
+    Host extraction is the repo's pinned cross-engine seam (urlmine.py
+    ``_HOST_RE`` ≡ the oracle's ``regexp_extract(url,
+    '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)``): one Arrow RE2 kernel per
+    endpoint column, no Python loop.
+
+    Scale shape: host pairs are counted per block FIRST (an Arrow
+    ``group_by`` inside ``map_batches``), so the one ``groupby``
+    exchange moves pre-aggregated (host, host, partial) rows — at web
+    scale hosts are ~10^4× fewer than pages, so the exchange is tiny
+    relative to the edge stream it summarizes.
+    """
+    from ray.data.aggregate import Sum
+
+    from .urlmine import _HOST_RE
+
+    edges = build_edges(pages_ds, nodes, membership=membership, n_buckets=n_buckets)
+
+    def partials(t: pa.Table) -> pa.Table:
+        src_host = pc.struct_field(
+            pc.extract_regex(t.column("src"), pattern=_HOST_RE), "host"
+        )
+        dst_host = pc.struct_field(
+            pc.extract_regex(t.column("dst"), pattern=_HOST_RE), "host"
+        )
+        pairs = pa.table({"src_host": src_host, "dst_host": dst_host})
+        keep = pc.and_(
+            pc.and_(pc.is_valid(src_host), pc.is_valid(dst_host)),
+            pc.not_equal(src_host, dst_host),
+        )
+        agg = pairs.filter(keep).group_by(["src_host", "dst_host"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "src_host": agg.column("src_host"),
+                "dst_host": agg.column("dst_host"),
+                "weight": agg.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+
+
+def host_degrees(host_edges_ds):
+    """Per-host fan-out/fan-in over the host graph: ``(host, out_hosts,
+    in_hosts, out_weight, in_weight)``.
+
+    ``out_hosts``/``in_hosts`` count distinct neighbor hosts;
+    ``out_weight``/``in_weight`` sum page-level edge multiplicity. ONE
+    single-key shuffle over rows that are already host-pair aggregates
+    (each input row contributes two partial rows, then a
+    ``groupby(host)`` sums) — the host graph is small enough at any
+    scale that this exchange is negligible.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        w = t.column("weight").cast(pa.int64())
+        zero = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        one = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        out_rows = pa.table(
+            {
+                "host": t.column("src_host"),
+                "out_hosts": one,
+                "in_hosts": zero,
+                "out_weight": w,
+                "in_weight": zero,
+            }
+        )
+        in_rows = pa.table(
+            {
+                "host": t.column("dst_host"),
+                "out_hosts": zero,
+                "in_hosts": one,
+                "out_weight": zero,
+                "in_weight": w,
+            }
+        )
+        return pa.concat_tables([out_rows, in_rows])
+
+    return (
+        host_edges_ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("host")
+        .aggregate(
+            Sum("out_hosts", alias_name="out_hosts"),
+            Sum("in_hosts", alias_name="in_hosts"),
+            Sum("out_weight", alias_name="out_weight"),
+            Sum("in_weight", alias_name="in_weight"),
+        )
+    )

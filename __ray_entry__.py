@@ -750,6 +750,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.host_degrees(gr.host_graph(pages, nodes)).sort("host")
 
+    def host_pagerank(sf_dir):
+        # weighted PageRank over the host graph (host-level centrality —
+        # the spam-resistant ranking the host graph exists for): edge
+        # weight w contributes rank·w/out_weight; both engine regimes are
+        # bit-identical to weighted_pagerank_reference, which materializes
+        # the ground truth the oracle reads
+        from urlmap_ray.expected import ensure_host_pagerank_expected
+        from urlmap_ray.functions import graph as gr
+
+        ensure_host_pagerank_expected(_corpus(sf_dir))
+        pages, nodes = _graph_inputs(sf_dir)
+        ranked = gr.weighted_pagerank(gr.host_graph(pages, nodes))
+        return ranked.map_batches(
+            lambda t: t.rename_columns(["host", "rank_ppb"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort("host")
+
     def page_triangles(sf_dir):
         # per-node triangle participation + local clustering coefficient,
         # degree-ordered (wedges only at oriented out-neighborhoods, O(√m)
@@ -2359,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round / never driver-checked --
         "host_graph": host_graph,
         "host_degrees": host_degrees,
+        "host_pagerank": host_pagerank,
         "events_profile": events_profile,
         "page_communities": page_communities,
         "page_reach": page_reach,
@@ -3278,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "host_pagerank": f"SELECT * FROM read_parquet('{_exp('host_pagerank')}')",
         "host_degrees": f"""
             WITH e AS (
                 SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)

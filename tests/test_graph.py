@@ -645,3 +645,40 @@ def test_host_degrees_matches_pure(ray_session, corpus, truth):
         for r in rows
     }
     assert got == want
+
+
+def test_weighted_pagerank_modes_identical_and_match_reference(
+    ray_session, corpus, truth
+):
+    """weighted_pagerank over the host graph: broadcast and shuffle are
+    bit-identical to each other and to weighted_pagerank_reference."""
+    import re
+    from collections import Counter
+
+    from urlmap_ray.functions.graph import (
+        host_graph,
+        weighted_pagerank,
+        weighted_pagerank_reference,
+    )
+
+    _, _, edges = truth
+    host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+    pair_w = Counter()
+    for s, d in edges:
+        hs = host_re.match(s).group(1)
+        hd = host_re.match(d).group(1)
+        if hs != hd:
+            pair_w[(hs, hd)] += 1
+    want = weighted_pagerank_reference(
+        [(s, d, w) for (s, d), w in pair_w.items()], n_iters=4
+    )
+
+    hg = host_graph(_pages_ds(corpus), _nodes_ds(corpus))
+    results = {}
+    for mode in ("broadcast", "shuffle"):
+        rows = weighted_pagerank(hg, n_iters=4, mode=mode).take_all()
+        results[mode] = {r["url"]: r["rank_ppb"] for r in rows}
+        assert results[mode] == want, mode
+    assert results["broadcast"] == results["shuffle"]
+    # centrality is a probability vector: ppb mass sums to ~1e9
+    assert abs(sum(want.values()) - 1_000_000_000) < len(want) + 1000

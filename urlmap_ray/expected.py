@@ -999,3 +999,45 @@ def ensure_bpe_expected(
         tok_path,
     )
     return vocab_path, tok_path
+
+
+def ensure_host_pagerank_expected(info: CorpusInfo) -> str:
+    """Weighted host-PageRank ground truth: collapse the page-edge ground
+    truth to the weighted host graph (same pinned host seam as
+    functions/urlmine._HOST_RE, intra-host dropped), then
+    :func:`~urlmap_ray.functions.graph.weighted_pagerank_reference` —
+    same float path as both distributed regimes, no Ray."""
+    import re
+    from collections import Counter
+
+    from .functions.graph import weighted_pagerank_reference
+
+    hp_path = expected_path(info, "host_pagerank")
+    if not _should_generate(info, hp_path):
+        return hp_path
+    import pyarrow.dataset as pads
+
+    e_path, _, _ = ensure_graph_expected(info)
+    edges_tbl = pads.dataset(e_path, format="parquet").to_table()
+    host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+    pair_w: Counter = Counter()
+    for s, d in zip(
+        edges_tbl.column("src").to_pylist(), edges_tbl.column("dst").to_pylist()
+    ):
+        ms, md = host_re.match(s), host_re.match(d)
+        if ms and md and ms.group(1) != md.group(1):
+            pair_w[(ms.group(1), md.group(1))] += 1
+    pr = weighted_pagerank_reference(
+        [(s, d, w) for (s, d), w in pair_w.items()]
+    )
+    hosts = sorted(pr)
+    _write_atomic(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "rank_ppb": pa.array([pr[h] for h in hosts], pa.int64()),
+            }
+        ),
+        hp_path,
+    )
+    return hp_path

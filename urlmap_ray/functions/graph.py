@@ -147,6 +147,8 @@ def node_index(nodes_ds):
     for bundle in sorted_ds.iter_internal_ref_bundles():
         for ref, meta in zip(bundle.block_refs, bundle.metadata):
             assert meta.num_rows is not None  # known after materialize()
+            if meta.num_rows == 0:
+                continue  # zero-row blocks may carry an empty schema
             refs.append(ref)
             counts.append(int(meta.num_rows))
     n = int(sum(counts))
@@ -404,16 +406,25 @@ def degrees(pages_ds, nodes, *, membership: str = "auto", n_buckets: int = _MAP_
 
 
 def _contrib_sums(
-    dst: np.ndarray, src: np.ndarray, ranks: np.ndarray, inv_out: np.ndarray
+    dst: np.ndarray,
+    src: np.ndarray,
+    ranks: np.ndarray,
+    inv_out: np.ndarray,
+    w: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-dst contribution sums over a (dst, src)-sorted run — the ONE
     float-summation primitive both pagerank modes and the single-process
     oracle share, so rank floats are bit-identical on any partitioning.
     ``ranks``/``inv_out`` may be full vectors or bucket slices, as long
-    as ``src`` is pre-offset to index them."""
+    as ``src`` is pre-offset to index them. ``w`` (weighted graphs, e.g.
+    the host graph) multiplies each edge's contribution AFTER the
+    rank·inv product — ``(ranks[src]*inv_out[src])*w`` — the pinned
+    ordering every mode and reference shares."""
     if len(dst) == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     c = ranks[src] * inv_out[src]
+    if w is not None:
+        c = c * w
     starts = np.flatnonzero(np.r_[True, np.diff(dst) != 0])
     return dst[starts], np.add.reduceat(c, starts)
 
@@ -455,7 +466,10 @@ def _bucketed_edge_ids(edges_ds, urls_ref, per_bucket: int):
         src_id = pc.index_in(t.column("src"), value_set=ua).cast(pa.int64())
         dst_id = pc.index_in(t.column("dst"), value_set=ua).cast(pa.int64())
         bucket = pc.divide(dst_id, per_bucket).cast(pa.int32())
-        return pa.table({"src_id": src_id, "dst_id": dst_id, "bucket": bucket})
+        cols = {"src_id": src_id, "dst_id": dst_id, "bucket": bucket}
+        if "w" in t.column_names:  # weighted graphs (host graph) carry w
+            cols["w"] = t.column("w").cast(pa.int64())
+        return pa.table(cols)
 
     def sort_group(g: pa.Table) -> pa.Table:
         return g.sort_by(
@@ -471,38 +485,47 @@ def _bucketed_edge_ids(edges_ds, urls_ref, per_bucket: int):
 
 
 def _edge_ids_shuffle(
-    pairs_ds, index_ds, *, per_bucket: int, n_buckets: int = _MAP_BUCKETS
+    pairs_ds,
+    index_ds,
+    *,
+    per_bucket: int,
+    n_buckets: int = _MAP_BUCKETS,
+    weighted: bool = False,
 ):
     """Shuffle-regime edge identity: (src, dst) string candidates →
     (src_id, dst_id) int64 rows via TWO bucketed pad→union exchanges
     against the node index (endpoints absent from the index are dropped —
     this doubles as the membership semi-join), then one dst-bucket
     grouping that sorts each bucket by (dst_id, src_id). Materialized
-    once; no O(nodes) object anywhere."""
+    once; no O(nodes) object anywhere. ``weighted=True`` (host graph)
+    carries the pairs' int64 ``w`` column through both exchanges into
+    the output."""
     from .sketch import hash64_column
 
     # --- exchange 1: dst → dst_id (and membership filter) ---------------
     def pad_pairs_dst(t: pa.Table) -> pa.Table:
         bk = (hash64_column(t.column("dst")) % n_buckets).astype(np.int64)
-        return pa.table(
-            {
-                "bk": pa.array(bk, pa.int64()),
-                "k": t.column("dst"),
-                "other": t.column("src"),
-                "nid": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-            }
-        )
+        cols = {
+            "bk": pa.array(bk, pa.int64()),
+            "k": t.column("dst"),
+            "other": t.column("src"),
+            "nid": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+        }
+        if weighted:
+            cols["w"] = t.column("w").cast(pa.int64())
+        return pa.table(cols)
 
     def pad_index(t: pa.Table) -> pa.Table:
         bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
-        return pa.table(
-            {
-                "bk": pa.array(bk, pa.int64()),
-                "k": t.column("url"),
-                "other": pa.array([None] * t.num_rows, pa.string()),
-                "nid": t.column("node_id"),
-            }
-        )
+        cols = {
+            "bk": pa.array(bk, pa.int64()),
+            "k": t.column("url"),
+            "other": pa.array([None] * t.num_rows, pa.string()),
+            "nid": t.column("node_id"),
+        }
+        if weighted:
+            cols["w"] = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table(cols)
 
     def map_dst(g: pa.Table) -> pa.Table:
         nid = g.column("nid")
@@ -514,14 +537,13 @@ def _edge_ids_shuffle(
         keep = pc.is_valid(pos)
         e = e.filter(keep)
         pos = pos.filter(keep)
-        return pa.table(
-            {
-                "src": e.column("other"),
-                "dst_id": pc.take(idx_rows.column("nid"), pos).combine_chunks()
-                if isinstance(pc.take(idx_rows.column("nid"), pos), pa.ChunkedArray)
-                else pc.take(idx_rows.column("nid"), pos),
-            }
-        )
+        dst_id = pc.take(idx_rows.column("nid"), pos)
+        if isinstance(dst_id, pa.ChunkedArray):
+            dst_id = dst_id.combine_chunks()
+        cols = {"src": e.column("other"), "dst_id": dst_id}
+        if weighted:
+            cols["w"] = e.column("w")
+        return pa.table(cols)
 
     stage1 = (
         pairs_ds.map_batches(pad_pairs_dst, batch_format="pyarrow", zero_copy_batch=True)
@@ -533,25 +555,27 @@ def _edge_ids_shuffle(
     # --- exchange 2: src → src_id ---------------------------------------
     def pad_pairs_src(t: pa.Table) -> pa.Table:
         bk = (hash64_column(t.column("src")) % n_buckets).astype(np.int64)
-        return pa.table(
-            {
-                "bk": pa.array(bk, pa.int64()),
-                "k": t.column("src"),
-                "carry": t.column("dst_id"),
-                "nid": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-            }
-        )
+        cols = {
+            "bk": pa.array(bk, pa.int64()),
+            "k": t.column("src"),
+            "carry": t.column("dst_id"),
+            "nid": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+        }
+        if weighted:
+            cols["w"] = t.column("w")
+        return pa.table(cols)
 
     def pad_index2(t: pa.Table) -> pa.Table:
         bk = (hash64_column(t.column("url")) % n_buckets).astype(np.int64)
-        return pa.table(
-            {
-                "bk": pa.array(bk, pa.int64()),
-                "k": t.column("url"),
-                "carry": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-                "nid": t.column("node_id"),
-            }
-        )
+        cols = {
+            "bk": pa.array(bk, pa.int64()),
+            "k": t.column("url"),
+            "carry": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "nid": t.column("node_id"),
+        }
+        if weighted:
+            cols["w"] = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table(cols)
 
     def map_src(g: pa.Table) -> pa.Table:
         nid = g.column("nid")
@@ -566,7 +590,10 @@ def _edge_ids_shuffle(
         src_id = pc.take(idx_rows.column("nid"), pos)
         if isinstance(src_id, pa.ChunkedArray):
             src_id = src_id.combine_chunks()
-        return pa.table({"src_id": src_id, "dst_id": e.column("carry")})
+        cols = {"src_id": src_id, "dst_id": e.column("carry")}
+        if weighted:
+            cols["w"] = e.column("w")
+        return pa.table(cols)
 
     stage2 = (
         stage1.map_batches(pad_pairs_src, batch_format="pyarrow", zero_copy_batch=True)
@@ -618,14 +645,26 @@ class _EdgeShard:
         t = t.sort_by([("dst_id", "ascending"), ("src_id", "ascending")])
         self.dst = t.column("dst_id").to_numpy(zero_copy_only=False)
         self.src = t.column("src_id").to_numpy(zero_copy_only=False)
+        # optional integer edge weight (host graph); None = unweighted
+        self.w = (
+            t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            if "w" in t.column_names
+            else None
+        )
 
     def out_partial(self) -> tuple[np.ndarray, np.ndarray]:
-        """(unique src ids, counts) — integer partials, summation-order-free."""
-        return np.unique(self.src, return_counts=True)
+        """(unique src ids, counts or weight sums) — integer partials,
+        summation-order-free."""
+        if self.w is None:
+            return np.unique(self.src, return_counts=True)
+        uniq, inv_idx = np.unique(self.src, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv_idx, self.w)
+        return uniq, sums
 
     def contribs(self, ranks, inv_out) -> tuple[np.ndarray, np.ndarray]:
         # called with ObjectRefs — Ray auto-derefs zero-copy from plasma
-        return _contrib_sums(self.dst, self.src, ranks, inv_out)
+        return _contrib_sums(self.dst, self.src, ranks, inv_out, self.w)
 
 
 def _out_degree_vector(edges_b, n: int) -> np.ndarray:
@@ -778,6 +817,28 @@ def pagerank(
         rank0_vec[pos] = 1.0 / len(pos)
         base_vec = np.zeros(n, dtype=np.float64)
         base_vec[pos] = (1.0 - damping) / len(pos)
+    return _broadcast_rank_loop(
+        edges_b,
+        urls_ref,
+        n,
+        n_iters=n_iters,
+        damping=damping,
+        base_vec=base_vec,
+        rank0_vec=rank0_vec,
+    )
+
+
+def _broadcast_rank_loop(
+    edges_b, urls_ref, n, *, n_iters, damping, base_vec, rank0_vec
+):
+    """Broadcast-regime power iteration shared by :func:`pagerank` and
+    :func:`weighted_pagerank`: whole-dst-bucket edge blocks pinned into a
+    round-robin :class:`_EdgeShard` actor pool (weight-aware when the
+    blocks carry ``w``), one RPC round per iteration, ranks quantized to
+    ppb in a remote finish task."""
+    import ray
+    import ray.data
+
     block_refs = edges_b.to_arrow_refs()
     shard_cls = ray.remote(num_cpus=1)(_EdgeShard)
     n_actors = max(1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))))
@@ -822,7 +883,15 @@ def pagerank(
 
 
 def _pagerank_shuffle(
-    edges_b, index_ds, *, n, n_iters, damping, per_bucket, teleport=None
+    edges_b,
+    index_ds,
+    *,
+    n,
+    n_iters,
+    damping,
+    per_bucket,
+    teleport=None,
+    weighted=False,
 ):
     """Fully-distributed PageRank: no O(nodes) state on the driver OR in
     any single broadcast object. Rank state is a Dataset of
@@ -870,7 +939,14 @@ def _pagerank_shuffle(
     # dense node range from the index, ONE groupby(db) ---------------------
     def out_partials(t: pa.Table) -> pa.Table:
         src = t.column("src_id").to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(src, return_counts=True)
+        if weighted:
+            # out-WEIGHT per src: integer sums, summation-order-free
+            w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, inv_idx = np.unique(src, return_inverse=True)
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv_idx, w)
+        else:
+            uniq, cnt = np.unique(src, return_counts=True)
         return pa.table(
             {
                 "db": pa.array((uniq // per_bucket).astype(np.int64), pa.int64()),
@@ -936,12 +1012,20 @@ def _pagerank_shuffle(
 
     def edge_pad(t: pa.Table) -> pa.Table:
         src = t.column("src_id").to_numpy(zero_copy_only=False)
+        if weighted:
+            # the edge's weight rides in the c slot (nan filler otherwise)
+            cvals = pa.array(
+                t.column("w").to_numpy(zero_copy_only=False).astype(np.float64),
+                pa.float64(),
+            )
+        else:
+            cvals = pa.array(np.full(len(src), np.nan), pa.float64())
         return pa.table(
             {
                 "gb": pa.array((src // per_bucket).astype(np.int64), pa.int64()),
                 "src_id": t.column("src_id"),
                 "dst_id": t.column("dst_id"),
-                "c": pa.array(np.full(len(src), np.nan), pa.float64()),
+                "c": cvals,
             }
         )
 
@@ -957,12 +1041,16 @@ def _pagerank_shuffle(
         lookup[dst[is_rank] - lo] = c[is_rank]
         e_src = src[~is_rank]
         e_dst = dst[~is_rank]
+        contrib = lookup[e_src - lo]
+        if weighted:
+            # (rank·inv)·w — same pinned ordering as _contrib_sums
+            contrib = contrib * c[~is_rank]
         return pa.table(
             {
                 "db": pa.array((e_dst // per_bucket).astype(np.int64), pa.int64()),
                 "dst_id": pa.array(e_dst, pa.int64()),
                 "src_id": pa.array(e_src, pa.int64()),
-                "c": pa.array(lookup[e_src - lo], pa.float64()),
+                "c": pa.array(contrib, pa.float64()),
             }
         )
 
@@ -3005,3 +3093,160 @@ def host_degrees(host_edges_ds):
             Sum("in_weight", alias_name="in_weight"),
         )
     )
+
+
+def _endpoint_nodes(pairs_ds):
+    """Distinct endpoint Dataset (column ``url``) of a (src, dst[, w])
+    edge Dataset: per-block unique of both endpoint columns, then ONE
+    ``groupby(url)`` for the global distinct — the node table a weighted
+    graph is born with when it arrives as a bare edge list."""
+    from ray.data.aggregate import Count
+
+    def per_block(t: pa.Table) -> pa.Table:
+        arr = pa.concat_arrays(
+            [
+                t.column("src").combine_chunks().cast(pa.string()),
+                t.column("dst").combine_chunks().cast(pa.string()),
+            ]
+        )
+        return pa.table({"url": pc.unique(arr)})
+
+    return (
+        pairs_ds.map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("url")
+        .aggregate(Count())
+        .select_columns(["url"])
+    )
+
+
+def weighted_pagerank(
+    edges_ds,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "weight",
+    n_iters: int = _N_ITERS,
+    damping: float = _DAMPING,
+    mode: str = "auto",
+    n_buckets: int | None = None,
+):
+    """PageRank over an arbitrary WEIGHTED edge list → (url, rank_ppb).
+
+    The host-graph centrality step (:func:`host_graph` feeds this): an
+    edge of weight ``w`` carries ``w``× the contribution mass —
+    ``rank[src] · w / out_weight[src]`` — i.e. PageRank on the multigraph
+    the weights summarize. Node set = the distinct endpoints (derived
+    distributedly, never a driver list); dangling nodes lose their mass
+    exactly as in :func:`pagerank`.
+
+    Both regimes of the unweighted engine apply, picked by node count:
+    broadcast (≤ ``SHUFFLE_MODE_NODES``: sorted node array folded into
+    the object store, edge shards pinned in an actor pool, weights ride
+    the blocks) and shuffle (the two-exchange-per-iteration Dataset
+    formulation with the weight folded into the contribution slot).
+    Ranks are bit-identical across regimes and to
+    :func:`weighted_pagerank_reference` — the shared ``_contrib_sums``
+    primitive computes ``(rank·inv)·w`` in pinned order.
+    """
+    import ray.data
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column(src_col).cast(pa.string()),
+                "dst": t.column(dst_col).cast(pa.string()),
+                "w": t.column(weight_col).cast(pa.int64()),
+            }
+        )
+
+    pairs = edges_ds.map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    nodes = _endpoint_nodes(pairs)
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"url": pa.array([], pa.string()), "rank_ppb": pa.array([], pa.int64())}
+            )
+        )
+    if mode == "auto":
+        mode = "shuffle" if n > SHUFFLE_MODE_NODES else "broadcast"
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"mode must be 'auto', 'broadcast' or 'shuffle', got {mode!r}")
+    if n_buckets is None:
+        per_bucket = _graph_buckets(n)
+    else:
+        per_bucket = max(1, -(-n // n_buckets))
+
+    if mode == "shuffle":
+        nb = -(-n // per_bucket)
+        index_ds = node_index(nodes)[0].repartition(nb, shuffle=False).materialize()
+        edges_b = (
+            _edge_ids_shuffle(pairs, index_ds, per_bucket=per_bucket, weighted=True)
+            .repartition(nb, shuffle=False)
+            .materialize()
+        )
+        return _pagerank_shuffle(
+            edges_b,
+            index_ds,
+            n=n,
+            n_iters=n_iters,
+            damping=damping,
+            per_bucket=per_bucket,
+            weighted=True,
+        )
+
+    urls_ref = _sorted_urls_ref(nodes)
+    edges_b = _bucketed_edge_ids(pairs, urls_ref, per_bucket)
+    return _broadcast_rank_loop(
+        edges_b,
+        urls_ref,
+        n,
+        n_iters=n_iters,
+        damping=damping,
+        base_vec=np.full(n, (1.0 - damping) / n, dtype=np.float64),
+        rank0_vec=np.full(n, 1.0 / n, dtype=np.float64),
+    )
+
+
+def weighted_pagerank_reference(
+    edges: list[tuple[str, str, int]],
+    *,
+    n_iters: int = _N_ITERS,
+    damping: float = _DAMPING,
+) -> dict[str, int]:
+    """Single-process oracle for :func:`weighted_pagerank`: same node
+    ordering (sorted endpoints), same pinned float path (uniform base =
+    ONE division, ``(rank·inv)·w`` per edge, per-dst ``np.add.reduceat``
+    over the (dst, src)-sorted run), no Ray. Duplicate (src, dst) pairs
+    have their weights summed."""
+    hosts = sorted({h for e in edges for h in (e[0], e[1])})
+    n = len(hosts)
+    if n == 0:
+        return {}
+    idx = {h: i for i, h in enumerate(hosts)}
+    agg: dict[tuple[int, int], int] = {}
+    for s, d, w in edges:
+        key = (idx[d], idx[s])  # (dst_id, src_id) sort key
+        agg[key] = agg.get(key, 0) + int(w)
+    if agg:
+        keys = sorted(agg)
+        dst = np.array([k[0] for k in keys], dtype=np.int64)
+        src = np.array([k[1] for k in keys], dtype=np.int64)
+        w = np.array([agg[k] for k in keys], dtype=np.int64)
+    else:
+        dst = src = w = np.empty(0, np.int64)
+    out_w = np.zeros(n, dtype=np.int64)
+    np.add.at(out_w, src, w)
+    inv_out = np.zeros(n, dtype=np.float64)
+    inv_out[out_w > 0] = 1.0 / out_w[out_w > 0]
+    base_vec = np.full(n, (1.0 - damping) / n, dtype=np.float64)
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(n_iters):
+        d_, s_ = _contrib_sums(dst, src, ranks, inv_out, w)
+        new = base_vec.copy()
+        np.add.at(new, d_, damping * s_)
+        ranks = new
+    ppb = np.round(ranks * 1e9).astype(np.int64)
+    return {h: int(ppb[i]) for i, h in enumerate(hosts)}

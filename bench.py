@@ -176,6 +176,9 @@ def run_bench() -> dict:
         "page_trustrank",
         "page_hits",
         "page_hits_shuffle",
+        "host_graph",
+        "host_degrees",
+        "host_pagerank",
         "page_components",
         "term_postings",
         "host_stats",

@@ -819,6 +819,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.pagerank(pages, nodes, n_iters=3, seed_urls=seeds).sort("url")
 
+    def page_spam_mass(sf_dir):
+        # relative spam mass (Gyöngyi et al. 2005): rank fraction not
+        # backed by trusted seeds — max(pr−tr,0)·10⁹//pr over the
+        # 3-iteration uniform and seed-personalized ranks; ONE hash
+        # equi-join, integer-only row-local mass rule; oracle = the same
+        # formula over the two rank ground truths
+        from urlmap_ray.corpus import page_url
+        from urlmap_ray.expected import (
+            ensure_graph_expected,
+            ensure_trustrank_expected,
+        )
+        from urlmap_ray.functions import graph as gr
+
+        info = _corpus(sf_dir)
+        ensure_graph_expected(info)
+        ensure_trustrank_expected(info)
+        seeds = [page_url(h, 0) for h in range(info.n_hosts)]
+        pages, nodes = _graph_inputs(sf_dir)
+        pr = gr.pagerank(pages, nodes, n_iters=3)
+        tr = gr.pagerank(pages, nodes, n_iters=3, seed_urls=seeds)
+        return gr.spam_mass(pr, tr).sort("url")
+
     def page_components(sf_dir):
         # weakly-connected components of the link graph (site clusters):
         # hash urls → star-round CC (hybrid driver union-find at toy
@@ -2378,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": host_graph,
         "host_degrees": host_degrees,
         "host_pagerank": host_pagerank,
+        "page_spam_mass": page_spam_mass,
         "events_profile": events_profile,
         "page_communities": page_communities,
         "page_reach": page_reach,
@@ -3298,6 +3321,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "host_pagerank": f"SELECT * FROM read_parquet('{_exp('host_pagerank')}')",
+        # spam mass: same integer formula over the two rank ground truths;
+        # GREATEST clamp keeps // on non-negatives (identical floor rule
+        # in numpy and DuckDB)
+        "page_spam_mass": f"""
+            SELECT p.url,
+                   CASE WHEN p.rank_ppb > 0
+                        THEN (GREATEST(p.rank_ppb - t.rank_ppb, 0)
+                              * 1000000000) // p.rank_ppb
+                        ELSE 0 END AS spam_mass_ppb
+            FROM read_parquet('{_exp('pagerank3')}') p
+            JOIN read_parquet('{_exp('trustrank3')}') t ON p.url = t.url
+            ORDER BY p.url
+        """,
         "host_degrees": f"""
             WITH e AS (
                 SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)

@@ -682,3 +682,36 @@ def test_weighted_pagerank_modes_identical_and_match_reference(
     assert results["broadcast"] == results["shuffle"]
     # centrality is a probability vector: ppb mass sums to ~1e9
     assert abs(sum(want.values()) - 1_000_000_000) < len(want) + 1000
+
+
+def test_spam_mass_integer_rule(ray_session):
+    """spam_mass: max(pr−tr,0)·10⁹//pr, 0 when pr=0 — clamp and floor
+    pinned; join is inner on url."""
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.graph import spam_mass
+
+    pr = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b", "c", "d"]),
+                "rank_ppb": pa.array([1000, 300, 0, 7], pa.int64()),
+            }
+        )
+    )
+    tr = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b", "c", "d"]),
+                "rank_ppb": pa.array([250, 900, 5, 3], pa.int64()),
+            }
+        )
+    )
+    got = {r["url"]: r["spam_mass_ppb"] for r in spam_mass(pr, tr).take_all()}
+    assert got == {
+        "a": (750 * 10**9) // 1000,
+        "b": 0,  # tr > pr clamps to 0
+        "c": 0,  # pr == 0 guard
+        "d": (4 * 10**9) // 7,  # floor division
+    }

@@ -3250,3 +3250,50 @@ def weighted_pagerank_reference(
         ranks = new
     ppb = np.round(ranks * 1e9).astype(np.int64)
     return {h: int(ppb[i]) for i, h in enumerate(hosts)}
+
+
+def spam_mass(pr_ds, tr_ds, *, num_partitions: int = 16):
+    """Relative spam mass per node (Gyöngyi et al. 2005, "Link spam
+    detection based on mass estimation"): the fraction of a node's
+    PageRank NOT backed by trusted sources —
+    ``max(pr − tr, 0)·10⁹ // pr`` in parts-per-billion, where ``pr`` is
+    the uniform-teleport rank and ``tr`` the seed-personalized TrustRank
+    (both ppb-quantized probability vectors, so directly comparable).
+    High spam mass ⇒ rank earned from link structures no trusted seed
+    reaches — the classic link-farm demotion signal.
+
+    Inputs are the two rank Datasets (columns ``url, rank_ppb``). The
+    combine is ONE hash-shuffle equi-join on url (both sides are
+    node-sized — at 10^10 nodes neither broadcasts) and the mass rule is
+    integer-only row-local arithmetic, so the result is exact and
+    parallelism-independent given its inputs.
+    """
+    from .joins import shuffle_join
+
+    def rename(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"url": t.column("url"), col: t.column("rank_ppb")})
+
+        return fn
+
+    joined = shuffle_join(
+        pr_ds.map_batches(rename("pr_ppb"), batch_format="pyarrow", zero_copy_batch=True),
+        tr_ds.map_batches(rename("tr_ppb"), batch_format="pyarrow", zero_copy_batch=True),
+        on="url",
+        num_partitions=num_partitions,
+    )
+
+    def mass(t: pa.Table) -> pa.Table:
+        pr = t.column("pr_ppb").to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = t.column("tr_ppb").to_numpy(zero_copy_only=False).astype(np.int64)
+        # floor division on non-negatives only: the GREATEST clamp keeps
+        # the // rule identical in numpy and DuckDB
+        num = np.maximum(pr - tr, 0) * np.int64(1_000_000_000)
+        out = np.zeros(len(pr), dtype=np.int64)
+        nz = pr > 0
+        out[nz] = num[nz] // pr[nz]
+        return pa.table(
+            {"url": t.column("url"), "spam_mass_ppb": pa.array(out, pa.int64())}
+        )
+
+    return joined.map_batches(mass, batch_format="pyarrow", zero_copy_batch=True)

@@ -819,6 +819,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.pagerank(pages, nodes, n_iters=3, seed_urls=seeds).sort("url")
 
+    def host_spam_mass(sf_dir):
+        # the host-level spam pipeline capstone: weighted host graph →
+        # uniform + seed-personalized weighted PageRank (3 iters, trusted
+        # seeds = the first 4 host names) → integer spam-mass rule; the
+        # whole chain bit-identical to the single-process references
+        from urlmap_ray.corpus import host_name
+        from urlmap_ray.expected import ensure_host_spam_expected
+        from urlmap_ray.functions import graph as gr
+
+        info = _corpus(sf_dir)
+        ensure_host_spam_expected(info)
+        seeds = [host_name(h) for h in range(min(4, info.n_hosts))]
+        pages, nodes = _graph_inputs(sf_dir)
+        hg = gr.host_graph(pages, nodes)
+        pr = gr.weighted_pagerank(hg, n_iters=3)
+        tr = gr.weighted_pagerank(hg, n_iters=3, seed_urls=seeds)
+        return (
+            gr.spam_mass(pr, tr)
+            .map_batches(
+                lambda t: t.rename_columns(["host", "spam_mass_ppb"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .sort("host")
+        )
+
     def page_spam_mass(sf_dir):
         # relative spam mass (Gyöngyi et al. 2005): rank fraction not
         # backed by trusted seeds — max(pr−tr,0)·10⁹//pr over the
@@ -2401,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degrees": host_degrees,
         "host_pagerank": host_pagerank,
         "page_spam_mass": page_spam_mass,
+        "host_spam_mass": host_spam_mass,
         "events_profile": events_profile,
         "page_communities": page_communities,
         "page_reach": page_reach,
@@ -3321,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "host_pagerank": f"SELECT * FROM read_parquet('{_exp('host_pagerank')}')",
+        "host_spam_mass": f"SELECT * FROM read_parquet('{_exp('host_spam')}')",
         # spam mass: same integer formula over the two rank ground truths;
         # GREATEST clamp keeps // on non-negatives (identical floor rule
         # in numpy and DuckDB)

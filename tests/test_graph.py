@@ -715,3 +715,37 @@ def test_spam_mass_integer_rule(ray_session):
         "c": 0,  # pr == 0 guard
         "d": (4 * 10**9) // 7,  # floor division
     }
+
+
+def test_weighted_pagerank_seeded_modes_identical(ray_session, corpus, truth):
+    """Seed-personalized weighted pagerank (host TrustRank): both modes
+    bit-identical to the seeded reference; rejects missing seeds."""
+    import re
+    from collections import Counter
+
+    from urlmap_ray.functions.graph import (
+        host_graph,
+        weighted_pagerank,
+        weighted_pagerank_reference,
+    )
+
+    _, _, edges = truth
+    host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+    pair_w = Counter()
+    for s, d in edges:
+        hs = host_re.match(s).group(1)
+        hd = host_re.match(d).group(1)
+        if hs != hd:
+            pair_w[(hs, hd)] += 1
+    triples = [(s, d, w) for (s, d), w in pair_w.items()]
+    hosts = sorted({h for t in triples for h in t[:2]})
+    seeds = hosts[:2]
+    want = weighted_pagerank_reference(triples, n_iters=3, seed_urls=seeds)
+
+    hg = host_graph(_pages_ds(corpus), _nodes_ds(corpus))
+    for mode in ("broadcast", "shuffle"):
+        rows = weighted_pagerank(hg, n_iters=3, mode=mode, seed_urls=seeds).take_all()
+        assert {r["url"]: r["rank_ppb"] for r in rows} == want, mode
+
+    with pytest.raises(Exception, match="seed_urls"):
+        weighted_pagerank(hg, n_iters=1, seed_urls=["no-such-host"]).take_all()

@@ -1001,20 +1001,13 @@ def ensure_bpe_expected(
     return vocab_path, tok_path
 
 
-def ensure_host_pagerank_expected(info: CorpusInfo) -> str:
-    """Weighted host-PageRank ground truth: collapse the page-edge ground
-    truth to the weighted host graph (same pinned host seam as
-    functions/urlmine._HOST_RE, intra-host dropped), then
-    :func:`~urlmap_ray.functions.graph.weighted_pagerank_reference` —
-    same float path as both distributed regimes, no Ray."""
+def _host_pair_weights(info: CorpusInfo) -> list[tuple[str, str, int]]:
+    """Weighted host-edge triples collapsed from the page-edge ground
+    truth (pinned host seam ≡ functions/urlmine._HOST_RE, intra-host
+    dropped) — the single-process mirror of functions/graph.host_graph."""
     import re
     from collections import Counter
 
-    from .functions.graph import weighted_pagerank_reference
-
-    hp_path = expected_path(info, "host_pagerank")
-    if not _should_generate(info, hp_path):
-        return hp_path
     import pyarrow.dataset as pads
 
     e_path, _, _ = ensure_graph_expected(info)
@@ -1027,9 +1020,21 @@ def ensure_host_pagerank_expected(info: CorpusInfo) -> str:
         ms, md = host_re.match(s), host_re.match(d)
         if ms and md and ms.group(1) != md.group(1):
             pair_w[(ms.group(1), md.group(1))] += 1
-    pr = weighted_pagerank_reference(
-        [(s, d, w) for (s, d), w in pair_w.items()]
-    )
+    return [(s, d, w) for (s, d), w in pair_w.items()]
+
+
+def ensure_host_pagerank_expected(info: CorpusInfo) -> str:
+    """Weighted host-PageRank ground truth: collapse the page-edge ground
+    truth to the weighted host graph (same pinned host seam as
+    functions/urlmine._HOST_RE, intra-host dropped), then
+    :func:`~urlmap_ray.functions.graph.weighted_pagerank_reference` —
+    same float path as both distributed regimes, no Ray."""
+    from .functions.graph import weighted_pagerank_reference
+
+    hp_path = expected_path(info, "host_pagerank")
+    if not _should_generate(info, hp_path):
+        return hp_path
+    pr = weighted_pagerank_reference(_host_pair_weights(info))
     hosts = sorted(pr)
     _write_atomic(
         pa.table(
@@ -1041,3 +1046,36 @@ def ensure_host_pagerank_expected(info: CorpusInfo) -> str:
         hp_path,
     )
     return hp_path
+
+
+def ensure_host_spam_expected(info: CorpusInfo) -> str:
+    """Host-level spam-mass ground truth: 3-iteration uniform and
+    seed-personalized weighted host ranks (seeds = the first
+    ``min(4, n_hosts)`` host names — the config-sized trusted list),
+    combined by the pinned integer mass rule
+    ``max(pr−tr,0)·10⁹ // pr`` (0 when pr == 0)."""
+    from .corpus import host_name
+    from .functions.graph import weighted_pagerank_reference
+
+    path = expected_path(info, "host_spam")
+    if not _should_generate(info, path):
+        return path
+    triples = _host_pair_weights(info)
+    seeds = [host_name(h) for h in range(min(4, info.n_hosts))]
+    pr = weighted_pagerank_reference(triples, n_iters=3)
+    tr = weighted_pagerank_reference(triples, n_iters=3, seed_urls=seeds)
+    hosts = sorted(pr)
+    mass = [
+        ((max(pr[h] - tr[h], 0) * 1_000_000_000) // pr[h]) if pr[h] > 0 else 0
+        for h in hosts
+    ]
+    _write_atomic(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "spam_mass_ppb": pa.array(mass, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path

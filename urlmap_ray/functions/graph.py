@@ -3129,6 +3129,7 @@ def weighted_pagerank(
     damping: float = _DAMPING,
     mode: str = "auto",
     n_buckets: int | None = None,
+    seed_urls: list[str] | None = None,
 ):
     """PageRank over an arbitrary WEIGHTED edge list → (url, rank_ppb).
 
@@ -3147,7 +3148,13 @@ def weighted_pagerank(
     Ranks are bit-identical across regimes and to
     :func:`weighted_pagerank_reference` — the shared ``_contrib_sums``
     primitive computes ``(rank·inv)·w`` in pinned order.
+
+    ``seed_urls`` personalizes the teleport exactly as in
+    :func:`pagerank` (TrustRank at the host level — the seed list is a
+    config-sized trusted-host list): restart mass 1/|S| on seeds, 0
+    elsewhere; every seed must be an edge endpoint.
     """
+    import ray
     import ray.data
 
     def to_pairs(t: pa.Table) -> pa.Table:
@@ -3179,6 +3186,9 @@ def weighted_pagerank(
     else:
         per_bucket = max(1, -(-n // n_buckets))
 
+    if seed_urls is not None and not seed_urls:
+        raise ValueError("seed_urls must be non-empty when given")
+
     if mode == "shuffle":
         nb = -(-n // per_bucket)
         index_ds = node_index(nodes)[0].repartition(nb, shuffle=False).materialize()
@@ -3187,6 +3197,21 @@ def weighted_pagerank(
             .repartition(nb, shuffle=False)
             .materialize()
         )
+        teleport = None
+        if seed_urls is not None:
+            ss = sorted(set(seed_urls))
+            seeds_arr = pa.array(ss, pa.string())
+            id_rows = index_ds.map_batches(
+                lambda t, _sa=seeds_arr: t.filter(
+                    pc.is_in(t.column("url"), value_set=_sa)
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).take_all()  # ≤ |seed_urls| rows — seed lists are config-sized
+            ids = np.sort(np.array([r["node_id"] for r in id_rows], dtype=np.int64))
+            if len(ids) != len(ss):
+                raise ValueError("seed_urls not all present in the node set")
+            teleport = (ray.put(ids), len(ids))
         return _pagerank_shuffle(
             edges_b,
             index_ds,
@@ -3194,19 +3219,38 @@ def weighted_pagerank(
             n_iters=n_iters,
             damping=damping,
             per_bucket=per_bucket,
+            teleport=teleport,
             weighted=True,
         )
 
     urls_ref = _sorted_urls_ref(nodes)
     edges_b = _bucketed_edge_ids(pairs, urls_ref, per_bucket)
+    if seed_urls is None:
+        base_vec = np.full(n, (1.0 - damping) / n, dtype=np.float64)
+        rank0_vec = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+
+        @ray.remote(num_cpus=1)
+        def _seed_pos(urls_arr: pa.Array, seeds: list[str]) -> np.ndarray:
+            pos = pc.index_in(pa.array(seeds, pa.string()), value_set=urls_arr)
+            if pos.null_count:
+                missing = [s for s, p in zip(seeds, pos.to_pylist()) if p is None]
+                raise ValueError(f"seed_urls not in node set: {missing[:3]}")
+            return pos.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        pos = ray.get(_seed_pos.remote(urls_ref, sorted(set(seed_urls))))
+        rank0_vec = np.zeros(n, dtype=np.float64)
+        rank0_vec[pos] = 1.0 / len(pos)
+        base_vec = np.zeros(n, dtype=np.float64)
+        base_vec[pos] = (1.0 - damping) / len(pos)
     return _broadcast_rank_loop(
         edges_b,
         urls_ref,
         n,
         n_iters=n_iters,
         damping=damping,
-        base_vec=np.full(n, (1.0 - damping) / n, dtype=np.float64),
-        rank0_vec=np.full(n, 1.0 / n, dtype=np.float64),
+        base_vec=base_vec,
+        rank0_vec=rank0_vec,
     )
 
 
@@ -3215,12 +3259,14 @@ def weighted_pagerank_reference(
     *,
     n_iters: int = _N_ITERS,
     damping: float = _DAMPING,
+    seed_urls: list[str] | None = None,
 ) -> dict[str, int]:
     """Single-process oracle for :func:`weighted_pagerank`: same node
     ordering (sorted endpoints), same pinned float path (uniform base =
     ONE division, ``(rank·inv)·w`` per edge, per-dst ``np.add.reduceat``
     over the (dst, src)-sorted run), no Ray. Duplicate (src, dst) pairs
-    have their weights summed."""
+    have their weights summed. ``seed_urls`` = the TrustRank teleport
+    personalization (mass 1/|S| on seeds, 0 elsewhere)."""
     hosts = sorted({h for e in edges for h in (e[0], e[1])})
     n = len(hosts)
     if n == 0:
@@ -3241,8 +3287,19 @@ def weighted_pagerank_reference(
     np.add.at(out_w, src, w)
     inv_out = np.zeros(n, dtype=np.float64)
     inv_out[out_w > 0] = 1.0 / out_w[out_w > 0]
-    base_vec = np.full(n, (1.0 - damping) / n, dtype=np.float64)
-    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    if seed_urls is None:
+        base_vec = np.full(n, (1.0 - damping) / n, dtype=np.float64)
+        ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        ss = sorted(set(seed_urls))
+        missing = [s for s in ss if s not in idx]
+        if missing or not ss:
+            raise ValueError(f"seed_urls not in node set: {missing[:3]}")
+        pos = [idx[s] for s in ss]
+        base_vec = np.zeros(n, dtype=np.float64)
+        base_vec[pos] = (1.0 - damping) / len(ss)
+        ranks = np.zeros(n, dtype=np.float64)
+        ranks[pos] = 1.0 / len(ss)
     for _ in range(n_iters):
         d_, s_ = _contrib_sums(dst, src, ranks, inv_out, w)
         new = base_vec.copy()

@@ -179,6 +179,8 @@ def run_bench() -> dict:
         "host_graph",
         "host_degrees",
         "host_pagerank",
+        "host_spam_mass",
+        "page_spam_mass",
         "page_components",
         "term_postings",
         "host_stats",

@@ -832,11 +832,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_host_spam_expected(info)
         seeds = [host_name(h) for h in range(min(4, info.n_hosts))]
         pages, nodes = _graph_inputs(sf_dir)
-        hg = gr.host_graph(pages, nodes)
-        pr = gr.weighted_pagerank(hg, n_iters=3)
-        tr = gr.weighted_pagerank(hg, n_iters=3, seed_urls=seeds)
         return (
-            gr.spam_mass(pr, tr)
+            gr.weighted_spam_mass(
+                gr.host_graph(pages, nodes), seed_urls=seeds, n_iters=3
+            )
             .map_batches(
                 lambda t: t.rename_columns(["host", "spam_mass_ppb"]),
                 batch_format="pyarrow",

@@ -749,3 +749,36 @@ def test_weighted_pagerank_seeded_modes_identical(ray_session, corpus, truth):
 
     with pytest.raises(Exception, match="seed_urls"):
         weighted_pagerank(hg, n_iters=1, seed_urls=["no-such-host"]).take_all()
+
+
+def test_weighted_spam_mass_matches_composition(ray_session, corpus, truth):
+    """weighted_spam_mass (shared-prep fast path) is bit-identical in
+    both regimes to composing weighted_pagerank ×2 + spam_mass."""
+    import re
+    from collections import Counter
+
+    from urlmap_ray.functions.graph import (
+        host_graph,
+        spam_mass,
+        weighted_pagerank,
+        weighted_spam_mass,
+    )
+
+    _, _, edges = truth
+    host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+    hosts = sorted(
+        {
+            host_re.match(u).group(1)
+            for e in edges
+            for u in e
+        }
+    )
+    seeds = hosts[:2]
+    hg = host_graph(_pages_ds(corpus), _nodes_ds(corpus)).materialize()
+    pr = weighted_pagerank(hg, n_iters=3)
+    tr = weighted_pagerank(hg, n_iters=3, seed_urls=seeds)
+    want = {r["url"]: r["spam_mass_ppb"] for r in spam_mass(pr, tr).take_all()}
+    assert any(v > 0 for v in want.values())  # non-vacuous: spam exists
+    for mode in ("broadcast", "shuffle"):
+        rows = weighted_spam_mass(hg, seed_urls=seeds, n_iters=3, mode=mode).take_all()
+        assert {r["url"]: r["spam_mass_ppb"] for r in rows} == want, mode

@@ -828,21 +828,23 @@ def pagerank(
     )
 
 
-def _broadcast_rank_loop(
-    edges_b, urls_ref, n, *, n_iters, damping, base_vec, rank0_vec
-):
-    """Broadcast-regime power iteration shared by :func:`pagerank` and
-    :func:`weighted_pagerank`: whole-dst-bucket edge blocks pinned into a
-    round-robin :class:`_EdgeShard` actor pool (weight-aware when the
-    blocks carry ``w``), one RPC round per iteration, ranks quantized to
-    ppb in a remote finish task."""
+def _broadcast_rank_vectors(
+    edges_b, n, *, n_iters, damping, variants
+) -> list[np.ndarray]:
+    """Broadcast-regime power iteration core: whole-dst-bucket edge
+    blocks pinned into ONE round-robin :class:`_EdgeShard` actor pool
+    (weight-aware when the blocks carry ``w``), one RPC round per
+    iteration. ``variants`` is a list of (base_vec, rank0_vec) teleport
+    personalizations iterated over the SAME pinned shards — running
+    uniform and seeded ranks together (spam mass, TrustRank seed-set
+    sweeps) pays the edge build and out-degree pass once."""
     import ray
-    import ray.data
 
     block_refs = edges_b.to_arrow_refs()
     shard_cls = ray.remote(num_cpus=1)(_EdgeShard)
     n_actors = max(1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8))))
     actors = [shard_cls.remote(block_refs[i::n_actors]) for i in range(n_actors)]
+    results = []
     try:
         out_vec = np.zeros(n, dtype=np.int64)
         for uniq, cnt in ray.get([a.out_partial.remote() for a in actors]):
@@ -851,22 +853,44 @@ def _broadcast_rank_loop(
         nz = out_vec > 0
         inv_out[nz] = 1.0 / out_vec[nz]
         inv_ref = ray.put(inv_out)
-        ranks = rank0_vec.copy()
-        for _ in range(n_iters):
-            ranks_ref = ray.put(ranks)
-            parts = ray.get(
-                [a.contribs.remote(ranks_ref, inv_ref) for a in actors]
-            )
-            new = base_vec.copy()
-            dsts = np.concatenate([p[0] for p in parts])
-            if len(dsts):
-                sums = np.concatenate([p[1] for p in parts])
-                order = np.argsort(dsts, kind="stable")
-                np.add.at(new, dsts[order], damping * sums[order])
-            ranks = new
+        for base_vec, rank0_vec in variants:
+            ranks = rank0_vec.copy()
+            for _ in range(n_iters):
+                ranks_ref = ray.put(ranks)
+                parts = ray.get(
+                    [a.contribs.remote(ranks_ref, inv_ref) for a in actors]
+                )
+                new = base_vec.copy()
+                dsts = np.concatenate([p[0] for p in parts])
+                if len(dsts):
+                    sums = np.concatenate([p[1] for p in parts])
+                    order = np.argsort(dsts, kind="stable")
+                    np.add.at(new, dsts[order], damping * sums[order])
+                ranks = new
+            results.append(ranks)
     finally:
         for a in actors:
             ray.kill(a)
+    return results
+
+
+def _broadcast_rank_loop(
+    edges_b, urls_ref, n, *, n_iters, damping, base_vec, rank0_vec
+):
+    """Broadcast-regime power iteration shared by :func:`pagerank` and
+    :func:`weighted_pagerank`: one teleport variant through
+    :func:`_broadcast_rank_vectors`, ranks quantized to ppb in a remote
+    finish task."""
+    import ray
+    import ray.data
+
+    (ranks,) = _broadcast_rank_vectors(
+        edges_b,
+        n,
+        n_iters=n_iters,
+        damping=damping,
+        variants=[(base_vec, rank0_vec)],
+    )
 
     @ray.remote(num_cpus=1)
     def finish(urls_arr: pa.Array, rank_vec: np.ndarray) -> pa.Table:
@@ -3157,6 +3181,67 @@ def weighted_pagerank(
     import ray
     import ray.data
 
+    if seed_urls is not None and not seed_urls:
+        raise ValueError("seed_urls must be non-empty when given")
+    prep = _weighted_prepared(
+        edges_ds,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        mode=mode,
+        n_buckets=n_buckets,
+    )
+    if prep is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"url": pa.array([], pa.string()), "rank_ppb": pa.array([], pa.int64())}
+            )
+        )
+
+    if prep["mode"] == "shuffle":
+        teleport = (
+            None
+            if seed_urls is None
+            else _shuffle_teleport(prep["index_ds"], seed_urls)
+        )
+        return _pagerank_shuffle(
+            prep["edges_b"],
+            prep["index_ds"],
+            n=prep["n"],
+            n_iters=n_iters,
+            damping=damping,
+            per_bucket=prep["per_bucket"],
+            teleport=teleport,
+            weighted=True,
+        )
+
+    n = prep["n"]
+    return _broadcast_rank_loop(
+        prep["edges_b"],
+        prep["urls_ref"],
+        n,
+        n_iters=n_iters,
+        damping=damping,
+        **_teleport_vectors(n, damping, prep["urls_ref"], seed_urls),
+    )
+
+
+def _weighted_prepared(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    mode: str,
+    n_buckets: int | None,
+):
+    """Shared graph preparation for the weighted rank family: normalize
+    the edge columns, derive the node set distributedly, resolve the
+    regime, and build the iteration-ready edge blocks ONCE — so callers
+    that run several teleports over the same graph (spam mass, seed-set
+    sweeps) pay the identity/bucketing exchanges a single time. Returns
+    None for an empty graph."""
+
     def to_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -3172,11 +3257,7 @@ def weighted_pagerank(
     nodes = _endpoint_nodes(pairs)
     n = nodes.count()
     if n == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {"url": pa.array([], pa.string()), "rank_ppb": pa.array([], pa.int64())}
-            )
-        )
+        return None
     if mode == "auto":
         mode = "shuffle" if n > SHUFFLE_MODE_NODES else "broadcast"
     if mode not in ("broadcast", "shuffle"):
@@ -3186,9 +3267,6 @@ def weighted_pagerank(
     else:
         per_bucket = max(1, -(-n // n_buckets))
 
-    if seed_urls is not None and not seed_urls:
-        raise ValueError("seed_urls must be non-empty when given")
-
     if mode == "shuffle":
         nb = -(-n // per_bucket)
         index_ds = node_index(nodes)[0].repartition(nb, shuffle=False).materialize()
@@ -3197,61 +3275,162 @@ def weighted_pagerank(
             .repartition(nb, shuffle=False)
             .materialize()
         )
-        teleport = None
-        if seed_urls is not None:
-            ss = sorted(set(seed_urls))
-            seeds_arr = pa.array(ss, pa.string())
-            id_rows = index_ds.map_batches(
-                lambda t, _sa=seeds_arr: t.filter(
-                    pc.is_in(t.column("url"), value_set=_sa)
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).take_all()  # ≤ |seed_urls| rows — seed lists are config-sized
-            ids = np.sort(np.array([r["node_id"] for r in id_rows], dtype=np.int64))
-            if len(ids) != len(ss):
-                raise ValueError("seed_urls not all present in the node set")
-            teleport = (ray.put(ids), len(ids))
-        return _pagerank_shuffle(
-            edges_b,
-            index_ds,
-            n=n,
-            n_iters=n_iters,
-            damping=damping,
-            per_bucket=per_bucket,
-            teleport=teleport,
-            weighted=True,
-        )
+        return {
+            "mode": mode,
+            "n": n,
+            "per_bucket": per_bucket,
+            "index_ds": index_ds,
+            "edges_b": edges_b,
+        }
 
     urls_ref = _sorted_urls_ref(nodes)
     edges_b = _bucketed_edge_ids(pairs, urls_ref, per_bucket)
+    return {
+        "mode": mode,
+        "n": n,
+        "per_bucket": per_bucket,
+        "urls_ref": urls_ref,
+        "edges_b": edges_b,
+    }
+
+
+def _shuffle_teleport(index_ds, seed_urls: list[str]):
+    """(seed-id ObjectRef, |seeds|) for the shuffle regime: seed ids come
+    from a filtered pass over the node index — ≤ |seed_urls| rows reach
+    the driver (seed lists are config-sized)."""
+    import ray
+
+    ss = sorted(set(seed_urls))
+    seeds_arr = pa.array(ss, pa.string())
+    id_rows = index_ds.map_batches(
+        lambda t, _sa=seeds_arr: t.filter(pc.is_in(t.column("url"), value_set=_sa)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    ids = np.sort(np.array([r["node_id"] for r in id_rows], dtype=np.int64))
+    if len(ids) != len(ss):
+        raise ValueError("seed_urls not all present in the node set")
+    return (ray.put(ids), len(ids))
+
+
+def _teleport_vectors(n: int, damping: float, urls_ref, seed_urls):
+    """(base_vec, rank0_vec) kwargs for the broadcast regime — uniform
+    (pinned one-division floats) or personalized to the seed positions
+    resolved against the shared sorted node array in a remote task."""
+    import ray
+
     if seed_urls is None:
-        base_vec = np.full(n, (1.0 - damping) / n, dtype=np.float64)
-        rank0_vec = np.full(n, 1.0 / n, dtype=np.float64)
-    else:
+        return {
+            "base_vec": np.full(n, (1.0 - damping) / n, dtype=np.float64),
+            "rank0_vec": np.full(n, 1.0 / n, dtype=np.float64),
+        }
 
-        @ray.remote(num_cpus=1)
-        def _seed_pos(urls_arr: pa.Array, seeds: list[str]) -> np.ndarray:
-            pos = pc.index_in(pa.array(seeds, pa.string()), value_set=urls_arr)
-            if pos.null_count:
-                missing = [s for s, p in zip(seeds, pos.to_pylist()) if p is None]
-                raise ValueError(f"seed_urls not in node set: {missing[:3]}")
-            return pos.to_numpy(zero_copy_only=False).astype(np.int64)
+    @ray.remote(num_cpus=1)
+    def _seed_pos(urls_arr: pa.Array, seeds: list[str]) -> np.ndarray:
+        pos = pc.index_in(pa.array(seeds, pa.string()), value_set=urls_arr)
+        if pos.null_count:
+            missing = [s for s, p in zip(seeds, pos.to_pylist()) if p is None]
+            raise ValueError(f"seed_urls not in node set: {missing[:3]}")
+        return pos.to_numpy(zero_copy_only=False).astype(np.int64)
 
-        pos = ray.get(_seed_pos.remote(urls_ref, sorted(set(seed_urls))))
-        rank0_vec = np.zeros(n, dtype=np.float64)
-        rank0_vec[pos] = 1.0 / len(pos)
-        base_vec = np.zeros(n, dtype=np.float64)
-        base_vec[pos] = (1.0 - damping) / len(pos)
-    return _broadcast_rank_loop(
-        edges_b,
-        urls_ref,
+    pos = ray.get(_seed_pos.remote(urls_ref, sorted(set(seed_urls))))
+    rank0_vec = np.zeros(n, dtype=np.float64)
+    rank0_vec[pos] = 1.0 / len(pos)
+    base_vec = np.zeros(n, dtype=np.float64)
+    base_vec[pos] = (1.0 - damping) / len(pos)
+    return {"base_vec": base_vec, "rank0_vec": rank0_vec}
+
+
+def weighted_spam_mass(
+    edges_ds,
+    *,
+    seed_urls: list[str],
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "weight",
+    n_iters: int = _N_ITERS,
+    damping: float = _DAMPING,
+    mode: str = "auto",
+    n_buckets: int | None = None,
+):
+    """Spam mass over a weighted edge list in ONE prepared pass →
+    (url, spam_mass_ppb): the uniform and seed-personalized ranks share
+    the graph preparation (node derivation, identity/bucketing
+    exchanges) and — in the broadcast regime — the same pinned edge-shard
+    actor pool, so the capstone costs one graph build plus two cheap
+    iteration sweeps instead of two full rank jobs. Ranks and the
+    integer mass rule are bit-identical to composing
+    :func:`weighted_pagerank` × 2 + :func:`spam_mass` (the broadcast
+    fast path computes the mass driver-side on the two O(n≤
+    SHUFFLE_MODE_NODES) vectors instead of a join; the shuffle regime
+    keeps the node-sized hash join)."""
+    import ray
+    import ray.data
+
+    if not seed_urls:
+        raise ValueError("seed_urls must be non-empty")
+    prep = _weighted_prepared(
+        edges_ds,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        mode=mode,
+        n_buckets=n_buckets,
+    )
+    if prep is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "spam_mass_ppb": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    if prep["mode"] == "shuffle":
+        teleport = _shuffle_teleport(prep["index_ds"], seed_urls)
+        common = dict(
+            n=prep["n"],
+            n_iters=n_iters,
+            damping=damping,
+            per_bucket=prep["per_bucket"],
+            weighted=True,
+        )
+        pr = _pagerank_shuffle(prep["edges_b"], prep["index_ds"], **common)
+        tr = _pagerank_shuffle(
+            prep["edges_b"], prep["index_ds"], teleport=teleport, **common
+        )
+        return spam_mass(pr, tr)
+
+    n = prep["n"]
+    uniform = _teleport_vectors(n, damping, prep["urls_ref"], None)
+    seeded = _teleport_vectors(n, damping, prep["urls_ref"], seed_urls)
+    pr_vec, tr_vec = _broadcast_rank_vectors(
+        prep["edges_b"],
         n,
         n_iters=n_iters,
         damping=damping,
-        base_vec=base_vec,
-        rank0_vec=rank0_vec,
+        variants=[
+            (uniform["base_vec"], uniform["rank0_vec"]),
+            (seeded["base_vec"], seeded["rank0_vec"]),
+        ],
     )
+    # ppb quantization first (the rank contract), then the integer rule —
+    # identical to spam_mass() over the two finished rank tables
+    pr_ppb = np.round(pr_vec * 1e9).astype(np.int64)
+    tr_ppb = np.round(tr_vec * 1e9).astype(np.int64)
+    num = np.maximum(pr_ppb - tr_ppb, 0) * np.int64(1_000_000_000)
+    out = np.zeros(n, dtype=np.int64)
+    nz = pr_ppb > 0
+    out[nz] = num[nz] // pr_ppb[nz]
+
+    @ray.remote(num_cpus=1)
+    def finish(urls_arr: pa.Array, mass_vec: np.ndarray) -> pa.Table:
+        return pa.table(
+            {"url": urls_arr, "spam_mass_ppb": pa.array(mass_vec, pa.int64())}
+        )
+
+    return ray.data.from_arrow_refs([finish.remote(prep["urls_ref"], out)])
 
 
 def weighted_pagerank_reference(
@@ -3319,30 +3498,50 @@ def spam_mass(pr_ds, tr_ds, *, num_partitions: int = 16):
     High spam mass ⇒ rank earned from link structures no trusted seed
     reaches — the classic link-farm demotion signal.
 
-    Inputs are the two rank Datasets (columns ``url, rank_ppb``). The
-    combine is ONE hash-shuffle equi-join on url (both sides are
-    node-sized — at 10^10 nodes neither broadcasts) and the mass rule is
-    integer-only row-local arithmetic, so the result is exact and
-    parallelism-independent given its inputs.
+    Inputs are the two rank Datasets (columns ``url, rank_ppb``) over
+    the SAME node set — both ranks cover every node, so the combine is
+    the repo's pad→union→``groupby(hash(url) % B)`` exchange with a
+    per-bucket Arrow hash-agg sum standing in for the equi-join (exact
+    because each url appears once per side; both sides are node-sized,
+    neither broadcasts). The mass rule is integer-only row-local
+    arithmetic, so the result is exact and parallelism-independent given
+    its inputs.
     """
-    from .joins import shuffle_join
+    from .sketch import hash64_column
 
-    def rename(col: str):
+    n_buckets = num_partitions
+
+    def pad(col: str):
         def fn(t: pa.Table) -> pa.Table:
-            return pa.table({"url": t.column("url"), col: t.column("rank_ppb")})
+            if "url" not in t.column_names:  # zero-row empty-schema blocks
+                return pa.table(
+                    {
+                        "bk": pa.array([], pa.int64()),
+                        "url": pa.array([], pa.string()),
+                        "pr_ppb": pa.array([], pa.int64()),
+                        "tr_ppb": pa.array([], pa.int64()),
+                    }
+                )
+            zeros = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            rank = t.column("rank_ppb").cast(pa.int64())
+            return pa.table(
+                {
+                    "bk": pa.array(
+                        (hash64_column(t.column("url")) % n_buckets).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "url": t.column("url"),
+                    "pr_ppb": rank if col == "pr_ppb" else zeros,
+                    "tr_ppb": rank if col == "tr_ppb" else zeros,
+                }
+            )
 
         return fn
 
-    joined = shuffle_join(
-        pr_ds.map_batches(rename("pr_ppb"), batch_format="pyarrow", zero_copy_batch=True),
-        tr_ds.map_batches(rename("tr_ppb"), batch_format="pyarrow", zero_copy_batch=True),
-        on="url",
-        num_partitions=num_partitions,
-    )
-
-    def mass(t: pa.Table) -> pa.Table:
-        pr = t.column("pr_ppb").to_numpy(zero_copy_only=False).astype(np.int64)
-        tr = t.column("tr_ppb").to_numpy(zero_copy_only=False).astype(np.int64)
+    def mass(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["url"]).aggregate([("pr_ppb", "sum"), ("tr_ppb", "sum")])
+        pr = agg.column("pr_ppb_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = agg.column("tr_ppb_sum").to_numpy(zero_copy_only=False).astype(np.int64)
         # floor division on non-negatives only: the GREATEST clamp keeps
         # the // rule identical in numpy and DuckDB
         num = np.maximum(pr - tr, 0) * np.int64(1_000_000_000)
@@ -3350,7 +3549,16 @@ def spam_mass(pr_ds, tr_ds, *, num_partitions: int = 16):
         nz = pr > 0
         out[nz] = num[nz] // pr[nz]
         return pa.table(
-            {"url": t.column("url"), "spam_mass_ppb": pa.array(out, pa.int64())}
+            {"url": agg.column("url"), "spam_mass_ppb": pa.array(out, pa.int64())}
         )
 
-    return joined.map_batches(mass, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        pr_ds.map_batches(pad("pr_ppb"), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            tr_ds.map_batches(
+                pad("tr_ppb"), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("bk")
+        .map_groups(mass, batch_format="pyarrow")
+    )

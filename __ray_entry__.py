@@ -1478,6 +1478,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vh, vc, n_total = lm_train(docs)
         return lm_score(docs, vh, vc, n_total)
 
+    def doc_ppl_buckets(sf_dir):
+        # CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+        # §4.4): tercile thresholds of the LM score via the pinned
+        # inverted-ECDF rule (q ∈ {1/3, 2/3} as IEEE doubles, mirrored in
+        # SQL), assignment row-local — higher mean logprob = "head" =
+        # CCNet's lowest-perplexity slice. The threshold fold streams the
+        # exact-quantile value histogram; at doc counts where the score
+        # grid's distinct values stop fitting the driver, the mergeable
+        # quantile sketch computes the same rule while unsaturated.
+        import ray.data
+
+        from urlmap_ray.expected import ensure_lm_expected
+        from urlmap_ray.functions.lm import lm_score, lm_train
+        from urlmap_ray.functions.quantiles import exact_quantiles
+
+        ensure_lm_expected(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        vh, vc, n_total = lm_train(docs)
+        scored = lm_score(docs, vh, vc, n_total).materialize()
+        th = exact_quantiles(scored, "logprob_ppb", [1 / 3, 2 / 3])
+        t_lo = th.column("logprob_ppb")[0].as_py()
+        t_hi = th.column("logprob_ppb")[1].as_py()
+
+        def assign(t):
+            s = t.column("logprob_ppb").to_numpy(zero_copy_only=False)
+            bucket = np.where(
+                s <= t_lo, "tail", np.where(s <= t_hi, "middle", "head")
+            )
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "logprob_ppb": t.column("logprob_ppb"),
+                    "bucket": pa.array(bucket.astype(object), pa.string()),
+                }
+            )
+
+        return scored.map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True
+        ).sort("doc_id")
+
     def docs_mix(sf_dir):
         # declared per-source training-mix rates (src0 kept whole, src1
         # halved, src2 quartered, everything else at 10%) — deterministic
@@ -2427,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": host_pagerank,
         "page_spam_mass": page_spam_mass,
         "host_spam_mass": host_spam_mass,
+        "doc_ppl_buckets": doc_ppl_buckets,
         "events_profile": events_profile,
         "page_communities": page_communities,
         "page_reach": page_reach,
@@ -3662,6 +3705,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/lm_score.parquet')"
         ),
+        # CCNet terciles over the trusted score table: same inverted-ECDF
+        # rank rule as doc_length_quantiles (q as IEEE DOUBLE), same
+        # <=-threshold bucket CASE as the Ray side
+        "doc_ppl_buckets": """
+            WITH s AS (
+                SELECT doc_id, logprob_ppb
+                FROM read_parquet('/tmp/urlmap_oracle/sf0.01/lm_score.parquet')
+            ), c AS (
+                SELECT logprob_ppb AS v, count(*) AS n FROM s GROUP BY 1
+            ), cs AS (
+                SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM c
+            ), t AS (SELECT count(*) AS tot FROM s),
+            lo AS (
+                SELECT min(v) AS t_lo FROM cs, t
+                WHERE cum >= ceil((CAST(1 AS DOUBLE) / 3) * tot)
+            ), hi AS (
+                SELECT min(v) AS t_hi FROM cs, t
+                WHERE cum >= ceil((CAST(2 AS DOUBLE) / 3) * tot)
+            )
+            SELECT s.doc_id, s.logprob_ppb,
+                   CASE WHEN s.logprob_ppb <= t_lo THEN 'tail'
+                        WHEN s.logprob_ppb <= t_hi THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM s, lo, hi ORDER BY s.doc_id
+        """,
         # single-process DSIR reference (shared log/score primitives,
         # independent Counter train + sequential target count)
         "docs_dsir": (

@@ -126,6 +126,7 @@ def run_bench() -> dict:
         "anchor_index",
         "doc_quality_model",
         "doc_lm_score",
+        "doc_ppl_buckets",
         "docs_dsir",
         "bpe_vocab",
         "doc_bpe_tokens",

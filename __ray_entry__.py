@@ -879,6 +879,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return url_components(gr.build_edges(pages, nodes), nodes).sort("url")
 
+    def page_scc(sf_dir):
+        # strongly connected components of the DIRECTED link graph
+        # (FW-BW coloring, Orzan 2004): rep = lexicographically smallest
+        # member; oracle = single-process iterative Tarjan
+        from urlmap_ray.expected import ensure_scc_expected
+        from urlmap_ray.functions.scc import scc
+
+        ensure_scc_expected(_corpus(sf_dir))
+        pages, nodes = _graph_inputs(sf_dir)
+        return scc(pages, nodes).sort("url")
+
+    def page_bowtie(sf_dir):
+        # Broder et al. (2000) bow-tie decomposition relative to the
+        # largest SCC: core / in / out / other; oracle = Tarjan + two
+        # sequential BFS sweeps
+        from urlmap_ray.expected import ensure_bowtie_expected
+        from urlmap_ray.functions.scc import bowtie
+
+        ensure_bowtie_expected(_corpus(sf_dir))
+        pages, nodes = _graph_inputs(sf_dir)
+        return bowtie(pages, nodes).sort("url")
+
     def pagerank(sf_dir):
         from urlmap_ray.functions import graph as gr
 
@@ -2470,6 +2492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_spam_mass": page_spam_mass,
         "host_spam_mass": host_spam_mass,
         "doc_ppl_buckets": doc_ppl_buckets,
+        "page_scc": page_scc,
+        "page_bowtie": page_bowtie,
         "events_profile": events_profile,
         "page_communities": page_communities,
         "page_reach": page_reach,
@@ -3391,6 +3415,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": f"SELECT * FROM read_parquet('{_exp('host_pagerank')}')",
         "host_spam_mass": f"SELECT * FROM read_parquet('{_exp('host_spam')}')",
+        "page_scc": f"SELECT * FROM read_parquet('{_exp('page_scc')}')",
+        "page_bowtie": f"SELECT * FROM read_parquet('{_exp('page_bowtie')}')",
         # spam mass: same integer formula over the two rank ground truths;
         # GREATEST clamp keeps // on non-negatives (identical floor rule
         # in numpy and DuckDB)

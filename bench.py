@@ -183,6 +183,8 @@ def run_bench() -> dict:
         "host_spam_mass",
         "page_spam_mass",
         "page_components",
+        "page_scc",
+        "page_bowtie",
         "term_postings",
         "host_stats",
         "wet_docs",

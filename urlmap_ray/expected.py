@@ -1079,3 +1079,63 @@ def ensure_host_spam_expected(info: CorpusInfo) -> str:
         path,
     )
     return path
+
+
+def _graph_links(info: CorpusInfo):
+    """(urls, links_per_url) via the pure extractor — shared by the
+    SCC/bow-tie ground truths."""
+    from .extract import extract_links
+
+    tbl = _pages_table(info)
+    urls = tbl.column("url").to_pylist()
+    links_per_url = {
+        url: (extract_links(url, html) if html is not None else [])
+        for url, html in zip(urls, tbl.column("html").to_pylist())
+    }
+    return urls, links_per_url
+
+
+def ensure_scc_expected(info: CorpusInfo) -> str:
+    """SCC ground truth via the single-process iterative Tarjan
+    (functions/scc.scc_reference — min-url representative)."""
+    path = expected_path(info, "page_scc")
+    if not _should_generate(info, path):
+        return path
+    from .functions.scc import scc_reference
+
+    urls, links_per_url = _graph_links(info)
+    comp = scc_reference(urls, links_per_url)
+    su = sorted(urls)
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(su, pa.string()),
+                "scc_rep": pa.array([comp[u] for u in su], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def ensure_bowtie_expected(info: CorpusInfo) -> str:
+    """Bow-tie ground truth: Tarjan SCC + two sequential BFS sweeps
+    (functions/scc.bowtie_reference)."""
+    path = expected_path(info, "page_bowtie")
+    if not _should_generate(info, path):
+        return path
+    from .functions.scc import bowtie_reference
+
+    urls, links_per_url = _graph_links(info)
+    reg = bowtie_reference(urls, links_per_url)
+    su = sorted(urls)
+    _write_atomic(
+        pa.table(
+            {
+                "url": pa.array(su, pa.string()),
+                "region": pa.array([reg[u] for u in su], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path

@@ -1500,6 +1500,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vh, vc, n_total = lm_train(docs)
         return lm_score(docs, vh, vc, n_total)
 
+    def doc_gopher_gate(sf_dir):
+        # Gopher-rules composite quality gate (Rae et al. 2021 Table A1,
+        # integer-only forms): the synthetic corpus is too clean to
+        # exercise the drop branches, so a deterministic doc_id%7-keyed
+        # injection (mirrored term-for-term in SQL) plants each failure
+        # mode — too-short, '#' spam, '...' spam, bullet walls,
+        # ellipsis-ended lines, stopword-free runs — before the gate.
+        import ray.data
+
+        from urlmap_ray.functions.textstats import gopher_gate_batch
+
+        def inject_and_gate(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            base = np.array(t.column("text").to_pylist(), dtype=object)
+            m = ids % 7
+            txt = np.where(m == 1, "too short", base)
+            txt = np.where(m == 2, base + (" " + "# " * 40), txt)
+            txt = np.where(m == 3, base + (" " + "... " * 40), txt)
+            txt = np.where(m == 4, ("- item\n" * 30) + "end with the a", txt)
+            txt = np.where(
+                m == 5,
+                ("waiting for more...\n" * 9) + "end of the story",
+                txt,
+            )
+            txt = np.where(m == 6, ("zzzz " * 35) + "zzzz", txt)
+            return gopher_gate_batch(
+                pa.table(
+                    {
+                        "doc_id": t.column("doc_id"),
+                        "text": pa.array(list(txt), pa.string()),
+                    }
+                )
+            )
+
+        return (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+            .map_batches(inject_and_gate, batch_format="pyarrow", zero_copy_batch=True)
+            .sort("doc_id")
+        )
+
     def doc_ppl_buckets(sf_dir):
         # CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
         # §4.4): tercile thresholds of the LM score via the pinned
@@ -2491,6 +2534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": host_pagerank,
         "page_spam_mass": page_spam_mass,
         "host_spam_mass": host_spam_mass,
+        "doc_gopher_gate": doc_gopher_gate,
         "doc_ppl_buckets": doc_ppl_buckets,
         "page_scc": page_scc,
         "page_bowtie": page_bowtie,
@@ -3731,6 +3775,71 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/lm_score.parquet')"
         ),
+        # Gopher gate: every rule integer-only cross-multiplied, every text
+        # seam pinned (RE2 split of space-trimmed text — an empty doc is
+        # ONE empty word on both engines; non-overlapping '...' counts via
+        # the replace trick with // integer division; chr(10) line split)
+        "doc_gopher_gate": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       CASE doc_id % 7
+                            WHEN 1 THEN 'too short'
+                            WHEN 2 THEN text || ' ' || repeat('# ', 40)
+                            WHEN 3 THEN text || ' ' || repeat('... ', 40)
+                            WHEN 4 THEN repeat('- item' || chr(10), 30)
+                                        || 'end with the a'
+                            WHEN 5 THEN repeat('waiting for more...' || chr(10), 9)
+                                        || 'end of the story'
+                            WHEN 6 THEN repeat('zzzz ', 35) || 'zzzz'
+                            ELSE text END AS text
+                FROM documents
+            ), b AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM p
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n,
+                       CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS BIGINT) AS sumlen,
+                       CAST(len(list_filter(toks,
+                            x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                           AS n_alpha,
+                       CAST(len(list_filter(toks, x -> lower(x) IN ({stop})))
+                            AS BIGINT) AS n_stop,
+                       CAST(length(text) - length(replace(text, '#', ''))
+                            AS BIGINT) AS n_hash,
+                       CAST((length(text) - length(replace(text, '...', '')))
+                            // 3 AS BIGINT) AS n_ell,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(list_filter(lines,
+                            x -> ltrim(x, ' ') LIKE '-%'
+                                 OR ltrim(x, ' ') LIKE '*%')) AS BIGINT)
+                           AS n_bullet,
+                       CAST(len(list_filter(lines,
+                            x -> rtrim(x, ' ') LIKE '%...')) AS BIGINT)
+                           AS n_ellend
+                FROM b
+            ), r AS (
+                SELECT doc_id, n,
+                       CAST(CASE WHEN n < 30 OR n > 100000 THEN 1 ELSE 0 END
+                          + CASE WHEN 3 * n > sumlen OR sumlen > 10 * n
+                                 THEN 2 ELSE 0 END
+                          + CASE WHEN 10 * n_hash > n THEN 4 ELSE 0 END
+                          + CASE WHEN 10 * n_ell > n THEN 8 ELSE 0 END
+                          + CASE WHEN 5 * n_alpha < 4 * n THEN 16 ELSE 0 END
+                          + CASE WHEN 10 * n_bullet > 9 * n_lines
+                                 THEN 32 ELSE 0 END
+                          + CASE WHEN 10 * n_ellend > 3 * n_lines
+                                 THEN 64 ELSE 0 END
+                          + CASE WHEN n_stop < 2 THEN 128 ELSE 0 END
+                            AS BIGINT) AS fail_bits
+                FROM m
+            )
+            SELECT doc_id, n AS n_words, fail_bits, fail_bits = 0 AS keep
+            FROM r ORDER BY doc_id
+        """,
         # CCNet terciles over the trusted score table: same inverted-ECDF
         # rank rule as doc_length_quantiles (q as IEEE DOUBLE), same
         # <=-threshold bucket CASE as the Ray side

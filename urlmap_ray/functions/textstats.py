@@ -242,3 +242,137 @@ def compression_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     out = out.append_column("n_zlib", pa.array(n_zlib, pa.int64()))
     flags = [int(z * 4 < b) for z, b in zip(n_zlib, n_bytes)]
     return out.append_column("comp_flag", pa.array(flags, pa.int64()))
+
+
+# Gopher quality-gate thresholds (Rae et al. 2021, Table A1 — adapted to
+# integer-only cross-multiplied forms so numpy and SQL agree exactly;
+# word-count floor lowered to 30 for the synthetic corpus' doc sizes).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_BITS = {
+    "word_count": 1,
+    "mean_word_len": 2,
+    "hash_ratio": 4,
+    "ellipsis_ratio": 8,
+    "alpha_words": 16,
+    "bullet_lines": 32,
+    "ellipsis_lines": 64,
+    "stopwords": 128,
+}
+
+
+def _row_sums(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flattened list column — cumsum-difference, safe
+    for empty rows (unlike bare reduceat)."""
+    csum = np.concatenate([[0], np.cumsum(vals, dtype=np.int64)])
+    return csum[offsets[1:]] - csum[offsets[:-1]]
+
+
+def _list_offsets(arr: pa.ListArray) -> tuple[pa.Array, np.ndarray]:
+    """(flattened values, zero-based row offsets) of a list array."""
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return arr.flatten(), off - off[0]
+
+
+def gopher_gate_batch(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-rules composite quality gate (Rae et al. 2021 Table A1) →
+    (doc_id, n_words, fail_bits, keep) — the named rule-based filter
+    between the cheap per-signal stats (quality_batch) and model scoring.
+
+    Every rule is integer-only and cross-multiplied (no division), with
+    each text seam pinned to a DuckDB-expressible twin:
+
+    - words = ``regexp_split_to_array(trim(text), '\\s+')`` (spaces-only
+      trim; an empty doc yields ONE empty word on both engines — it
+      fails the mean-word-length rule, no special case);
+    - word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS] (bit 1);
+    - mean word length in [3, 10]: ``3n ≤ Σlen ≤ 10n`` (bit 2);
+    - '#' ratio ≤ 0.1: ``10·n_hash ≤ n`` (bit 4);
+    - '…'-as-'...' ratio ≤ 0.1: ``10·n_ellipsis ≤ n``, non-overlapping
+      substring count on both engines (bit 8);
+    - ≥ 80% of words contain a letter: ``5·n_alpha ≥ 4·n`` (bit 16);
+    - ≤ 90% of lines bullet-led ('-'/'*' after space-ltrim):
+      ``10·n_bullet ≤ 9·n_lines`` (bit 32);
+    - ≤ 30% of lines ellipsis-ended (after space-rtrim):
+      ``10·n_ell_end ≤ 3·n_lines`` (bit 64);
+    - ≥ 2 stopword occurrences (the module's pinned STOPWORDS) (bit 128).
+
+    All Arrow RE2 / numpy kernels, zero Python loops; ``fail_bits`` ORs
+    the failed rules so the gate's verdict is observable per rule, and
+    ``keep`` is ``fail_bits == 0``.
+    """
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    trimmed = pc.utf8_trim(txt, characters=" ")
+
+    toks = pc.split_pattern_regex(trimmed, pattern="\\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    tvals, toff = _list_offsets(toks)
+    n = np.diff(toff).astype(np.int64)
+    tlen = pc.utf8_length(tvals).to_numpy(zero_copy_only=False).astype(np.int64)
+    sumlen = _row_sums(tlen, toff)
+    alpha = (
+        pc.match_substring_regex(tvals, "[A-Za-z]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_alpha = _row_sums(alpha, toff)
+    stop = (
+        pc.is_in(
+            pc.utf8_lower(tvals), value_set=pa.array(sorted(STOPWORDS), pa.string())
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_stop = _row_sums(stop, toff)
+
+    n_hash = pc.count_substring(txt, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ell = (
+        pc.count_substring(txt, "...").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+    lines = pc.split_pattern(txt, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lvals, loff = _list_offsets(lines)
+    n_lines = np.diff(loff).astype(np.int64)
+    ltrim = pc.utf8_ltrim(lvals, characters=" ")
+    bullet = (
+        pc.or_(
+            pc.starts_with(ltrim, pattern="-"), pc.starts_with(ltrim, pattern="*")
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_bullet = _row_sums(bullet, loff)
+    rtrim = pc.utf8_rtrim(lvals, characters=" ")
+    ellend = (
+        pc.ends_with(rtrim, pattern="...")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_ellend = _row_sums(ellend, loff)
+
+    bits = np.zeros(len(n), dtype=np.int64)
+    bits |= np.where((n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS), 1, 0)
+    bits |= np.where((3 * n > sumlen) | (sumlen > 10 * n), 2, 0)
+    bits |= np.where(10 * n_hash > n, 4, 0)
+    bits |= np.where(10 * n_ell > n, 8, 0)
+    bits |= np.where(5 * n_alpha < 4 * n, 16, 0)
+    bits |= np.where(10 * n_bullet > 9 * n_lines, 32, 0)
+    bits |= np.where(10 * n_ellend > 3 * n_lines, 64, 0)
+    bits |= np.where(n_stop < 2, 128, 0)
+
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n, pa.int64()),
+            "fail_bits": pa.array(bits, pa.int64()),
+            "keep": pa.array(bits == 0, pa.bool_()),
+        }
+    )

@@ -819,6 +819,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages, nodes = _graph_inputs(sf_dir)
         return gr.pagerank(pages, nodes, n_iters=3, seed_urls=seeds).sort("url")
 
+    def host_trustrank(sf_dir):
+        # host-level TrustRank: weighted PageRank with the teleport
+        # personalized to the trusted-host list (3 iterations, both
+        # regimes bit-identical to the seeded reference by test)
+        from urlmap_ray.corpus import host_name
+        from urlmap_ray.expected import ensure_host_trustrank_expected
+        from urlmap_ray.functions import graph as gr
+
+        info = _corpus(sf_dir)
+        ensure_host_trustrank_expected(info)
+        seeds = [host_name(h) for h in range(min(4, info.n_hosts))]
+        pages, nodes = _graph_inputs(sf_dir)
+        ranked = gr.weighted_pagerank(
+            gr.host_graph(pages, nodes), n_iters=3, seed_urls=seeds
+        )
+        return ranked.map_batches(
+            lambda t: t.rename_columns(["host", "rank_ppb"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort("host")
+
     def host_spam_mass(sf_dir):
         # the host-level spam pipeline capstone: weighted host graph →
         # uniform + seed-personalized weighted PageRank (3 iters, trusted
@@ -2533,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degrees": host_degrees,
         "host_pagerank": host_pagerank,
         "page_spam_mass": page_spam_mass,
+        "host_trustrank": host_trustrank,
         "host_spam_mass": host_spam_mass,
         "doc_gopher_gate": doc_gopher_gate,
         "doc_ppl_buckets": doc_ppl_buckets,
@@ -3458,6 +3480,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "host_pagerank": f"SELECT * FROM read_parquet('{_exp('host_pagerank')}')",
+        "host_trustrank": f"SELECT * FROM read_parquet('{_exp('host_trustrank3')}')",
         "host_spam_mass": f"SELECT * FROM read_parquet('{_exp('host_spam')}')",
         "page_scc": f"SELECT * FROM read_parquet('{_exp('page_scc')}')",
         "page_bowtie": f"SELECT * FROM read_parquet('{_exp('page_bowtie')}')",

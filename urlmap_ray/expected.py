@@ -1048,6 +1048,32 @@ def ensure_host_pagerank_expected(info: CorpusInfo) -> str:
     return hp_path
 
 
+def ensure_host_trustrank_expected(info: CorpusInfo) -> str:
+    """Seed-personalized weighted host-rank ground truth (3 iterations,
+    seeds = the first ``min(4, n_hosts)`` host names — the same trusted
+    list the spam-mass capstone uses)."""
+    from .corpus import host_name
+    from .functions.graph import weighted_pagerank_reference
+
+    path = expected_path(info, "host_trustrank3")
+    if not _should_generate(info, path):
+        return path
+    triples = _host_pair_weights(info)
+    seeds = [host_name(h) for h in range(min(4, info.n_hosts))]
+    tr = weighted_pagerank_reference(triples, n_iters=3, seed_urls=seeds)
+    hosts = sorted(tr)
+    _write_atomic(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "rank_ppb": pa.array([tr[h] for h in hosts], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_host_spam_expected(info: CorpusInfo) -> str:
     """Host-level spam-mass ground truth: 3-iteration uniform and
     seed-personalized weighted host ranks (seeds = the first

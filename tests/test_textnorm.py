@@ -11,7 +11,7 @@ import duckdb
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from urlmap_ray.functions.textnorm import normalize_batch
@@ -99,6 +99,22 @@ def test_null_text_propagates():
     assert out.column("n_chars").to_pylist() == [2, None]
 
 
+def _engines_share_repertoire(s: str) -> bool:
+    """True when Arrow's and DuckDB's utf8proc builds agree on the
+    case/NFC data for every character of ``s``. The two libraries embed
+    different Unicode versions (found by this fuzz: U+10570 VITHKUQI
+    CAPITAL A gained a lowercase mapping in Unicode 14 — Arrow lowers
+    it, DuckDB's older tables don't). The normalize contract is pinned
+    on the SHARED repertoire; corpus/oracle text uses only long-stable
+    codepoints, so the driver gate never sees the skew."""
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT lower(?), nfc_normalize(?)", [s, s]
+    ).fetchone()
+    arrow_lower = pc.utf8_lower(pa.array([s]))[0].as_py()
+    return duck[0] == arrow_lower and duck[1] == unicodedata.normalize("NFC", s)
+
+
 @settings(max_examples=150, deadline=None)
 @given(
     st.text(
@@ -109,6 +125,7 @@ def test_null_text_propagates():
     )
 )
 def test_fuzz_matches_duckdb(s):
+    assume(_engines_share_repertoire(s))
     got = _kernel([s])
     want = _duckdb_norm(s)
     assert got.column("text_norm")[0].as_py() == want[0]

@@ -14,6 +14,12 @@ tests/test_textnorm.py):
 - ``lower`` is Arrow ``pc.utf8_lower`` — utf8proc simple lowercasing,
   byte-identical to DuckDB ``lower`` (NOT Python ``str.lower``, which
   applies final-sigma and Turkish-İ special cases DuckDB does not).
+  Caveat found by the generative fuzz: the two utf8proc BUILDS embed
+  different Unicode versions, so codepoints whose case mappings were
+  added recently (e.g. U+10570 VITHKUQI, Unicode 14) lower in Arrow
+  but not in DuckDB. The parity contract covers the shared repertoire
+  (everything in real web text); the fuzz filters the skew cases and
+  documents them (tests/test_textnorm.py::_engines_share_repertoire).
 - ``nfc_normalize`` is Unicode NFC — Python ``unicodedata.normalize``
   and DuckDB agree (both implement the standard algorithm). NFC is the
   identity on pure-ASCII strings, so the kernel takes a VECTORIZED

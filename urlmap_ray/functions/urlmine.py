@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["url_templates", "host_stats"]
+__all__ = ["url_templates", "host_stats", "trap_templates"]
 
 _DIGIT_RUN = r"[0-9]+"
 
@@ -54,6 +54,75 @@ def url_templates(ds, *, url_col: str = "url"):
 
 
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)"
+
+# query part of a TEMPLATE: everything after the first '?' (RE2 leftmost
+# match ≡ DuckDB regexp_extract(template, '\?(.*)$', 1))
+_QUERY_PART = r"\?(?P<q>.*)$"
+
+
+def trap_templates(ds, *, url_col: str = "url", min_urls: int = 40):
+    """Crawler-trap detection — the frontier-health gate a crawl operator
+    runs before committing budget to a site (reference context: the
+    depth-limit M4 and per-host budget A3 gates exist precisely because
+    of these; this operator finds WHERE they will be needed).
+
+    A trap is a URL template whose variability lives in the QUERY STRING
+    (calendar pages, session ids, faceted-search parameter spaces): the
+    same path shape spawns unbounded parameter values. Pinned rule,
+    mirrored by the SQL oracle:
+
+    - template = every maximal ASCII digit run → ``{n}`` (url_templates);
+    - trap candidate iff the template's query part — everything after the
+      FIRST ``?`` — still contains ``{n}``;
+    - flagged iff the (host, template) group has ≥ ``min_urls`` rows.
+
+    Scale shape: row-local templating + trap test, per-batch Arrow
+    hash-agg partials carrying (count, min example), ONE
+    groupby(host, template) fold over CANDIDATE templates only (the
+    query-part filter runs before the exchange, so path-shaped templates
+    — the overwhelming bulk of a real frontier — never move). The
+    threshold filter is row-local on the folded template rows."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col)
+        tmpl = pc.replace_substring_regex(
+            urls, pattern=_DIGIT_RUN, replacement="{n}"
+        )
+        host = pc.struct_field(pc.extract_regex(urls, pattern=_HOST_RE), "host")
+        q = pc.struct_field(pc.extract_regex(tmpl, pattern=_QUERY_PART), "q")
+        is_trap = pc.fill_null(pc.match_substring(q, "{n}"), False)
+        sub = pa.table(
+            {"host": host, "template": tmpl, "u": urls}
+        ).filter(is_trap)
+        return (
+            sub.group_by(["host", "template"])
+            .aggregate([([], "count_all"), ("u", "min")])
+            .rename_columns(["host", "template", "n_partial", "example_partial"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "template"])
+        .aggregate(
+            Sum("n_partial", alias_name="n_urls"),
+            Min("example_partial", alias_name="example"),
+        )
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        if "n_urls" not in t.column_names:  # empty-fold schema guard
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "template": pa.array([], pa.string()),
+                    "n_urls": pa.array([], pa.int64()),
+                    "example": pa.array([], pa.string()),
+                }
+            )
+        return t.filter(pc.greater_equal(t.column("n_urls"), min_urls))
+
+    return agg.map_batches(threshold, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def host_stats(ds, *, url_col: str = "url", status_col: str = "status",

@@ -678,6 +678,163 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def _page_k_arrow(urls: pa.Array) -> np.ndarray:
+        """Page-number key per url — trailing ``/p<digits>`` else 0 (the
+        corpus._page_keys rule), vectorized; SQL mirror:
+        ``coalesce(try_cast(regexp_extract(url, '/p([0-9]+)$', 1) AS
+        BIGINT), 0)``. Shared by the trap/mirror/DUST injections so the
+        k-rule lives in ONE place."""
+        m = pa.compute.extract_regex(urls, pattern=r"/p(?P<k>[0-9]+)$")
+        ks = pa.compute.struct_field(m, "k")
+        return (
+            pa.compute.fill_null(pa.compute.cast(ks, pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+        )
+
+    def crawl_traps(sf_dir):
+        # crawler-trap detection over a deterministically-injected
+        # parameter explosion: pages with page number k and k%5==0 spawn
+        # three calendar-style aliases ?d=(k*7+i)%997 (heavy — flagged);
+        # k%211==0 spawns one ?sess=k%89 (light — below min_urls, proving
+        # the threshold discriminates); digits-in-PATH templates (the
+        # whole base corpus) must never be flagged
+        import ray.data
+
+        from urlmap_ray.functions.urlmine import trap_templates
+
+        info = _corpus(sf_dir)
+        ds = ray.data.read_parquet(info.pages_path, columns=["url"])
+
+        def inject(t: pa.Table) -> pa.Table:
+            urls = t.column("url")
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            k = _page_k_arrow(urls)
+            parts = [pa.table({"url": urls})]
+            sel5 = (k % 5 == 0) & (k > 0)
+            if sel5.any():
+                base = urls.filter(pa.array(sel5))
+                kb = k[sel5]
+                for i in range(3):
+                    d = pa.array(((kb * 7 + i) % 997).astype(np.int64))
+                    parts.append(
+                        pa.table(
+                            {
+                                "url": pa.compute.binary_join_element_wise(
+                                    base, pa.compute.cast(d, pa.string()), "?d="
+                                )
+                            }
+                        )
+                    )
+            sel211 = (k % 211 == 0) & (k > 0)
+            if sel211.any():
+                base = urls.filter(pa.array(sel211))
+                s = pa.array((k[sel211] % 89).astype(np.int64))
+                parts.append(
+                    pa.table(
+                        {
+                            "url": pa.compute.binary_join_element_wise(
+                                base, pa.compute.cast(s, pa.string()), "?sess="
+                            )
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        return trap_templates(
+            ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+            min_urls=40,
+        ).sort(["host", "template"])
+
+    def host_mirrors(sf_dir):
+        # mirror-site detection over a deterministic mirror injection:
+        # pages with k%3==0 also appear under host 'm-<host>' with
+        # identical text, so each (host, m-host) pair overlaps on ~1/3 of
+        # the host's fingerprints (jaccard ≈ 0.33 ppb-floor ≥ the 0.25
+        # gate); all other host pairs share nothing (corpus texts are
+        # unique) and must not appear
+        import ray.data
+
+        from urlmap_ray.functions.mirrors import mirror_hosts
+
+        info = _corpus(sf_dir)
+        ds = ray.data.read_parquet(info.pages_path, columns=["url", "text"])
+
+        def inject(t: pa.Table) -> pa.Table:
+            urls = t.column("url")
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            text = t.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            k = _page_k_arrow(urls)
+            sel = pa.array((k % 3 == 0) & (k > 0))
+            mir = pa.compute.binary_join_element_wise(
+                "https://m-",
+                pa.compute.utf8_slice_codeunits(urls.filter(sel), 8),
+                "",
+            )
+            return pa.concat_tables(
+                [
+                    pa.table({"url": urls, "text": text}),
+                    pa.table({"url": mir, "text": text.filter(sel)}),
+                ]
+            )
+
+        return mirror_hosts(
+            ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+            min_jaccard_ppb=250_000_000,
+            min_common=10,
+        ).sort(["a", "b"])
+
+    def dust_rules_mined(sf_dir):
+        # DUST rewrite-rule mining (Bar-Yossef et al. 2007) over two
+        # injected alias families sharing the page's text: the host_mirrors
+        # 'm-' prefix (k%3==0 → rule 'm-' → '') and a session parameter
+        # (k%7==0 → url?s=<k%5> → rule '?s={n}' → ''); ground truth =
+        # the single-process dust_reference over the same rows
+        # (expected parquet — LCP/LCS has no clean SQL rendering)
+        import ray.data
+
+        from urlmap_ray.expected import ensure_dust_expected
+        from urlmap_ray.functions.mirrors import dust_rules
+
+        info = _corpus(sf_dir)
+        ensure_dust_expected(info)
+        ds = ray.data.read_parquet(info.pages_path, columns=["url", "text"])
+
+        def inject(t: pa.Table) -> pa.Table:
+            urls = t.column("url")
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            text = t.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            k = _page_k_arrow(urls)
+            sel3 = pa.array((k % 3 == 0) & (k > 0))
+            mir = pa.compute.binary_join_element_wise(
+                "https://m-",
+                pa.compute.utf8_slice_codeunits(urls.filter(sel3), 8),
+                "",
+            )
+            sel7 = (k % 7 == 0) & (k > 0)
+            s = pa.array((k[sel7] % 5).astype(np.int64))
+            sess = pa.compute.binary_join_element_wise(
+                urls.filter(pa.array(sel7)), pa.compute.cast(s, pa.string()), "?s="
+            )
+            return pa.concat_tables(
+                [
+                    pa.table({"url": urls, "text": text}),
+                    pa.table({"url": mir, "text": text.filter(sel3)}),
+                    pa.table({"url": sess, "text": text.filter(pa.array(sel7))}),
+                ]
+            )
+
+        return dust_rules(
+            ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+            min_support=20,
+        ).sort(["rule_from", "rule_to"])
+
     def page_links(sf_dir):
         import ray.data
 
@@ -2550,6 +2707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "crawl_traps": crawl_traps,
+        "host_mirrors": host_mirrors,
+        "dust_rules": dust_rules_mined,
         "host_graph": host_graph,
         "host_degrees": host_degrees,
         "host_pagerank": host_pagerank,
@@ -3429,6 +3589,81 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
             GROUP BY 1
         """,
+        # crawler-trap detection: the same injection (k-rule aliases),
+        # digit-templating, query-part trap test and n_urls threshold
+        # rendered in pure SQL over the raw corpus urls
+        "crawl_traps": f"""
+            WITH base AS (
+                SELECT url,
+                       coalesce(try_cast(regexp_extract(url, '/p([0-9]+)$', 1)
+                                         AS BIGINT), 0) AS k
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), aug AS (
+                SELECT url FROM base
+                UNION ALL
+                SELECT url || '?d=' || CAST((k * 7 + i) % 997 AS VARCHAR)
+                FROM base, range(3) r(i) WHERE k % 5 = 0 AND k > 0
+                UNION ALL
+                SELECT url || '?sess=' || CAST(k % 89 AS VARCHAR)
+                FROM base WHERE k % 211 = 0 AND k > 0
+            ), t AS (
+                SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS host,
+                       regexp_replace(url, '[0-9]+', '{{n}}', 'g') AS template,
+                       url
+                FROM aug
+            )
+            SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS example
+            FROM t
+            WHERE contains(regexp_extract(template, '\\?(.*)$', 1), '{{n}}')
+            GROUP BY 1, 2 HAVING count(*) >= 40
+            ORDER BY 1, 2
+        """,
+        # mirror-host detection: same md5 fingerprint seam, same mirror
+        # injection, df-prune (≤64 hosts/fp) and integer jaccard rule in SQL
+        "host_mirrors": f"""
+            WITH base AS (
+                SELECT url, coalesce(text, '') AS text,
+                       coalesce(try_cast(regexp_extract(url, '/p([0-9]+)$', 1)
+                                         AS BIGINT), 0) AS k
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), aug AS (
+                SELECT url, text FROM base
+                UNION ALL
+                SELECT 'https://m-' || substr(url, 9), text
+                FROM base WHERE k % 3 = 0 AND k > 0
+            ), hf AS (
+                SELECT DISTINCT
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS host,
+                       md5(text) AS fp
+                FROM aug WHERE text <> ''
+            ), sizes AS (
+                SELECT host, count(*) AS n FROM hf GROUP BY 1
+            ), kept_fp AS (
+                SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 64
+            ), pairs AS (
+                SELECT h1.host AS a, h2.host AS b, count(*) AS c
+                FROM hf h1
+                JOIN hf h2 ON h1.fp = h2.fp AND h1.host < h2.host
+                JOIN kept_fp kf ON kf.fp = h1.fp
+                GROUP BY 1, 2
+            )
+            SELECT a, b, CAST(c AS BIGINT) AS common,
+                   CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+                   CAST(c * 1000000000 // (sa.n + sb.n - c) AS BIGINT)
+                       AS jaccard_ppb
+            FROM pairs
+            JOIN sizes sa ON sa.host = a
+            JOIN sizes sb ON sb.host = b
+            WHERE c >= 10
+              AND c * 1000000000 // (sa.n + sb.n - c) >= 250000000
+            ORDER BY 1, 2
+        """,
+        # DUST rule mining: LCP/LCS extraction has no clean SQL rendering —
+        # ground truth is the single-process dust_reference (expected.py)
+        "dust_rules": f"SELECT * FROM read_parquet('{_exp('dust-rules')}')",
         # same RE2 digit-run rule in DuckDB over the raw corpus urls —
         # a pure-SQL oracle, independent of the engine's partial-agg path
         "url_templates": f"""

@@ -207,6 +207,9 @@ def run_bench() -> dict:
         "sitemap_seeds",
         "cdxj_plan",
         "robots_rules",
+        "crawl_traps",
+        "host_mirrors",
+        "dust_rules",
         # page_triangles / page_edge_jaccard are deliberately NOT benched
         # at sf0.1: the corpus link graph is host-dense (~80s of wedge
         # volume there vs 13s at the driver's sf0.01 correctness gate);

@@ -323,6 +323,7 @@ def ensure_all_sf001_expected(testdata_root: str = "/root/testdata") -> None:
     ensure_graph_expected(info)
     ensure_components_expected(info)
     ensure_hits_expected(info)
+    ensure_dust_expected(info)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         ensure_simhash_sigs(sf_dir)
         ensure_compression_expected(sf_dir)
@@ -888,6 +889,47 @@ def ensure_link_stats_expected(info: CorpusInfo) -> str:
     _write_atomic(
         pa.table(
             {f"sum_{f}": pa.array([pc.sum(tbl.column(f)).as_py() or 0], pa.int64()) for f in STATS_FIELDS}
+        ),
+        path,
+    )
+    return path
+
+
+def ensure_dust_expected(info: CorpusInfo) -> str:
+    """Expected DUST rewrite rules over the injected alias families the
+    dust_rules_mined query builds: pages with page number k (trailing
+    /p<digits>, the corpus._page_keys rule) and k%3==0 also exist as
+    'https://m-' || url[8:] (the host_mirrors injection), and k%7==0 as
+    url || '?s=' || (k%5) — both carrying the page's exact text. Ground
+    truth = mirrors.dust_reference (the single-process same-rule
+    engine) at the query's min_support=20."""
+    path = expected_path(info, "dust-rules")
+    if not _should_generate(info, path):
+        return path
+    import pyarrow.dataset as pads
+
+    from .corpus import _page_keys
+    from .functions.mirrors import dust_reference
+
+    t = pads.dataset(info.pages_path, format="parquet").to_table(
+        columns=["url", "text"]
+    )
+    urls = t.column("url").to_pylist()
+    texts = t.column("text").to_pylist()
+    rows = list(zip(urls, texts))
+    for u, x, k in zip(urls, texts, _page_keys(urls)):
+        if k > 0 and k % 3 == 0:
+            rows.append(("https://m-" + u[8:], x))
+        if k > 0 and k % 7 == 0:
+            rows.append((u + f"?s={k % 5}", x))
+    ref = dust_reference(rows, min_support=20)
+    _write_atomic(
+        pa.table(
+            {
+                "rule_from": pa.array([r[0] for r in ref], pa.string()),
+                "rule_to": pa.array([r[1] for r in ref], pa.string()),
+                "n_pairs": pa.array([r[2] for r in ref], pa.int64()),
+            }
         ),
         path,
     )

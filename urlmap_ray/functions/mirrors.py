@@ -218,8 +218,20 @@ def mirror_hosts(
             .rename_columns(["host", "n_part"])
         )
 
-    pairs_ds = marked.map_batches(
-        split_pairs, batch_format="pyarrow", zero_copy_batch=True
+    from ray.data.aggregate import Sum
+
+    # fold pair PARTIALS to one final row per (a, b) BEFORE the attach:
+    # each pair copy in the attach picks up the full host size, so a
+    # per-block partial entering twice would multiply na/nb by the
+    # partial count (caught by the sf0.01 oracle gate — the single-block
+    # unit test can't see it). Pair cardinality is host-pair scale, the
+    # cheapest exchange in the plan.
+    pairs_ds = (
+        marked.map_batches(
+            split_pairs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["a", "b"])
+        .aggregate(Sum("n_part", alias_name="n_pair"))
     )
     sizes_ds = marked.map_batches(
         split_sizes, batch_format="pyarrow", zero_copy_batch=True
@@ -239,6 +251,17 @@ def mirror_hosts(
         )
 
     def key_pairs_both(t: pa.Table) -> pa.Table:
+        if "n_pair" not in t.column_names:  # empty-fold schema guard
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "common_p": pa.array([], pa.int64()),
+                    "size_p": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
         halves = []
         for side, key_col in ((1, "a"), (2, "b")):
             halves.append(
@@ -247,7 +270,7 @@ def mirror_hosts(
                         "key": t.column(key_col),
                         "a": t.column("a"),
                         "b": t.column("b"),
-                        "common_p": t.column("n_part"),
+                        "common_p": t.column("n_pair"),
                         "size_p": pa.array(
                             np.zeros(t.num_rows, np.int64), pa.int64()
                         ),
@@ -284,8 +307,6 @@ def mirror_hosts(
                 "nb_p": pa.array(np.where(is1, 0, n_key), pa.int64()),
             }
         )
-
-    from ray.data.aggregate import Sum
 
     folded = (
         unioned.groupby("key")

@@ -485,6 +485,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return recrawl_schedule(snapshot(3, False), snapshot(7, True))
 
+    def crawl_upsert(sf_dir):
+        # snapshot COMPACTION — the step after recrawl_plan: fold the
+        # re-crawl into the standing corpus, one latest row per url.
+        # Same two snapshot expressions as recrawl_plan (old = k%13!=3,
+        # new = k%13!=7 with ' rev2' where k%5==2) so the pair of queries
+        # composes into the plan→apply story; the new crawl's ts is the
+        # page's warc_ts shifted +1 day (epoch micros, int64 arithmetic
+        # on both sides). Winner = max (ts_us, crawl_seq); 'gone' pages
+        # (only in old) are retained — compaction keeps unvisited pages.
+        # Oracle = ROW_NUMBER over the same UNION ALL.
+        import ray.data
+
+        from urlmap_ray.functions.snapshot import apply_recrawl
+
+        info = _corpus(sf_dir)
+
+        def snapshot(drop_mod: int, revise: bool):
+            def f(t: pa.Table) -> pa.Table:
+                k = pa.compute.fill_null(
+                    pa.compute.struct_field(
+                        pa.compute.extract_regex(
+                            t.column("url"), pattern=r"/p(?P<pk>[0-9]+)$"
+                        ),
+                        "pk",
+                    ),
+                    "0",
+                ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                keep = (k % 13) != drop_mod
+                text = t.column("text")
+                ts_us = pa.compute.cast(t.column("warc_ts"), pa.int64())
+                if revise:
+                    rev = pa.compute.binary_join_element_wise(text, " rev2", "")
+                    text = pa.compute.if_else(pa.array(k % 5 == 2), rev, text)
+                    ts_us = pa.compute.add(ts_us, pa.scalar(86_400_000_000))
+                return pa.table(
+                    {"url": t.column("url"), "text": text, "ts_us": ts_us}
+                ).filter(pa.array(keep))
+
+            return ray.data.read_parquet(
+                info.pages_path, columns=["url", "warc_ts", "text"]
+            ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+        return apply_recrawl(snapshot(3, False), snapshot(7, True))
+
     def doc_normalize(sf_dir):
         # Unicode normalization gate: lower (utf8proc, = DuckDB lower, NOT
         # str.lower) → NFC (= DuckDB nfc_normalize) → RE2 whitespace
@@ -2728,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_clean_pipeline": page_clean_pipeline,
         "doc_normalize": doc_normalize,
         "recrawl_plan": recrawl_plan,
+        "crawl_upsert": crawl_upsert,
         "doc_lr_train": doc_lr_train,
         "sitemap_seeds": sitemap_seeds,
         "cdxj_plan": cdxj_plan,
@@ -3390,6 +3435,35 @@ def oracle_sql() -> dict[str, str]:
         # expressions, CASE rule with the engine's literal periods
         # (base 86400: unchanged → 172800, changed → 43200, new → 3600,
         # gone → 0)
+        # snapshot compaction: same two snapshot expressions as
+        # recrawl_plan; winner per url = max (ts_us, crawl_seq)
+        "crawl_upsert": f"""
+            WITH pk AS (
+                SELECT url, text, epoch_us(warc_ts) AS ts_us,
+                       CAST(coalesce(nullif(
+                            regexp_extract(url, '/p([0-9]+)$', 1), ''), '0')
+                            AS BIGINT) AS k
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), old AS (
+                SELECT url, text, ts_us, CAST(0 AS BIGINT) AS crawl_seq
+                FROM pk WHERE k % 13 <> 3
+            ), new AS (
+                SELECT url,
+                       CASE WHEN k % 5 = 2 THEN text || ' rev2' ELSE text END
+                           AS text,
+                       ts_us + 86400000000 AS ts_us,
+                       CAST(1 AS BIGINT) AS crawl_seq
+                FROM pk WHERE k % 13 <> 7
+            ), u AS (
+                SELECT * FROM old UNION ALL SELECT * FROM new
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY url ORDER BY ts_us DESC, crawl_seq DESC
+                ) AS rn
+                FROM u
+            )
+            SELECT url, text, ts_us, crawl_seq FROM r WHERE rn = 1
+        """,
         "recrawl_plan": f"""
             WITH pk AS (
                 SELECT url, text,

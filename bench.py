@@ -203,6 +203,7 @@ def run_bench() -> dict:
         "docs_source_filter",
         "doc_normalize",
         "recrawl_plan",
+        "crawl_upsert",
         "doc_lr_train",
         "sitemap_seeds",
         "cdxj_plan",

@@ -529,6 +529,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return apply_recrawl(snapshot(3, False), snapshot(7, True))
 
+    def docs_curriculum(sf_dir):
+        # curriculum ordering / shard assignment: distributed ROW_NUMBER
+        # over a declared TOTAL order (n_chars DESC, doc_id ASC — the
+        # unique doc_id breaks length ties) + output shard = rank // 64.
+        # One range-partitioned sort; rank assignment is per-block
+        # metadata arithmetic, the driver holds O(blocks) ints and never
+        # a row. Oracle = ROW_NUMBER() OVER the same order.
+        import ray.data
+
+        from urlmap_ray.functions.order import rank_by
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return rank_by(
+            docs,
+            [("n_chars", "descending"), ("doc_id", "ascending")],
+            shard_size=64,
+        )
+
     def doc_normalize(sf_dir):
         # Unicode normalization gate: lower (utf8proc, = DuckDB lower, NOT
         # str.lower) → NFC (= DuckDB nfc_normalize) → RE2 whitespace
@@ -2773,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": doc_normalize,
         "recrawl_plan": recrawl_plan,
         "crawl_upsert": crawl_upsert,
+        "docs_curriculum": docs_curriculum,
         "doc_lr_train": doc_lr_train,
         "sitemap_seeds": sitemap_seeds,
         "cdxj_plan": cdxj_plan,
@@ -3435,6 +3457,16 @@ def oracle_sql() -> dict[str, str]:
         # expressions, CASE rule with the engine's literal periods
         # (base 86400: unchanged → 172800, changed → 43200, new → 3600,
         # gone → 0)
+        # curriculum ordering: global ROW_NUMBER over the declared total
+        # order (n_chars DESC, doc_id ASC), shard = rank // 64
+        "docs_curriculum": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                       AS rank,
+                   CAST((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+                        // 64 AS BIGINT) AS shard
+            FROM documents
+        """,
         # snapshot compaction: same two snapshot expressions as
         # recrawl_plan; winner per url = max (ts_us, crawl_seq)
         "crawl_upsert": f"""

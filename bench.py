@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "doc_normalize",
         "recrawl_plan",
         "crawl_upsert",
+        "docs_curriculum",
         "doc_lr_train",
         "sitemap_seeds",
         "cdxj_plan",

@@ -2764,6 +2764,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_slim(sf_dir), k=50, salt="ws1"
         ).sort("doc_id")
 
+    def doc_feature_corr(sf_dir):
+        # exact integer cross-moments → Pearson correlation (ppb) between
+        # three row-local quality features (chars / ws-tokens / lines):
+        # the collinearity-triage profiling step before a feature is paid
+        # for at 100 TB. Moments fold as decimal-string Python ints
+        # (bit-exact at any parallelism); the final float chain is the
+        # pinned single-IEEE-op corr rule the SQL oracle mirrors
+        # op-for-op (profile.cross_moments docstring)
+        import os
+
+        import ray.data
+
+        from urlmap_ray.functions.profile import cross_moments
+
+        def feats(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            txt = pc.fill_null(t.column("text"), "")
+            trimmed = pc.utf8_trim(txt, characters=" ")
+            toks = pc.split_pattern_regex(trimmed, pattern="\\s+")
+            n_tok = pc.if_else(
+                pc.equal(trimmed, ""),
+                pa.scalar(0, pa.int64()),
+                pc.list_value_length(toks).cast(pa.int64()),
+            )
+            n_lines = pc.add(
+                pc.count_substring(txt, "\n").cast(pa.int64()), 1
+            )
+            return pa.table(
+                {
+                    "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+                    "n_tokens": n_tok,
+                    "n_lines": n_lines,
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        return cross_moments(
+            ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True),
+            cols=["n_chars", "n_tokens", "n_lines"],
+        ).sort(["col_a", "col_b"])
+
     # Registration order = driver-evidence rotation (VERDICT r3 #7): the
     # driver re-checks a prefix of this dict each round, so entries the
     # driver has NEVER checked come first (new this round, then the
@@ -2772,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
         "dust_rules": dust_rules_mined,
@@ -4203,6 +4248,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n AS n_words, fail_bits, fail_bits = 0 AS keep
             FROM r ORDER BY doc_id
+        """,
+        # Exact integer cross-moments -> pinned Pearson ppb rule
+        # (profile.cross_moments docstring): num/d1/d2 as exact integers
+        # (HUGEINT here, arbitrary-precision Python ints engine-side),
+        # then the identical one-IEEE-op-per-step float chain. The BIGINT
+        # cast before DOUBLE keeps the conversion correctly rounded (the
+        # gate moments sit ~2^10 below 2^53, where every int is exact).
+        "doc_feature_corr": """
+            WITH f AS (
+                SELECT length(coalesce(text, '')) AS n_chars,
+                       CASE WHEN trim(coalesce(text, ''), ' ') = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(coalesce(text, ''), ' '), '\\s+'))
+                       END AS n_tokens,
+                       length(coalesce(text, ''))
+                         - length(replace(coalesce(text, ''), chr(10), ''))
+                         + 1 AS n_lines
+                FROM documents
+            ), p AS (
+                SELECT 'n_chars' AS col_a, 'n_tokens' AS col_b,
+                       n_chars AS x, n_tokens AS y FROM f
+                UNION ALL
+                SELECT 'n_chars', 'n_lines', n_chars, n_lines FROM f
+                UNION ALL
+                SELECT 'n_tokens', 'n_lines', n_tokens, n_lines FROM f
+            ), m AS (
+                SELECT col_a, col_b, CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(x) AS HUGEINT) AS sx,
+                       CAST(sum(y) AS HUGEINT) AS sy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(y AS HUGEINT) * y) AS syy,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy
+                FROM p GROUP BY col_a, col_b
+            )
+            SELECT col_a, col_b, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN CAST(floor(
+                               CAST(CAST(n * sxy - sx * sy AS BIGINT)
+                                    AS DOUBLE)
+                               / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT)
+                                            AS DOUBLE))
+                                  * sqrt(CAST(CAST(n * syy - sy * sy
+                                                   AS BIGINT) AS DOUBLE)))
+                               * 1e9 + 0.5) AS BIGINT)
+                        ELSE NULL END AS corr_ppb
+            FROM m ORDER BY col_a, col_b
         """,
         # CCNet terciles over the trusted score table: same inverted-ECDF
         # rank rule as doc_length_quantiles (q as IEEE DOUBLE), same

@@ -2035,3 +2035,75 @@ def test_table_profile_saturation_estimate(ray_session):
     ).take_all()
     assert row["n_rows"] == n and row["n_nulls"] == 0
     assert abs(row["n_distinct"] - n) / n < 0.2
+
+
+def _corr_ppb_reference(x, y):
+    # exact-integer moments -> the pinned one-IEEE-op-per-step corr chain
+    import math
+
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    syy = sum(v * v for v in y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 <= 0 or d2 <= 0:
+        return None
+    corr = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    return math.floor(corr * 1e9 + 0.5)
+
+
+def test_cross_moments_matches_reference_any_parallelism(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.profile import cross_moments
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    a = rng.integers(0, 1 << 20, n).astype(np.int64)
+    b = (a // 3 + rng.integers(0, 1 << 10, n)).astype(np.int64)
+    c = rng.integers(-(1 << 20), 1 << 20, n).astype(np.int64)
+    tbl = pa.table({"a": a, "b": b, "c": c})
+    want = {
+        ("a", "b"): _corr_ppb_reference([int(v) for v in a], [int(v) for v in b]),
+        ("a", "c"): _corr_ppb_reference([int(v) for v in a], [int(v) for v in c]),
+        ("b", "c"): _corr_ppb_reference([int(v) for v in b], [int(v) for v in c]),
+    }
+    outs = []
+    for parts in (1, 3, 8):
+        rows = cross_moments(
+            ray.data.from_arrow(tbl).repartition(parts), cols=["a", "b", "c"]
+        ).take_all()
+        got = {(r["col_a"], r["col_b"]): r["corr_ppb"] for r in rows}
+        assert all(r["n_rows"] == n for r in rows)
+        assert got == want
+        outs.append(sorted(rows, key=lambda r: (r["col_a"], r["col_b"])))
+    # bit-identical at any parallelism
+    assert outs[0] == outs[1] == outs[2]
+    # correlated pair really reads as correlated, independent pair near 0
+    assert want[("a", "b")] > 900_000_000
+    assert abs(want[("a", "c")]) < 100_000_000
+
+
+def test_cross_moments_constant_column_is_null(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.profile import cross_moments
+
+    tbl = pa.table(
+        {
+            "k": pa.array([5, 5, 5, 5], pa.int64()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    (row,) = cross_moments(
+        ray.data.from_arrow(tbl).repartition(2), cols=["k", "v"]
+    ).take_all()
+    assert row["n_rows"] == 4 and row["corr_ppb"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cross_moments(ray.data.from_arrow(tbl), cols=["k"])

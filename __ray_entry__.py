@@ -2764,6 +2764,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_slim(sf_dir), k=50, salt="ws1"
         ).sort("doc_id")
 
+    def events_users_bloom(sf_dir):
+        # Distributed Bloom-filter membership (the sketch family's
+        # membership axis — the 10^10-URL "probably already crawled"
+        # seen-set primitive): per-batch sparse/dense set-bit partials,
+        # bit-OR fold is associative + commutative so the bitmap is
+        # BIT-IDENTICAL at any parallelism. The declared probes run in
+        # the collision-free regime (m = 2^22 bits vs ≤1.5k distinct
+        # users — FP odds < 1e-15 per probe, verified at all three
+        # gate sfs), so an exact SQL IN-membership oracle certifies the
+        # fold — the CMS/KMV saturation trust model.
+        import pyarrow as pa
+        import ray.data
+
+        from urlmap_ray.functions.sketch import (
+            bloom_build,
+            bloom_contains,
+            hash64_column,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        bloom = bloom_build(ds, col="user_id")
+        probes = [0, 3, 14, 149, 777, 1499, 5000, 10000001]
+        present = bloom_contains(
+            bloom, hash64_column(pa.array(probes, pa.int64()))
+        )
+        return pa.table(
+            {
+                "probe": pa.array(probes, pa.int64()),
+                "present": pa.array(present.tolist(), pa.bool_()),
+            }
+        )
+
     def doc_feature_corr(sf_dir):
         # exact integer cross-moments → Pearson correlation (ppb) between
         # three row-local quality features (chars / ws-tokens / lines):
@@ -2816,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "events_users_bloom": events_users_bloom,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
@@ -4248,6 +4283,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n AS n_words, fail_bits, fail_bits = 0 AS keep
             FROM r ORDER BY doc_id
+        """,
+        # Bloom membership probes in the collision-free regime: the
+        # filter has NO false negatives and the gate corpora sit far
+        # below the FP knee, so exact IN-membership is the certified
+        # truth for every declared probe (the CMS trust model).
+        "events_users_bloom": """
+            WITH p(probe) AS (VALUES (0), (3), (14), (149), (777),
+                                     (1499), (5000), (10000001))
+            SELECT CAST(probe AS BIGINT) AS probe,
+                   probe IN (SELECT user_id FROM events) AS present
+            FROM p ORDER BY probe
         """,
         # Exact integer cross-moments -> pinned Pearson ppb rule
         # (profile.cross_moments docstring): num/d1/d2 as exact integers

@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "events_type_users_hll",
         "events_type_counts_cms",
         "events_user_skew_ams",
+        "events_users_bloom",
         "events_pivot",
         "events_running",
         "events_lag",
@@ -212,6 +213,7 @@ def run_bench() -> dict:
         "crawl_traps",
         "host_mirrors",
         "dust_rules",
+        "doc_feature_corr",
         # page_triangles / page_edge_jaccard are deliberately NOT benched
         # at sf0.1: the corpus link graph is host-dense (~80s of wedge
         # volume there vs 13s at the driver's sf0.01 correctness gate);

@@ -2107,3 +2107,67 @@ def test_cross_moments_constant_column_is_null(ray_session):
 
     with pytest.raises(ValueError):
         cross_moments(ray.data.from_arrow(tbl), cols=["k"])
+
+
+def test_bloom_build_bit_identical_and_no_false_negatives(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        hash64_column,
+    )
+
+    vals = np.arange(5000, dtype=np.int64) * 7
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    maps = [
+        bloom_build(
+            ray.data.from_arrow(tbl).repartition(parts), col="v", m_bits=1 << 20
+        )
+        for parts in (1, 3, 8)
+    ]
+    # OR-fold is associative+commutative: bitmap identical at any split
+    assert maps[0].tobytes() == maps[1].tobytes() == maps[2].tobytes()
+    h_in = hash64_column(pa.array(vals, pa.int64()))
+    assert bloom_contains(maps[0], h_in).all()  # no false negatives, ever
+    # FP rate sanity in a disjoint key range: n=5k, m=2^20, k=7 ->
+    # theoretical ~2e-9; allow generous slack
+    h_out = hash64_column(pa.array(np.arange(10**6, 10**6 + 20000), pa.int64()))
+    assert bloom_contains(maps[0], h_out).mean() < 0.001
+
+
+def test_bloom_sparse_dense_forms_agree(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import bloom_build, bloom_contains, hash64_column
+
+    # tiny m forces the DENSE per-batch form; compare against a large-m
+    # sparse build probed on the same keys
+    vals = pa.array([f"url-{i}" for i in range(300)], pa.string())
+    tbl = pa.table({"v": vals})
+    small = bloom_build(ray.data.from_arrow(tbl).repartition(2), col="v", m_bits=1 << 12)
+    h = hash64_column(vals)
+    assert bloom_contains(small, h).all()
+    # dense-form batches (300 keys * 7 probes * 8B > 2^12/8 bytes) still
+    # fold to the exact same bitmap as a single-partition build
+    one = bloom_build(ray.data.from_arrow(tbl), col="v", m_bits=1 << 12)
+    assert small.tobytes() == one.tobytes()
+
+
+def test_bloom_filter_ds_gate(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import bloom_build, bloom_filter_ds
+
+    seen = pa.table({"url": pa.array([f"u{i}" for i in range(100)], pa.string())})
+    bloom = bloom_build(ray.data.from_arrow(seen), col="url", m_bits=1 << 18)
+    cand = pa.table(
+        {"url": pa.array([f"u{i}" for i in range(90, 110)], pa.string())}
+    )
+    fresh = bloom_filter_ds(
+        ray.data.from_arrow(cand).repartition(3), bloom, col="url", negate=True
+    ).take_all()
+    got = sorted(r["url"] for r in fresh)
+    # new URLs survive the seen-gate (FPs could only ever REMOVE, and
+    # m is far above the knee here); seen URLs are all dropped
+    assert got == [f"u{i}" for i in range(100, 110)]

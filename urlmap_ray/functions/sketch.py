@@ -812,3 +812,145 @@ def ams_f2(ds, *, col: str, n_buckets: int = 32) -> int:
     for r in rows:
         total += np.frombuffer(r["counters"], np.int64)
     return ams_f2_estimate(total)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership)
+
+_BLOOM_SALT = _U64(0x9E3779B97F4A7C15)
+
+
+def bloom_positions(hashes: np.ndarray, *, m_bits: int, k: int) -> np.ndarray:
+    """Bit positions set by a batch of value hashes: Kirsch-Mitzenmacher
+    double hashing ``pos_i = (h1 + i*h2) mod m`` with ``h2`` forced odd
+    (full period when m is a power of two). Returns the distinct sorted
+    uint64 positions — the batch's whole contribution to the filter."""
+    if not len(hashes):
+        return np.zeros(0, _U64)
+    h1 = hashes.astype(_U64, copy=False)
+    h2 = _splitmix64(hashes ^ _BLOOM_SALT) | _U64(1)
+    i = np.arange(k, dtype=_U64)[:, None]
+    pos = (h1[None, :] + i * h2[None, :]) % _U64(m_bits)
+    return np.unique(pos)
+
+
+def bloom_contains(bitmap: np.ndarray, hashes: np.ndarray, *, k: int = 7) -> np.ndarray:
+    """Probe value hashes against a built filter → bool array. No false
+    negatives ever; false-positive odds ≈ (1 - e^(-k·n/m))^k."""
+    m_bits = len(bitmap) * 8
+    if not len(hashes):
+        return np.zeros(0, bool)
+    h1 = hashes.astype(_U64, copy=False)
+    h2 = _splitmix64(hashes ^ _BLOOM_SALT) | _U64(1)
+    out = np.ones(len(hashes), bool)
+    for i in range(k):  # k probes, each fully vectorized
+        pos = (h1 + _U64(i) * h2) % _U64(m_bits)
+        byte = (pos >> _U64(3)).astype(np.int64)
+        bit = (_U64(1) << (pos & _U64(7))).astype(np.uint8)
+        out &= (bitmap[byte] & bit) != 0
+    return out
+
+
+def bloom_build(
+    ds, *, col: str, m_bits: int = 1 << 22, k: int = 7, n_buckets: int = 32
+) -> np.ndarray:
+    """Distributed Bloom-filter build over ``ds[col]`` → the final uint8
+    bitmap (m_bits/8 bytes). The membership member of the sketch family
+    (cardinality = KMV/HLL, heavy hitters = MG, quantiles = QS,
+    frequency = CMS, F2 = AMS): at 10^10-URL scale this is the seen-set
+    / "probably already crawled" primitive — build once over the visited
+    table, broadcast the bitmap, and gate candidate frontiers row-locally
+    with ZERO false negatives (a dropped-as-seen URL really was seen
+    unless a false positive fired, odds (1-e^(-kn/m))^k — size m to the
+    corpus: 10^10 keys want m = 10^11 bits = 12.5 GB, sharded by key
+    range at that point).
+
+    Exchange shape: each batch ships ONE row — SPARSE sorted uint64
+    set-bit positions while cheaper than the dense bitmap, the dense
+    bitmap beyond (the hll_distinct_per_key hybrid; a small batch costs
+    8 bytes/bit set, never m/8). Bit OR is associative + commutative, so
+    the folded bitmap is BIT-IDENTICAL at any batch split or
+    parallelism; a bucketed groupby folds partials and <= n_buckets
+    rows reach the driver."""
+    m_bytes = m_bits // 8
+
+    def batch_bits(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        pos = bloom_positions(hash64_column(c), m_bits=m_bits, k=k) if len(c) else np.zeros(0, _U64)
+        if len(pos) * 8 < m_bytes:
+            form, blob = "sparse", pos.tobytes()
+        else:
+            dense = np.zeros(m_bytes, np.uint8)
+            np.bitwise_or.at(
+                dense,
+                (pos >> _U64(3)).astype(np.int64),
+                (_U64(1) << (pos & _U64(7))).astype(np.uint8),
+            )
+            form, blob = "dense", dense.tobytes()
+        bk = int.from_bytes(hashlib.md5(blob).digest()[:8], "little") % n_buckets
+        return pa.table(
+            {
+                "bk": pa.array([bk], pa.int64()),
+                "form": pa.array([form], pa.string()),
+                "bits": pa.array([blob], pa.binary()),
+            }
+        )
+
+    def _or_into(dense: np.ndarray, form: str, blob: bytes) -> None:
+        if form == "dense":
+            np.bitwise_or(dense, np.frombuffer(blob, np.uint8), out=dense)
+        else:
+            pos = np.frombuffer(blob, _U64)
+            np.bitwise_or.at(
+                dense,
+                (pos >> _U64(3)).astype(np.int64),
+                (_U64(1) << (pos & _U64(7))).astype(np.uint8),
+            )
+
+    def fold(g: pa.Table) -> pa.Table:
+        dense = np.zeros(m_bytes, np.uint8)
+        for form, blob in zip(
+            g.column("form").to_pylist(), g.column("bits").to_pylist()
+        ):
+            _or_into(dense, form, blob)
+        return pa.table(
+            {
+                "form": pa.array(["dense"], pa.string()),
+                "bits": pa.array([dense.tobytes()], pa.binary()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(batch_bits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bk")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()  # <= n_buckets bitmap rows — constant driver bound
+    )
+    total = np.zeros(m_bytes, np.uint8)
+    for r in rows:
+        _or_into(total, r["form"], r["bits"])
+    return total
+
+
+def bloom_filter_ds(ds, bitmap: np.ndarray, *, col: str, k: int = 7, negate: bool = False):
+    """Row-local membership gate: keep rows whose ``col`` is (probably)
+    in the filter — or certainly NOT in it with ``negate=True``, the
+    frontier-dedup direction (zero false negatives means nothing new is
+    ever wrongly dropped... new URLs survive unless an FP fires). The
+    bitmap ships ONCE via ``ray.put``; every batch probes the shared
+    object-store copy."""
+    import ray
+
+    ref = ray.put(bitmap)
+
+    def gate(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        c = t.column(col)
+        fill = "" if pa.types.is_string(c.type) else 0
+        hit = bloom_contains(bm, hash64_column(pc.fill_null(c, fill)), k=k)
+        mask = ~hit if negate else hit
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

@@ -2764,6 +2764,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_slim(sf_dir), k=50, salt="ws1"
         ).sort("doc_id")
 
+    def orders_validate(sf_dir):
+        # Deequ-style declarative data validation over an injected
+        # "glitched" orders feed (the docs_pii injection pattern — both
+        # engines apply the identical deterministic mutations so every
+        # constraint exercises pass AND fail branches): family A
+        # (key%53==1) duplicates the key with broken custkey / status /
+        # price / priority; family B (key%101==3) adds a fresh key with
+        # a NULL priority. Row-local checks ship one partial row per
+        # (constraint, batch); uniqueness is a bucketed 16-byte
+        # (hash, count) exchange; the ref check probes a broadcast
+        # sorted key-hash array (validate.py docstring for bounds).
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from urlmap_ray.functions.validate import (
+            check_constraints,
+            distinct_key_hashes,
+        )
+
+        def glitch(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            a = t.filter(pa.array(keys % 53 == 1))
+            dup = pa.table(
+                {
+                    "o_orderkey": a.column("o_orderkey"),
+                    "o_custkey": pa.array(
+                        np.full(a.num_rows, -999, np.int64), pa.int64()
+                    ),
+                    "o_orderstatus": pa.array(["X"] * a.num_rows, pa.string()),
+                    "o_totalprice": pa.array(
+                        np.full(a.num_rows, -1.0), pa.float64()
+                    ),
+                    "o_orderdate": a.column("o_orderdate"),
+                    "o_orderpriority": pa.array(
+                        ["BAD"] * a.num_rows, pa.string()
+                    ),
+                }
+            )
+            b = t.filter(pa.array(keys % 101 == 3))
+            nulls = pa.table(
+                {
+                    "o_orderkey": pc.add(
+                        b.column("o_orderkey"), pa.scalar(10**9, pa.int64())
+                    ),
+                    "o_custkey": b.column("o_custkey"),
+                    "o_orderstatus": b.column("o_orderstatus"),
+                    "o_totalprice": b.column("o_totalprice"),
+                    "o_orderdate": b.column("o_orderdate"),
+                    "o_orderpriority": pa.nulls(b.num_rows, pa.string()),
+                }
+            )
+            return pa.concat_tables(
+                [t.select(dup.column_names), dup, nulls]
+            )
+
+        ref_keys = distinct_key_hashes(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+            ),
+            col="c_custkey",
+        )
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).map_batches(glitch, batch_format="pyarrow", zero_copy_batch=True)
+        return check_constraints(
+            ds,
+            [
+                {
+                    "name": "inset_status",
+                    "kind": "in_set",
+                    "col": "o_orderstatus",
+                    "values": ["O", "F", "P"],
+                },
+                {
+                    "name": "not_null_priority",
+                    "kind": "not_null",
+                    "col": "o_orderpriority",
+                },
+                {
+                    "name": "range_totalprice",
+                    "kind": "range",
+                    "col": "o_totalprice",
+                    "lo": 0.0,
+                    "hi": 1_000_000.0,
+                },
+                {
+                    "name": "ref_custkey",
+                    "kind": "ref",
+                    "col": "o_custkey",
+                    "keys": ref_keys,
+                },
+                {
+                    "name": "regex_priority",
+                    "kind": "regex",
+                    "col": "o_orderpriority",
+                    "pattern": "^[1-5]-",
+                },
+                {"name": "unique_orderkey", "kind": "unique", "col": "o_orderkey"},
+            ],
+        )
+
     def events_users_bloom(sf_dir):
         # Distributed Bloom-filter membership (the sketch family's
         # membership axis — the 10^10-URL "probably already crawled"
@@ -2850,6 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still guarded every CI run by tests/test_oracle_guard.py.
     return {
         # -- new this round / never driver-checked --
+        "orders_validate": orders_validate,
         "events_users_bloom": events_users_bloom,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
@@ -4283,6 +4387,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n AS n_words, fail_bits, fail_bits = 0 AS keep
             FROM r ORDER BY doc_id
+        """,
+        # Deequ-style validation verdicts over the same deterministic
+        # glitch injection: exact FILTER counts per row-local rule, a
+        # GROUP BY ... HAVING sum for uniqueness, NOT IN for the ref
+        # check (the engine's 64-bit-hash probe is exact below ~10^9
+        # distinct keys — the dedup family's documented tradeoff).
+        "orders_validate": """
+            WITH g AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderpriority
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, CAST(-999 AS BIGINT), 'X', -1.0, 'BAD'
+                FROM orders WHERE o_orderkey % 53 = 1
+                UNION ALL
+                SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+                       o_totalprice, NULL
+                FROM orders WHERE o_orderkey % 101 = 3
+            ), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+            v(name, viol) AS (
+                SELECT 'inset_status',
+                       count(*) FILTER (o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('O', 'F', 'P')) FROM g
+                UNION ALL
+                SELECT 'not_null_priority',
+                       count(*) FILTER (o_orderpriority IS NULL) FROM g
+                UNION ALL
+                SELECT 'range_totalprice',
+                       count(*) FILTER (o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0.0
+                                OR o_totalprice > 1000000.0)) FROM g
+                UNION ALL
+                SELECT 'ref_custkey',
+                       count(*) FILTER (o_custkey IS NOT NULL
+                           AND o_custkey NOT IN
+                               (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)) FROM g
+                UNION ALL
+                SELECT 'regex_priority',
+                       count(*) FILTER (o_orderpriority IS NOT NULL
+                           AND NOT regexp_matches(o_orderpriority,
+                                                  '^[1-5]-')) FROM g
+                UNION ALL
+                SELECT 'unique_orderkey',
+                       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+                        FROM (SELECT count(*) AS c FROM g
+                              WHERE o_orderkey IS NOT NULL
+                              GROUP BY o_orderkey HAVING count(*) > 1))
+            )
+            SELECT v.name AS "constraint", t.n AS n_rows,
+                   CAST(v.viol AS BIGINT) AS n_violations,
+                   v.viol = 0 AS ok
+            FROM v, t ORDER BY v.name
         """,
         # Bloom membership probes in the collision-free regime: the
         # filter has NO false negatives and the gate corpora sit far

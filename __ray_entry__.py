@@ -2090,6 +2090,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select(["query_idx", "vec_id"])
 
+    def ann_topk_q8(sf_dir):
+        # 8-bit scalar-quantized scan + error-bound exact re-rank: the
+        # candidate band approx >= kth_approx - 2·err provably contains
+        # the true top-k, so this matches the exact-cosine oracle at ANY
+        # sf by construction (no recall knob) while the scan reads 64 B
+        # codes instead of 512 B vectors — the memory lever at 10^9+
+        # embeddings.
+        out = sim.topk_cosine_q8(_emb(sf_dir), _query_vecs(sf_dir), k=10)
+        return out.select(["query_idx", "vec_id"])
+
     def embedding_kmeans(sf_dir):
         # fixed-point Lloyd's: integer arithmetic makes the distributed
         # update associative, so labels are BIT-identical at any
@@ -2955,6 +2965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round / never driver-checked --
         "orders_validate": orders_validate,
         "events_users_bloom": events_users_bloom,
+        "ann_topk_q8": ann_topk_q8,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
@@ -3490,6 +3501,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_pipeline": docs_pipeline_sql,
         "ann_topk_ivf": ann_topk_sql,
+        # q8 is exact BY CONSTRUCTION (error-bound candidate band +
+        # float64 re-rank), so the exact-top-k oracle holds at any sf —
+        # not a tuned-recall artifact like the LSH/IVF registrations
+        "ann_topk_q8": ann_topk_sql,
         # LSH top-k: with n_planes=8 and multiprobe=2 the probed buckets
         # contain every true top-10 neighbor on this corpus (verified equal
         # at sf0.001 and sf0.01), so the exact-cosine SQL is its oracle too.

@@ -104,6 +104,7 @@ def run_bench() -> dict:
         "embedding_neardup",
         "ann_topk",
         "ann_topk_ivf",
+        "ann_topk_q8",
         "embedding_kmeans",
         "embedding_semdedup",
         "embedding_pca",

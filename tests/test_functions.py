@@ -2171,3 +2171,55 @@ def test_bloom_filter_ds_gate(ray_session):
     # new URLs survive the seen-gate (FPs could only ever REMOVE, and
     # m is far above the knee here); seen URLs are all dropped
     assert got == [f"u{i}" for i in range(100, 110)]
+
+
+def test_topk_q8_exact_ids_any_parallelism(ray_session, emb_tbl):
+    import ray.data
+
+    from urlmap_ray.functions.similarity import topk_cosine_q8
+
+    m = np.asarray(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    q = m[:3]
+    exact = topk_cosine(ray.data.from_arrow(emb_tbl), q, k=10)
+    ex = list(zip(exact.column("query_idx").to_pylist(),
+                  exact.column("vec_id").to_pylist()))
+    for parts in (1, 4):
+        st = {}
+        got = topk_cosine_q8(
+            ray.data.from_arrow(emb_tbl).repartition(parts), q, k=10, stats=st
+        )
+        ids = list(zip(got.column("query_idx").to_pylist(),
+                       got.column("vec_id").to_pylist()))
+        # guaranteed exact: the error-bound band provably contains the
+        # true top-k, so ids AND order match brute force exactly
+        assert ids == ex
+        assert 0 < st["cand_frac"] <= 1.0
+    # scores are exact float64 cosine (<= 1 ulp of the dgemm brute path)
+    sr = np.array(exact.column("score").to_pylist())
+    sg = np.array(got.column("score").to_pylist())
+    assert np.abs(sr - sg).max() < 1e-12
+
+
+def test_topk_q8_band_is_selective_on_clustered_data(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.similarity import topk_cosine_q8
+
+    # a clustered corpus: most rows are far from the query, so the
+    # candidate band should touch a small fraction at full precision
+    rng = np.random.default_rng(11)
+    far = rng.standard_normal((4000, 32)) + 8.0
+    near = rng.standard_normal((50, 32)) - 8.0
+    m = np.vstack([far, near])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    q = (np.zeros((1, 32)) - 8.0) + rng.standard_normal((1, 32)) * 0.1
+    st = {}
+    out = topk_cosine_q8(ray.data.from_arrow(tbl), q, k=10, stats=st)
+    assert out.num_rows == 10
+    assert set(out.column("vec_id").to_pylist()) <= set(range(4000, 4050))
+    assert st["cand_frac"] < 0.25  # full-precision reads: the band only

@@ -990,6 +990,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         ).sort("host")
 
+    def page_walks(sf_dir):
+        # DeepWalk-style walk corpus (Perozzi et al. 2014) over the link
+        # graph: one deterministic walk per page, 3 steps, next hop =
+        # (60-bit md5 of walk|step|cur) mod out-degree over the sorted
+        # distinct out-neighbors — the sampling family's cross-engine
+        # rule, so an unrolled LEFT-JOIN SQL replay over the page_edges
+        # ground truth is exact. Dead ends terminate the walk.
+        from urlmap_ray.functions import graph as gr
+
+        pages, nodes = _graph_inputs(sf_dir)
+        edges = gr.build_edges(pages, nodes)
+        return gr.random_walks(edges, nodes, length=3).sort("start")
+
     def page_triangles(sf_dir):
         # per-node triangle participation + local clustering coefficient,
         # degree-ordered (wedges only at oriented out-neighborhoods, O(√m)
@@ -2966,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_validate": orders_validate,
         "events_users_bloom": events_users_bloom,
         "ann_topk_q8": ann_topk_q8,
+        "page_walks": page_walks,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
@@ -4072,6 +4086,45 @@ def oracle_sql() -> dict[str, str]:
         # triangles: three-way self-join over the undirected closure of the
         # page_edges ground truth; clustering = integer floor division on
         # both sides (DuckDB // == numpy // for non-negative int64)
+        # deterministic random-walk replay: the 60-bit md5 step rule is
+        # SQL-expressible, so three unrolled LEFT JOINs against the
+        # ROW_NUMBER-ordered distinct out-neighbor table reproduce every
+        # path exactly (NULL chains model dead-end termination)
+        "page_walks": f"""
+            WITH e AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst)
+                           AS rn,
+                       count(*) OVER (PARTITION BY src) AS m
+                FROM (SELECT DISTINCT src, dst
+                      FROM read_parquet('{_exp('page_edges')}'))
+            ), s AS (
+                SELECT url AS w
+                FROM read_parquet('{SF001_CORPUS_DIR}/pages/*.parquet')
+            ), h0 AS (
+                SELECT s.w, e.dst AS c1 FROM s LEFT JOIN e
+                  ON e.src = s.w
+                 AND e.rn = CAST(('0x' || substr(
+                         md5(s.w || '|0|' || s.w), 1, 15)) AS BIGINT)
+                         % e.m + 1
+            ), h1 AS (
+                SELECT h0.w, h0.c1, e.dst AS c2 FROM h0 LEFT JOIN e
+                  ON e.src = h0.c1
+                 AND e.rn = CAST(('0x' || substr(
+                         md5(h0.w || '|1|' || h0.c1), 1, 15)) AS BIGINT)
+                         % e.m + 1
+            ), h2 AS (
+                SELECT h1.w, h1.c1, h1.c2, e.dst AS c3 FROM h1 LEFT JOIN e
+                  ON e.src = h1.c2
+                 AND e.rn = CAST(('0x' || substr(
+                         md5(h1.w || '|2|' || h1.c2), 1, 15)) AS BIGINT)
+                         % e.m + 1
+            )
+            SELECT w AS start,
+                   w || coalesce(' ' || c1, '') || coalesce(' ' || c2, '')
+                     || coalesce(' ' || c3, '') AS path
+            FROM h2 ORDER BY start
+        """,
         "page_triangles": f"""
             WITH und AS (
                 SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

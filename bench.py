@@ -216,6 +216,7 @@ def run_bench() -> dict:
         "dust_rules",
         "doc_feature_corr",
         "orders_validate",
+        "page_walks",
         # page_triangles / page_edge_jaccard are deliberately NOT benched
         # at sf0.1: the corpus link graph is host-dense (~80s of wedge
         # volume there vs 13s at the driver's sf0.01 correctness gate);

@@ -782,3 +782,67 @@ def test_weighted_spam_mass_matches_composition(ray_session, corpus, truth):
     for mode in ("broadcast", "shuffle"):
         rows = weighted_spam_mass(hg, seed_urls=seeds, n_iters=3, mode=mode).take_all()
         assert {r["url"]: r["spam_mass_ppb"] for r in rows} == want, mode
+
+
+def test_random_walks_match_sequential_replay(ray_session):
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from urlmap_ray.functions.graph import random_walks
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = sorted(
+        {(nodes[rng.integers(40)], nodes[rng.integers(40)]) for _ in range(120)}
+    )
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+
+    def ref_walk(w, length=3):
+        cur, path = w, w
+        for t in range(length):
+            nb = sorted(adj.get(cur, ()))
+            if not nb:
+                break  # dead end terminates (pinned)
+            h = int(hashlib.md5(f"{w}|{t}|{cur}".encode()).hexdigest()[:15], 16)
+            cur = nb[h % len(nb)]
+            path += " " + cur
+        return path
+
+    want = sorted((w, ref_walk(w)) for w in nodes)
+    e_tbl = pa.table(
+        {"src": [s for s, _ in edges], "dst": [d for _, d in edges]}
+    )
+    n_tbl = pa.table({"url": nodes})
+    for parts in (1, 4):
+        out = random_walks(
+            ray.data.from_arrow(e_tbl).repartition(parts),
+            ray.data.from_arrow(n_tbl).repartition(parts),
+            length=3,
+        ).take_all()
+        # bit-identical to the sequential replay at any parallelism:
+        # the md5 step rule depends only on (walk, step, node)
+        assert sorted((r["start"], r["path"]) for r in out) == want
+
+
+def test_random_walks_dead_end_and_self_loop(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.graph import random_walks
+
+    # a -> b (only edge), b is a dead end, c -> c self-loop
+    e_tbl = pa.table({"src": ["a", "c"], "dst": ["b", "c"]})
+    n_tbl = pa.table({"url": ["a", "b", "c"]})
+    out = {
+        r["start"]: r["path"]
+        for r in random_walks(
+            ray.data.from_arrow(e_tbl), ray.data.from_arrow(n_tbl), length=2
+        ).take_all()
+    }
+    assert out == {"a": "a b", "b": "b", "c": "c c c"}

@@ -3562,3 +3562,162 @@ def spam_mass(pr_ds, tr_ds, *, num_partitions: int = 16):
         .groupby("bk")
         .map_groups(mass, batch_format="pyarrow")
     )
+
+
+def random_walks(edges_ds, starts_ds, *, length: int = 3, n_buckets: int = 64,
+                 start_col: str = "url"):
+    """DeepWalk-style walk-corpus generation (Perozzi et al. 2014): one
+    deterministic random walk per start node over the directed link
+    graph → ``(start, path)`` rows, the training sequences graph-
+    embedding models consume.
+
+    Pinned step rule (mirrored op-for-op by the SQL oracle): from node
+    ``u`` at step ``t`` in the walk started at ``w``, the next node is
+    out-neighbor number ``H mod m`` (0-based) of ``u``'s DISTINCT
+    out-neighbors in ascending byte-lexicographic order, where ``m`` is
+    the out-degree and ``H = int(md5(f"{w}|{t}|{u}").hexdigest()[:15],
+    16)`` — the sampling family's 60-bit md5 rule, so the choice is
+    reproducible in any engine and independent of partitioning. Dead
+    ends TERMINATE the walk (shorter path, never a repeat-stay). The
+    md5 is a per-walker Python call — the sampling family's documented
+    cross-engine-determinism cost, paid on n_walks rows per step, never
+    on edges.
+
+    Scale shape: ``length`` rounds of ONE bucketed exchange each —
+    walker rows and edge rows pad to a shared (key, walk, path, dst,
+    kind) schema, union, ``groupby(hash(key) % B)``; per bucket the
+    edges sort once (vectorized) and every walker picks its successor
+    via two searchsorteds + the md5 rule. The padded+bucketed edge
+    table is materialized ONCE and reused every round (the stateless
+    re-exchange tradeoff bfs_distances documents; walk state is O(walks)
+    rows, never O(nodes) driver memory). Paths ride the walker rows as
+    strings — at 10^10 nodes emit (walk, step, node) triples instead if
+    paths outgrow block budgets."""
+    import ray.data
+
+    from .sketch import hash64_column
+
+    def bucket(t: pa.Table) -> pa.Table:
+        bk = (hash64_column(t.column("key")) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return t.append_column("bk", pa.array(bk, pa.int64()))
+
+    def pad_e(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("src").cast(pa.string()),
+                "walk": pa.nulls(t.num_rows, pa.string()),
+                "path": pa.nulls(t.num_rows, pa.string()),
+                "dst": t.column("dst").cast(pa.string()),
+                "kind": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def pad_w(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("key"),
+                "walk": t.column("walk"),
+                "path": t.column("path"),
+                "dst": pa.nulls(t.num_rows, pa.string()),
+                "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def init(t: pa.Table) -> pa.Table:
+        u = t.column(start_col).cast(pa.string())
+        return pa.table({"key": u, "walk": u, "path": u})
+
+    def make_fold(step: int):
+        import hashlib
+
+        def fold(g: pa.Table) -> pa.Table:
+            kind = np.asarray(g.column("kind").to_pylist(), np.int8)
+            keys = np.asarray(g.column("key").to_pylist(), dtype=object)
+            is_e = kind == 1
+            src = keys[is_e].astype(str)
+            dst = np.asarray(g.column("dst").to_pylist(), dtype=object)[
+                is_e
+            ].astype(str)
+            if len(src):
+                order = np.lexsort((dst, src))
+                src, dst = src[order], dst[order]
+                keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+                src, dst = src[keep], dst[keep]
+            is_w = ~is_e
+            if not is_w.any():
+                return pa.table(
+                    {
+                        "key": pa.array([], pa.string()),
+                        "walk": pa.array([], pa.string()),
+                        "path": pa.array([], pa.string()),
+                        "alive": pa.array([], pa.bool_()),
+                    }
+                )
+            cur = keys[is_w].astype(str)
+            walk = np.asarray(g.column("walk").to_pylist(), dtype=object)[is_w]
+            path = np.asarray(g.column("path").to_pylist(), dtype=object)[is_w]
+            lo = np.searchsorted(src, cur, "left")
+            hi = np.searchsorted(src, cur, "right")
+            out_key, out_walk, out_path, out_alive = [], [], [], []
+            for i in range(len(cur)):
+                m = hi[i] - lo[i]
+                if m == 0:
+                    out_key.append(cur[i])
+                    out_walk.append(walk[i])
+                    out_path.append(path[i])
+                    out_alive.append(False)
+                    continue
+                h = int(
+                    hashlib.md5(
+                        f"{walk[i]}|{step}|{cur[i]}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                nxt = dst[lo[i] + h % m]
+                out_key.append(nxt)
+                out_walk.append(walk[i])
+                out_path.append(path[i] + " " + nxt)
+                out_alive.append(True)
+            return pa.table(
+                {
+                    "key": pa.array(out_key, pa.string()),
+                    "walk": pa.array(out_walk, pa.string()),
+                    "path": pa.array(out_path, pa.string()),
+                    "alive": pa.array(out_alive, pa.bool_()),
+                }
+            )
+
+        return fold
+
+    edges_padded = edges_ds.map_batches(
+        pad_e, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    alive = starts_ds.map_batches(
+        init, batch_format="pyarrow", zero_copy_batch=True
+    )
+    finished = []
+    for step in range(length):
+        folded = (
+            alive.map_batches(pad_w, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .union(edges_padded)
+            .groupby("bk")
+            .map_groups(make_fold(step), batch_format="pyarrow")
+            .materialize()
+        )
+        finished.append(
+            folded.filter(expr="alive == False").drop_columns(["alive"])
+        )
+        alive = folded.filter(expr="alive == True").drop_columns(["alive"])
+
+    out = alive
+    for f in finished:
+        out = out.union(f)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"start": t.column("walk"), "path": t.column("path")})
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

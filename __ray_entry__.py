@@ -1738,6 +1738,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         )
 
+    def doc_sb_score(sf_dir):
+        # Stupid Backoff bigram scoring (Brants et al. 2007 — the
+        # web-scale n-gram rule: count ratios, fixed 0.4 backoff, no
+        # discounting): unigram + hashed-bigram count tables trained in
+        # lm_train's capped-shuffle shape, broadcast once; per-position
+        # log-score is the pinned shared elementwise kernel, per-doc
+        # means via reduceat, ppb-quantized ⇒ the oracle match is
+        # bit-equality vs the single-process Counter reference.
+        import ray.data
+
+        from urlmap_ray.expected import ensure_sb_expected
+        from urlmap_ray.functions.lm import sb_score, sb_train
+
+        ensure_sb_expected(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return sb_score(docs, sb_train(docs)).sort("doc_id")
+
     def doc_lm_score(sf_dir):
         # CCNet-style perplexity filtering signal: hashed unigram LM
         # trained ON the corpus (one 8-byte-key shuffle, declared
@@ -2980,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_bloom": events_users_bloom,
         "ann_topk_q8": ann_topk_q8,
         "page_walks": page_walks,
+        "doc_sb_score": doc_sb_score,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
@@ -4390,6 +4410,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": (
             "SELECT * FROM "
             "read_parquet('/tmp/urlmap_oracle/sf0.01/lm_score.parquet')"
+        ),
+        # Stupid Backoff: same trust model as doc_lm_score (token hash +
+        # np.log not SQL-expressible); reference = independent Counter
+        # training + the shared elementwise log-score kernel
+        "doc_sb_score": (
+            "SELECT * FROM "
+            "read_parquet('/tmp/urlmap_oracle/sf0.01/sb_score.parquet')"
         ),
         # Gopher gate: every rule integer-only cross-multiplied, every text
         # seam pinned (RE2 split of space-trimmed text — an empty doc is

@@ -127,6 +127,7 @@ def run_bench() -> dict:
         "anchor_index",
         "doc_quality_model",
         "doc_lm_score",
+        "doc_sb_score",
         "doc_ppl_buckets",
         "doc_gopher_gate",
         "docs_dsir",

@@ -2223,3 +2223,69 @@ def test_topk_q8_band_is_selective_on_clustered_data(ray_session):
     assert out.num_rows == 10
     assert set(out.column("vec_id").to_pylist()) <= set(range(4000, 4050))
     assert st["cand_frac"] < 0.25  # full-precision reads: the band only
+
+
+def test_stupid_backoff_bit_equal_any_parallelism(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.lm import sb_reference, sb_score, sb_train
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(words[rng.integers(50)] for _ in range(rng.integers(0, 40)))
+        for _ in range(200)
+    ]
+    texts[5] = ""  # empty doc scores (0, 0)
+    docs = pa.table(
+        {"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(texts)}
+    )
+    want = sb_reference(docs)
+    for parts in (1, 3, 8):
+        ds = ray.data.from_arrow(docs).repartition(parts)
+        got = pa.Table.from_pylist(
+            sorted(sb_score(ds, sb_train(ds)).take_all(), key=lambda r: r["doc_id"])
+        )
+        # distributed training (capped shuffle) + scoring == the
+        # sequential Counter reference, bit for bit
+        assert got.equals(want)
+    assert {r["doc_id"]: r["sb_ppb"] for r in want.to_pylist()}[5] == 0
+
+
+def test_stupid_backoff_bigram_context_beats_backoff(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.lm import sb_score, sb_train
+
+    # "a b" always adjacent -> bigram path: ln(c_ab/c_a) = ln(1) = 0 per
+    # pair position; shuffled-vocab doc of same tokens pays ln(0.4)+unigram
+    fluent = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b a b a b a b", "b b a a b a a b"]),
+        }
+    )
+    ds = ray.data.from_arrow(fluent)
+    got = {
+        r["doc_id"]: r["sb_ppb"] for r in sb_score(ds, sb_train(ds)).take_all()
+    }
+    assert got[0] > got[1]  # repeated bigram structure scores higher
+
+
+def test_stupid_backoff_tiny_bigram_cap_falls_back(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.lm import sb_score, sb_train
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["x y x y x z"]),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    full = sb_score(ds, sb_train(ds)).take_all()[0]["sb_ppb"]
+    capped = sb_score(ds, sb_train(ds, max_bigrams=1)).take_all()[0]["sb_ppb"]
+    # dropping bigrams from the table forces the alpha-discounted
+    # unigram path -> strictly lower mean log-score
+    assert capped < full

@@ -570,6 +570,27 @@ def ensure_lm_expected(sf_dir: str, max_docs: int = 1000) -> str:
     return path
 
 
+def ensure_sb_expected(sf_dir: str, max_docs: int = 1000) -> str:
+    """Expected (doc_id, n_tokens, sb_ppb) from the single-process Stupid
+    Backoff reference (lm.sb_reference): independent Counter training +
+    per-doc scoring through the shared elementwise log-score kernel —
+    bit-equal to the distributed sb_train+sb_score at any parallelism
+    (the lm_score trust model; SQL cannot express the hash or the log)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/urlmap_oracle", name, "sb_score.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if docs.num_rows > max_docs:
+        return path
+    from .functions.lm import sb_reference
+
+    _write_atomic(sb_reference(docs), path)
+    return path
+
+
 def ensure_hits_expected(info: CorpusInfo) -> str:
     """Expected (url, auth_ppb, hub_ppb) via the single-process
     :func:`~urlmap_ray.functions.graph.hits_reference` — the distributed

@@ -195,3 +195,236 @@ def lm_reference(
             "logprob_ppb": pa.array(s_out, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff bigram scoring (Brants et al. 2007, "Large Language
+# Models in Machine Translation" — the web-scale n-gram scoring rule:
+# no discounting, a fixed 0.4 backoff multiplier, counts straight from
+# the corpus; designed exactly for distributed count tables like ours)
+
+_SB_ALPHA_LOG = float(np.log(0.4))
+DEFAULT_MAX_BIGRAMS = 1 << 18
+
+
+def _valid_bigram_mask(offsets: np.ndarray, n_flat: int) -> np.ndarray:
+    """Bigram slot i pairs flat tokens (i, i+1); it is invalid when token
+    i+1 starts a new document (the quality_model bigram contract)."""
+    valid = np.ones(max(n_flat - 1, 0), dtype=bool)
+    interior = offsets[1:-1]
+    interior = interior[(interior > 0) & (interior <= len(valid))]
+    valid[interior - 1] = False
+    return valid
+
+
+def sb_train(
+    ds,
+    *,
+    max_vocab: int = DEFAULT_MAX_VOCAB,
+    max_bigrams: int = DEFAULT_MAX_BIGRAMS,
+    text_col: str = "text",
+):
+    """Unigram + hashed-bigram count model for Stupid Backoff:
+    ``(vocab_hashes, vocab_counts, n_total, bigram_hashes,
+    bigram_counts)``. The bigram table reuses lm_train's whole shape —
+    per-batch ``np.unique`` partials over 64-bit pair hashes (the
+    quality_model ``splitmix64(h_prev·MULT + h_cur)`` contract), ONE
+    hash-keyed groupby, distributed sort+limit at a DECLARED
+    ``max_bigrams`` with the pinned (count DESC, hash ASC) boundary
+    tie-break. The exchange moves distinct pair hashes, never token
+    text; the driver holds ≤ max_vocab + max_bigrams rows."""
+    from ray.data.aggregate import Sum
+
+    from .quality_model import _BIGRAM_MULT, _splitmix64
+
+    vh, vc, n_total = lm_train(ds, max_vocab=max_vocab, text_col=text_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        uni, offsets = _token_hashes(t.column(text_col))
+        if len(uni) > 1:
+            big = _splitmix64(uni[:-1] * _BIGRAM_MULT + uni[1:])
+            big = big[_valid_bigram_mask(offsets, len(uni))]
+        else:
+            big = np.empty(0, dtype=np.uint64)
+        h, c = np.unique(big, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "h"], descending=[True, False])
+        .limit(max_bigrams)
+        .take_all()  # ≤max_bigrams rows by construction — the declared cap
+    )
+    bh = np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    bc = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.argsort(bh)
+    return vh, vc, n_total, bh[order], bc[order]
+
+
+def _sb_logscores(
+    uni: np.ndarray,
+    offsets: np.ndarray,
+    vh: np.ndarray,
+    vc: np.ndarray,
+    logp: np.ndarray,
+    oov: float,
+    bvh: np.ndarray,
+    bvc: np.ndarray,
+) -> np.ndarray:
+    """Pinned per-position log-score (shared verbatim by the distributed
+    scorer and the single-process reference — elementwise ops, so batch
+    composition cannot change a value):
+
+    - doc-start position: Laplace unigram log-prob (the lm_score path);
+    - context position with the (prev, cur) pair in the bigram table AND
+      prev in the vocab: ``ln(c_bigram) − ln(c_prev)`` — raw Stupid
+      Backoff, no normalization;
+    - otherwise: ``ln(0.4) + Laplace unigram`` — the α-discounted
+      backoff. Hashed-bigram collisions are the documented hashed-LM
+      tradeoff (can make the ratio exceed 1; deterministic either way).
+    """
+    from .quality_model import _BIGRAM_MULT, _splitmix64
+
+    idx = np.searchsorted(vh, uni)
+    idx_c = np.minimum(idx, max(len(vh) - 1, 0))
+    if len(vh):
+        hit = vh[idx_c] == uni
+        lapl = np.where(hit, logp[idx_c], oov)
+    else:
+        hit = np.zeros(len(uni), dtype=bool)
+        lapl = np.full(len(uni), oov)
+    lg = lapl.copy()
+    if len(uni) > 1:
+        has_prev = np.ones(len(uni), dtype=bool)
+        starts = offsets[:-1]
+        has_prev[starts[starts < len(uni)]] = False
+        bh = _splitmix64(uni[:-1] * _BIGRAM_MULT + uni[1:])
+        bidx = np.searchsorted(bvh, bh)
+        bidx_c = np.minimum(bidx, max(len(bvh) - 1, 0))
+        bhit = bvh[bidx_c] == bh if len(bvh) else np.zeros(len(bh), dtype=bool)
+        use = has_prev[1:] & bhit & hit[:-1]
+        back = has_prev[1:] & ~use
+        tail = lg[1:]
+        if len(bvh):
+            tail[use] = np.log(bvc[bidx_c[use]].astype(np.float64)) - np.log(
+                vc[idx_c[:-1][use]].astype(np.float64)
+            )
+        tail[back] = _SB_ALPHA_LOG + lapl[1:][back]
+        lg[1:] = tail
+    return lg
+
+
+def sb_score(
+    ds,
+    model: tuple,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, n_tokens, sb_ppb) per doc under a :func:`sb_train` model —
+    broadcast once via ``ray.put``, scoring row-local (zero shuffle),
+    per-doc means through the reduceat contract so the ppb-quantized
+    score is BIT-equal to :func:`sb_reference` at any parallelism."""
+    import ray
+
+    vh, vc, n_total, bvh, bvc = model
+    logp = _laplace_logp(vc, n_total, len(vh))
+    oov = float(_laplace_logp(np.zeros(1, dtype=np.int64), n_total, len(vh))[0])
+    ref = ray.put((vh, vc, logp, oov, bvh, bvc))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vh_, vc_, logp_, oov_, bvh_, bvc_ = ray.get(ref)
+        uni, offsets = _token_hashes(batch.column(text_col))
+        lg = _sb_logscores(uni, offsets, vh_, vc_, logp_, oov_, bvh_, bvc_)
+        starts, ends = offsets[:-1], offsets[1:]
+        n_tok = ends - starts
+        total = np.zeros(len(n_tok), dtype=np.float64)
+        nz = n_tok > 0
+        if nz.any():
+            total[nz] = np.add.reduceat(lg, starts[nz])
+        mean = np.divide(total, n_tok, out=np.zeros(len(n_tok)), where=nz)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "sb_ppb": pa.array(np.round(mean * 1e9).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sb_reference(
+    docs: pa.Table,
+    *,
+    max_vocab: int = DEFAULT_MAX_VOCAB,
+    max_bigrams: int = DEFAULT_MAX_BIGRAMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Single-process Stupid Backoff reference: independent Counter-based
+    training (same tokenizer/hash/cap/tie-break contract) and per-doc
+    scoring through the SAME :func:`_sb_logscores` elementwise kernel —
+    bit-equal to sb_train + sb_score at any parallelism."""
+    import pandas as pd
+
+    from collections import Counter
+
+    from .quality_model import _BIGRAM_MULT, _splitmix64
+
+    uni_counter: Counter = Counter()
+    big_counter: Counter = Counter()
+    texts = docs.column(text_col).to_pylist()
+    per_doc = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        h = (
+            pd.util.hash_array(np.asarray(toks, dtype=object))
+            if toks
+            else np.empty(0, dtype=np.uint64)
+        )
+        per_doc.append(h)
+        uni_counter.update(h.view(np.int64).tolist())
+        if len(h) > 1:
+            big = _splitmix64(h[:-1] * _BIGRAM_MULT + h[1:])
+            big_counter.update(big.view(np.int64).tolist())
+
+    def _capped(counter: Counter, cap: int):
+        items = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        hh = np.array([k for k, _ in items], dtype=np.int64).view(np.uint64)
+        cc = np.array([v for _, v in items], dtype=np.int64)
+        order = np.argsort(hh)
+        return hh[order], cc[order]
+
+    vh, vc = _capped(uni_counter, max_vocab)
+    bvh, bvc = _capped(big_counter, max_bigrams)
+    n_total = int(sum(uni_counter.values()))
+    logp = _laplace_logp(vc, n_total, len(vh))
+    oov = float(_laplace_logp(np.zeros(1, dtype=np.int64), n_total, len(vh))[0])
+
+    ids = docs.column(id_col).to_pylist()
+    n_out, s_out = [], []
+    for h in per_doc:
+        if not len(h):
+            n_out.append(0)
+            s_out.append(0)
+            continue
+        offsets = np.array([0, len(h)], dtype=np.int64)
+        lg = _sb_logscores(h, offsets, vh, vc, logp, oov, bvh, bvc)
+        total = np.add.reduceat(lg, np.zeros(1, dtype=np.int64))[0]
+        n_out.append(int(len(h)))
+        s_out.append(int(np.round(total / len(h) * 1e9)))
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_out, pa.int64()),
+            "sb_ppb": pa.array(s_out, pa.int64()),
+        }
+    )

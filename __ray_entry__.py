@@ -2031,6 +2031,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_ngram(sf_dir):
         return dd.dedup_ngram_jaccard(_docs(sf_dir), threshold=0.8)
 
+    def docs_containment(sf_dir):
+        # asymmetric containment (Broder 1997): a doc whose shingles live
+        # almost entirely inside another's — syndicated excerpts / quoted
+        # passages Jaccard misses because the long side dominates the
+        # union. Injection (mirrored in SQL): every doc_id%31==2 gains a
+        # self-concatenated twin at id+1e6; the original's token sequence
+        # is contiguous inside the twin, so containment(orig→twin) = 1.0
+        # while Jaccard sits near na/(na+2) — both directions exercised.
+        import pyarrow.compute as pc
+        import ray.data
+
+        def inject(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            sel = t.filter(pa.array(ids % 31 == 2))
+            txt = pc.fill_null(sel.column("text"), "")
+            dup = pa.table(
+                {
+                    "doc_id": pc.add(
+                        sel.column("doc_id"), pa.scalar(10**6, pa.int64())
+                    ),
+                    "text": pc.binary_join_element_wise(txt, txt, " "),
+                }
+            )
+            return pa.concat_tables([t.select(["doc_id", "text"]), dup])
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+        return dd.containment_pairs(ds, threshold=0.9).sort(
+            ["contained", "container"]
+        )
+
     def _doc_ids(sf_dir):
         # the label-attach side needs ONLY the id column — prune to it
         import ray.data
@@ -3000,6 +3032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_q8": ann_topk_q8,
         "page_walks": page_walks,
         "doc_sb_score": doc_sb_score,
+        "docs_containment": docs_containment,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
@@ -4482,6 +4515,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n AS n_words, fail_bits, fail_bits = 0 AS keep
             FROM r ORDER BY doc_id
+        """,
+        # Directed containment over the self-concat injection: the same
+        # tokenize/3-shingle CTEs as the Jaccard oracle, rendered over
+        # the injected union; each candidate pair yields (a→b) when
+        # c/na ≥ 0.9 and (b→a) when c/nb ≥ 0.9 — float division exactly
+        # as the engine computes it.
+        "docs_containment": """
+            WITH g AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       coalesce(text, '') || ' ' || coalesce(text, '')
+                FROM documents WHERE doc_id % 31 = 2
+            ), toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+') END AS w
+                FROM g
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                                FOR i IN range(1, len(w) - 1)])
+                       END AS shingles
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), inter AS (
+                SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS c
+                FROM ex e1 JOIN ex e2 ON e1.s = e2.s
+                     AND e1.doc_id < e2.doc_id
+                GROUP BY 1, 2
+            ), j AS (
+                SELECT i.a, i.b, i.c,
+                       sa.n AS na, sb.n AS nb
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+            )
+            SELECT a AS contained, b AS container FROM j
+            WHERE CAST(c AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
+            UNION ALL
+            SELECT b, a FROM j
+            WHERE CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.9
+            ORDER BY contained, container
         """,
         # Deequ-style validation verdicts over the same deterministic
         # glitch injection: exact FILTER counts per row-local rule, a

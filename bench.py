@@ -98,6 +98,7 @@ def run_bench() -> dict:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_ngram",
+        "docs_containment",
         "dedup_substring",
         "neardup_clusters",
         "dedup_canonical",

@@ -2289,3 +2289,43 @@ def test_stupid_backoff_tiny_bigram_cap_falls_back(ray_session):
     # dropping bigrams from the table forces the alpha-discounted
     # unigram path -> strictly lower mean log-score
     assert capped < full
+
+
+def test_containment_pairs_directed_semantics(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.dedup import containment_pairs
+
+    long = " ".join(f"tok{i}" for i in range(40))
+    texts = {
+        0: " ".join(f"tok{i}" for i in range(10)),  # prefix of 1
+        1: "lead in " + long + " trailing words here",
+        2: "totally other vocabulary with nothing shared at all today",
+        3: long,  # contiguous inside 1
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+        }
+    )
+    for parts in (1, 3):
+        out = containment_pairs(
+            ray.data.from_arrow(t).repartition(parts), threshold=0.9
+        ).take_all()
+        got = sorted((r["contained"], r["container"]) for r in out)
+        # 0 is contained in both 1 and 3, 3 in 1; the long doc 1 is NOT
+        # contained in anything, and Jaccard(0,1) is far below any
+        # symmetric threshold
+        assert got == [(0, 1), (0, 3), (3, 1)]
+
+
+def test_containment_pairs_rejects_bad_buckets(ray_session):
+    import pytest
+    import ray.data
+
+    from urlmap_ray.functions.dedup import containment_pairs
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
+    with pytest.raises(ValueError, match="power of two"):
+        containment_pairs(ray.data.from_arrow(t), buckets=1000)

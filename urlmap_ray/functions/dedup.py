@@ -931,3 +931,96 @@ def semdedup(
         )
 
     return clustered.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+
+
+def containment_pairs(
+    ds,
+    *,
+    threshold: float = 0.9,
+    k: int = 3,
+    buckets: int = 4096,
+    max_df: int | None = None,
+):
+    """EXACT directed n-gram CONTAINMENT pairs — the asymmetric twin of
+    :func:`dedup_ngram_jaccard` (Broder 1997 distinguishes resemblance
+    from containment): ``containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|``,
+    which catches a short doc living INSIDE a long one — syndicated
+    excerpts, quoted passages, boilerplate-wrapped reprints — that
+    Jaccard misses because the union is dominated by the long side.
+
+    Identical scale shape to the Jaccard operator (one O(total shingles)
+    shuffle through the bucketed inverted index, ONE-int32-key pair
+    combine, ``max_df`` as the web-scale hot-shingle knob); only the
+    final row-local filter differs: each undirected candidate pair
+    yields up to two directed rows, (a→b) when ``inter/na ≥ t`` and
+    (b→a) when ``inter/nb ≥ t`` — float division, rounding exactly like
+    the SQL oracle's. Returns Dataset of ``(contained, container)``
+    directed rows. Empty-shingle docs pair with nothing.
+    """
+    if buckets <= 0 or buckets & (buckets - 1):
+        raise ValueError(
+            f"buckets must be a power of two (bucket key is sh & (buckets-1)); got {buckets}"
+        )
+    shingled = ds.map_batches(
+        shingle_rows_batch, fn_kwargs=dict(k=k), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.append_column(
+            "shb", pc.cast(pc.bit_wise_and(t.column("sh"), buckets - 1), pa.int32())
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = shingled.groupby("shb").map_groups(
+        lambda g: _bucket_pairs(g, max_df=max_df), batch_format="pyarrow"
+    )
+
+    PB = 1024
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        av = t.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
+        bv = t.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = (av * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                bv * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+            mix ^= mix >> np.uint64(29)
+        return t.append_column(
+            "pb", pa.array((mix & np.uint64(PB - 1)).astype(np.int32))
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "contained": pa.array([], pa.int64()),
+                "container": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        A = group.column("a").to_numpy(zero_copy_only=False)
+        B = group.column("b").to_numpy(zero_copy_only=False)
+        NA = group.column("na").to_numpy(zero_copy_only=False)
+        NB = group.column("nb").to_numpy(zero_copy_only=False)
+        C = group.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((B, A))
+        A, B, NA, NB, C = A[order], B[order], NA[order], NB[order], C[order]
+        st = np.flatnonzero(np.r_[True, (A[1:] != A[:-1]) | (B[1:] != B[:-1])])
+        inter = np.add.reduceat(C, st).astype(np.float64)
+        a_in_b = inter / NA[st].astype(np.float64) >= threshold
+        b_in_a = inter / NB[st].astype(np.float64) >= threshold
+        return pa.table(
+            {
+                "contained": pa.array(
+                    np.concatenate([A[st][a_in_b], B[st][b_in_a]]), pa.int64()
+                ),
+                "container": pa.array(
+                    np.concatenate([B[st][a_in_b], A[st][b_in_a]]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(combine, batch_format="pyarrow")
+    )

@@ -2941,6 +2941,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         )
 
+    def events_type_top_users(sf_dir):
+        # keyed Misra-Gries heavy hitters (the keyed member of the MG
+        # family, as hll_distinct_per_key is to hll_distinct): per batch
+        # ≤capacity counter rows PER KEY, a (key, value-bucket) compaction
+        # bounds every later group at n_vbuckets×capacity regardless of
+        # batch count, one groupby(key) top-k fold. Exact — hence the
+        # COUNT GROUP BY oracle — while a key's distinct values ≤
+        # capacity (≤1.5k users vs 4096 here, at every gate sf).
+        import ray.data
+
+        from urlmap_ray.functions.sketch import mg_topk_per_key
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        return mg_topk_per_key(
+            ds, key_col="event_type", col="user_id", k=5, capacity=4096
+        ).sort(["event_type", "rnk"])
+
     def events_users_bloom(sf_dir):
         # Distributed Bloom-filter membership (the sketch family's
         # membership axis — the 10^10-URL "probably already crawled"
@@ -3033,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_walks": page_walks,
         "doc_sb_score": doc_sb_score,
         "docs_containment": docs_containment,
+        "events_type_top_users": events_type_top_users,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
@@ -4617,6 +4638,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v.viol AS BIGINT) AS n_violations,
                    v.viol = 0 AS ok
             FROM v, t ORDER BY v.name
+        """,
+        # Keyed MG in the exact regime (distinct users per type far below
+        # capacity ⇒ no truncation ever fires): plain grouped counts with
+        # the same (n DESC, value ASC) tie-break and rank
+        "events_type_top_users": """
+            WITH c AS (
+                SELECT event_type, CAST(user_id AS VARCHAR) AS value,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT event_type, value, n,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY n DESC, value) AS rnk
+                FROM c
+            )
+            SELECT event_type, value, n, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5 ORDER BY event_type, rnk
         """,
         # Bloom membership probes in the collision-free regime: the
         # filter has NO false negatives and the gate corpora sit far

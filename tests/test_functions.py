@@ -2329,3 +2329,59 @@ def test_containment_pairs_rejects_bad_buckets(ray_session):
     t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
     with pytest.raises(ValueError, match="power of two"):
         containment_pairs(ray.data.from_arrow(t), buckets=1000)
+
+
+def test_mg_topk_per_key_exact_below_capacity(ray_session):
+    import collections
+
+    import ray.data
+
+    from urlmap_ray.functions.sketch import mg_topk_per_key
+
+    rng = np.random.default_rng(1)
+    keys = rng.choice(["a", "b", "c"], 5000)
+    vals = (rng.zipf(1.5, 5000) % 40).astype(str)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ref = {
+        kk: sorted(
+            collections.Counter(vals[keys == kk]).items(),
+            key=lambda it: (-it[1], it[0]),
+        )[:5]
+        for kk in "abc"
+    }
+    for parts in (1, 4):
+        rows = mg_topk_per_key(
+            ray.data.from_arrow(t).repartition(parts), key_col="k", col="v", k=5
+        ).take_all()
+        got: dict = {}
+        for r in sorted(rows, key=lambda r: (r["k"], r["rnk"])):
+            got.setdefault(r["k"], []).append((r["value"], r["n"]))
+        # distinct values per key (<=40) far below capacity -> exact at
+        # any parallelism, with the pinned (n DESC, value ASC) tie-break
+        assert got == ref
+
+
+def test_mg_topk_per_key_saturated_keeps_heavy_hitter(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import mg_topk_per_key
+
+    # one hot value + a sea of singletons, capacity far below distinct:
+    # MG guarantees the heavy hitter survives truncation with
+    # undercount <= 3n/(capacity+1)
+    n = 6000
+    vals = ["hot"] * 2000 + [f"v{i}" for i in range(n - 2000)]
+    t = pa.table(
+        {"k": pa.array(["x"] * n), "v": pa.array(vals)}
+    )
+    rows = mg_topk_per_key(
+        ray.data.from_arrow(t).repartition(6),
+        key_col="k",
+        col="v",
+        k=1,
+        capacity=64,
+        n_vbuckets=4,
+    ).take_all()
+    (top,) = rows
+    assert top["value"] == "hot"
+    assert 2000 - 3 * n // 65 <= top["n"] <= 2000

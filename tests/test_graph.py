@@ -846,3 +846,31 @@ def test_random_walks_dead_end_and_self_loop(ray_session):
         ).take_all()
     }
     assert out == {"a": "a b", "b": "b", "c": "c c c"}
+
+
+def test_random_walks_modes_identical(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from urlmap_ray.functions.graph import random_walks
+
+    rng = np.random.default_rng(13)
+    nodes = [f"m{i:02d}" for i in range(25)]
+    edges = sorted(
+        {(nodes[rng.integers(25)], nodes[rng.integers(25)]) for _ in range(70)}
+    )
+    e_tbl = pa.table({"src": [s for s, _ in edges], "dst": [d for _, d in edges]})
+    n_tbl = pa.table({"url": nodes})
+    outs = []
+    for mode in ("broadcast", "shuffle"):
+        rows = random_walks(
+            ray.data.from_arrow(e_tbl).repartition(3),
+            ray.data.from_arrow(n_tbl).repartition(2),
+            length=4,
+            mode=mode,
+        ).take_all()
+        outs.append(sorted((r["start"], r["path"]) for r in rows))
+    # the step rule depends only on (walk, step, node): regimes agree
+    # bit for bit
+    assert outs[0] == outs[1]

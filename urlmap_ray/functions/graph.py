@@ -3565,7 +3565,7 @@ def spam_mass(pr_ds, tr_ds, *, num_partitions: int = 16):
 
 
 def random_walks(edges_ds, starts_ds, *, length: int = 3, n_buckets: int = 64,
-                 start_col: str = "url"):
+                 start_col: str = "url", mode: str = "auto"):
     """DeepWalk-style walk-corpus generation (Perozzi et al. 2014): one
     deterministic random walk per start node over the directed link
     graph → ``(start, path)`` rows, the training sequences graph-
@@ -3583,7 +3583,17 @@ def random_walks(edges_ds, starts_ds, *, length: int = 3, n_buckets: int = 64,
     cross-engine-determinism cost, paid on n_walks rows per step, never
     on edges.
 
-    Scale shape: ``length`` rounds of ONE bucketed exchange each —
+    Two regimes, the graph family's standard split (``mode="auto"``
+    picks by edge count vs ``SHUFFLE_MODE_NODES``; both produce the
+    IDENTICAL (start, path) set — the step rule depends only on (walk,
+    step, node) — test-pinned):
+
+    - **broadcast** (edges below the bound): the src-sorted edge arrays
+      live ONCE in the object store; each round is one ``map_batches``
+      pass over the walker Dataset (two searchsorteds + the md5 rule),
+      no exchange at all — pagerank's O(edges) single-object bound.
+    - **shuffle** (above it): ``length`` rounds of ONE bucketed exchange
+      each —
     walker rows and edge rows pad to a shared (key, walk, path, dst,
     kind) schema, union, ``groupby(hash(key) % B)``; per bucket the
     edges sort once (vectorized) and every walker picks its successor
@@ -3596,6 +3606,19 @@ def random_walks(edges_ds, starts_ds, *, length: int = 3, n_buckets: int = 64,
     import ray.data
 
     from .sketch import hash64_column
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if edges_ds.count() <= SHUFFLE_MODE_NODES
+            else "shuffle"
+        )
+    if mode == "broadcast":
+        return _random_walks_broadcast(
+            edges_ds, starts_ds, length=length, start_col=start_col
+        )
 
     def bucket(t: pa.Table) -> pa.Table:
         bk = (hash64_column(t.column("key")) % np.uint64(n_buckets)).astype(
@@ -3721,3 +3744,69 @@ def random_walks(edges_ds, starts_ds, *, length: int = 3, n_buckets: int = 64,
         return pa.table({"start": t.column("walk"), "path": t.column("path")})
 
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _random_walks_broadcast(edges_ds, starts_ds, *, length: int, start_col: str):
+    """Broadcast regime of :func:`random_walks`: the distinct src-sorted
+    edge arrays sit once in the object store (declared O(edges) bound —
+    the pagerank-broadcast contract); each round is one row-local
+    ``map_batches`` pass over the walker Dataset, zero exchanges."""
+    import hashlib
+
+    import ray
+    import ray.data
+
+    tables = [ray.get(r) for r in edges_ds.to_arrow_refs()]
+    live = [t for t in tables if t.num_rows]
+    if live:
+        et = pa.concat_tables(live)
+        src_a = np.asarray(et.column("src").to_pylist(), dtype=object).astype(str)
+        dst_a = np.asarray(et.column("dst").to_pylist(), dtype=object).astype(str)
+        order = np.lexsort((dst_a, src_a))
+        src_a, dst_a = src_a[order], dst_a[order]
+        keep = np.r_[True, (src_a[1:] != src_a[:-1]) | (dst_a[1:] != dst_a[:-1])]
+        src_a, dst_a = src_a[keep], dst_a[keep]
+    else:
+        src_a = np.zeros(0, dtype=str)
+        dst_a = src_a
+    eref = ray.put((src_a, dst_a))
+
+    def advance_all(t: pa.Table) -> pa.Table:
+        srcs, dsts = ray.get(eref)
+        # object arrays throughout: fixed-width numpy U-dtypes would
+        # silently truncate the growing path strings
+        walk = np.asarray(t.column(start_col).to_pylist(), dtype=object)
+        cur = walk.copy()
+        path = walk.copy()
+        alive = np.ones(len(walk), dtype=bool)
+        for step in range(length):
+            idx = np.flatnonzero(alive)
+            if not len(idx):
+                break
+            cur_u = cur[idx].astype(str)
+            lo = np.searchsorted(srcs, cur_u, "left")
+            hi = np.searchsorted(srcs, cur_u, "right")
+            for j, i in enumerate(idx):
+                m = hi[j] - lo[j]
+                if m == 0:
+                    alive[i] = False
+                    continue
+                h = int(
+                    hashlib.md5(
+                        f"{walk[i]}|{step}|{cur[i]}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                nxt = dsts[lo[j] + h % m]
+                cur[i] = nxt
+                path[i] = path[i] + " " + nxt
+        return pa.table(
+            {
+                "start": pa.array(walk.tolist(), pa.string()),
+                "path": pa.array(path.tolist(), pa.string()),
+            }
+        )
+
+    return starts_ds.map_batches(
+        advance_all, batch_format="pyarrow", zero_copy_batch=True
+    )

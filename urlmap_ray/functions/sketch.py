@@ -306,6 +306,148 @@ def mg_topk(ds, *, col: str, k: int = 20, capacity: int = 4096, n_buckets: int =
     )
 
 
+def mg_topk_per_key(
+    ds,
+    *,
+    key_col: str,
+    col: str,
+    k: int = 5,
+    capacity: int = 1024,
+    n_vbuckets: int = 16,
+):
+    """Per-key approximate top-k heavy hitters — the keyed member of the
+    MG family (as hll_distinct_per_key is to hll_distinct): per-host top
+    anchor terms, per-type top users, per-domain boilerplate signatures.
+
+    Exchange shape, all three stages bounded like :func:`mg_topk`'s
+    merge tree but with the key riding every row (no driver fold — the
+    final truncation is a per-key ``map_groups``):
+
+    1. each batch ships AT MOST ``capacity`` counter rows PER KEY it saw
+       (batch-local Arrow hash-agg + per-key MG truncation);
+    2. ``groupby((key, hash(value) % n_vbuckets))`` sums each value's
+       partials (a value of a key lives in exactly one bucket) and
+       truncates the bucket to <= capacity rows — so the next stage's
+       group is <= n_vbuckets x capacity rows per key REGARDLESS of
+       batch count (the r2 two-level-fold lesson, keyed);
+    3. ``groupby(key)`` folds the survivors, truncates once more and
+       keeps top-k by (count DESC, value ASC).
+
+    Counts are EXACT — hence the exact SQL-oracle match — whenever a
+    key's true distinct-value count is <= capacity (no truncation ever
+    fires); beyond it the Agarwal et al. 2012 merge-tree bound gives
+    undercount <= 3n_key/(capacity+1) (one per truncating level).
+    Returns a Dataset of (key, value, n, rnk).
+    """
+    if k < 1 or capacity < k:
+        raise ValueError(f"need 1 <= k <= capacity, got k={k} capacity={capacity}")
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        slim = t.select([key_col, col]).drop_null()
+        if not slim.num_rows:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "value": pa.array([], pa.string()),
+                    "n_partial": pa.array([], pa.int64()),
+                    "vb": pa.array([], pa.int64()),
+                }
+            )
+        counted = (
+            pa.table(
+                {
+                    key_col: slim.column(key_col).cast(pa.string()),
+                    "value": slim.column(col).cast(pa.string()),
+                }
+            )
+            .group_by([key_col, "value"])
+            .aggregate([([], "count_all")])
+        )
+        keys_out, vals_out, n_out = [], [], []
+        per_key: dict = {}
+        for kk, vv, nn in zip(
+            counted.column(key_col).to_pylist(),
+            counted.column("value").to_pylist(),
+            counted.column("count_all").to_pylist(),
+        ):
+            per_key.setdefault(kk, {})[vv] = int(nn)
+        for kk in sorted(per_key):  # loop over DISTINCT KEYS, never rows
+            counts = _mg_truncate(per_key[kk], capacity)
+            for vv in sorted(counts):
+                keys_out.append(kk)
+                vals_out.append(vv)
+                n_out.append(counts[vv])
+        arr = pa.array(vals_out, pa.string())
+        vb = (
+            (hash64_column(arr) % _U64(n_vbuckets)).astype(np.int64)
+            if len(arr)
+            else []
+        )
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, pa.string()),
+                "value": arr,
+                "n_partial": pa.array(n_out, pa.int64()),
+                "vb": pa.array(vb, pa.int64()),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        summed = group.group_by("value").aggregate([("n_partial", "sum")])
+        counts = _mg_truncate(
+            dict(
+                zip(
+                    summed.column("value").to_pylist(),
+                    summed.column("n_partial_sum").to_pylist(),
+                )
+            ),
+            capacity,
+        )
+        vals = sorted(counts)
+        n = len(vals)
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1).to_pylist() * n
+                if n
+                else pa.array([], pa.string()),
+                "value": pa.array(vals, pa.string()),
+                "n_partial": pa.array([counts[v] for v in vals], pa.int64()),
+            }
+        )
+
+    def key_fold(group: pa.Table) -> pa.Table:
+        summed = group.group_by("value").aggregate([("n_partial", "sum")])
+        counts = _mg_truncate(
+            dict(
+                zip(
+                    summed.column("value").to_pylist(),
+                    summed.column("n_partial_sum").to_pylist(),
+                )
+            ),
+            capacity,
+        )
+        top = sorted(counts.items(), key=lambda it: (-it[1], it[0]))[:k]
+        n = len(top)
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1).to_pylist() * n
+                if n
+                else pa.array([], pa.string()),
+                "value": pa.array([v for v, _ in top], pa.string()),
+                "n": pa.array([c for _, c in top], pa.int64()),
+                "rnk": pa.array(np.arange(1, n + 1), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_summary, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "vb"])
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(key_fold, batch_format="pyarrow")
+    )
+
+
 def _qs_compact(vals: np.ndarray, wts: np.ndarray, capacity: int):
     """Deterministic weighted-stride compaction of a sorted (value, weight)
     quantile summary down to ``capacity`` entries: pick the element at each

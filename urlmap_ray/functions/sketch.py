@@ -363,21 +363,36 @@ def mg_topk_per_key(
             .group_by([key_col, "value"])
             .aggregate([([], "count_all")])
         )
-        keys_out, vals_out, n_out = [], [], []
-        per_key: dict = {}
-        for kk, vv, nn in zip(
-            counted.column(key_col).to_pylist(),
-            counted.column("value").to_pylist(),
-            counted.column("count_all").to_pylist(),
-        ):
-            per_key.setdefault(kk, {})[vv] = int(nn)
-        for kk in sorted(per_key):  # loop over DISTINCT KEYS, never rows
-            counts = _mg_truncate(per_key[kk], capacity)
-            for vv in sorted(counts):
-                keys_out.append(kk)
-                vals_out.append(vv)
-                n_out.append(counts[vv])
-        arr = pa.array(vals_out, pa.string())
+        # vectorized per-key segmentation (the kmv_distinct_per_key run
+        # scan): keys below capacity distinct values — the common case —
+        # pass through untouched; only SATURATED keys pay the per-key
+        # Python _mg_truncate, and there are at most n_rows/capacity of
+        # those per batch.
+        kcodes = (
+            pc.dictionary_encode(counted.column(key_col).combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(kcodes, kind="stable")
+        kc = kcodes[order]
+        starts = np.flatnonzero(np.r_[True, kc[1:] != kc[:-1]])
+        runlen = np.diff(np.append(starts, len(kc)))
+        keep = np.ones(len(kc), dtype=bool)
+        counts_np = (
+            counted.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        adj = counts_np[order].copy()
+        for si, rl in zip(starts[runlen > capacity], runlen[runlen > capacity]):
+            seg = slice(si, si + rl)
+            vals_seg = counted.column("value").take(pa.array(order[seg])).to_pylist()
+            trunc = _mg_truncate(dict(zip(vals_seg, adj[seg].tolist())), capacity)
+            seg_keep = np.array([v in trunc for v in vals_seg], dtype=bool)
+            keep[seg] = seg_keep
+            kept_idx = si + np.flatnonzero(seg_keep)
+            adj[kept_idx] = [trunc[vals_seg[int(j)]] for j in np.flatnonzero(seg_keep)]
+        sel = order[keep]
+        out = counted.take(pa.array(sel))
+        arr = out.column("value").combine_chunks()
         vb = (
             (hash64_column(arr) % _U64(n_vbuckets)).astype(np.int64)
             if len(arr)
@@ -385,9 +400,9 @@ def mg_topk_per_key(
         )
         return pa.table(
             {
-                key_col: pa.array(keys_out, pa.string()),
+                key_col: out.column(key_col),
                 "value": arr,
-                "n_partial": pa.array(n_out, pa.int64()),
+                "n_partial": pa.array(adj[keep], pa.int64()),
                 "vb": pa.array(vb, pa.int64()),
             }
         )

@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "events_type_counts_cms",
         "events_user_skew_ams",
         "events_users_bloom",
+        "events_type_top_users",
         "events_pivot",
         "events_running",
         "events_lag",

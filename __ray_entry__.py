@@ -990,6 +990,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zero_copy_batch=True,
         ).sort("host")
 
+    def host_cocitation(sf_dir):
+        # related-domain discovery by co-citation (Small 1973 over the
+        # web graph): hosts linked from the same page, pairs generated
+        # per DISTINCT out-degree (the triangle_counts trick) under a
+        # declared max_out cap (unsaturated here ⇒ the SQL self-join
+        # oracle is exact), pre-aggregated in-bucket before one
+        # int32-key pair exchange.
+        from urlmap_ray.functions import graph as gr
+
+        pages, nodes = _graph_inputs(sf_dir)
+        return gr.host_cocitation(pages, nodes, min_count=2).sort(
+            ["host_a", "host_b"]
+        )
+
     def page_walks(sf_dir):
         # DeepWalk-style walk corpus (Perozzi et al. 2014) over the link
         # graph: one deterministic walk per page, 3 steps, next hop =
@@ -3054,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sb_score": doc_sb_score,
         "docs_containment": docs_containment,
         "events_type_top_users": events_type_top_users,
+        "host_cocitation": host_cocitation,
         "doc_feature_corr": doc_feature_corr,
         "crawl_traps": crawl_traps,
         "host_mirrors": host_mirrors,
@@ -4106,6 +4121,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # co-citation: distinct (src, dst_host) then the a<b self-join —
+        # exact because the gate out-degrees sit far under max_out
+        "host_cocitation": f"""
+            WITH e AS (
+                SELECT DISTINCT src,
+                       regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                           AS h
+                FROM read_parquet('{_exp('page_edges')}')
+            ), p AS (
+                SELECT e1.src, e1.h AS a, e2.h AS b
+                FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.h < e2.h
+                WHERE e1.h <> '' AND e2.h <> ''
+            )
+            SELECT a AS host_a, b AS host_b,
+                   CAST(count(*) AS BIGINT) AS n_src
+            FROM p GROUP BY a, b HAVING count(*) >= 2
+            ORDER BY host_a, host_b
         """,
         "host_pagerank": f"SELECT * FROM read_parquet('{_exp('host_pagerank')}')",
         "host_trustrank": f"SELECT * FROM read_parquet('{_exp('host_trustrank3')}')",

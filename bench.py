@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "page_hits_shuffle",
         "host_graph",
         "host_degrees",
+        "host_cocitation",
         "host_pagerank",
         # page_spam_mass / host_spam_mass / page_bowtie are deliberately
         # NOT benched: each is a composition of rank/SCC jobs the suite

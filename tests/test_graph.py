@@ -874,3 +874,47 @@ def test_random_walks_modes_identical(ray_session):
     # the step rule depends only on (walk, step, node): regimes agree
     # bit for bit
     assert outs[0] == outs[1]
+
+
+def test_host_cocitation_counts_and_cap(ray_session, monkeypatch):
+    import pyarrow as pa
+    import ray.data
+
+    import urlmap_ray.functions.graph as G
+
+    edges = pa.table(
+        {
+            "src": [
+                "https://s1.x/a",
+                "https://s1.x/a",
+                "https://s1.x/a",
+                "https://s2.x/b",
+                "https://s2.x/b",
+                "https://s3.x/c",
+                "https://s3.x/c",
+            ],
+            "dst": [
+                "https://h1.x/",
+                "https://h2.x/",
+                "https://h3.x/",
+                "https://h1.x/p",
+                "https://h2.x/q",
+                "https://h1.x/",
+                "https://h2.x/other",
+            ],
+        }
+    )
+    monkeypatch.setattr(G, "build_edges", lambda p, n, **kw: p)
+    for parts in (1, 3):
+        out = G.host_cocitation(
+            ray.data.from_arrow(edges).repartition(parts), None, min_count=2
+        ).take_all()
+        got = sorted((r["host_a"], r["host_b"], r["n_src"]) for r in out)
+        # (h1,h2) co-cited by s1, s2 AND s3; h3 pairs only appear once
+        assert got == [("h1.x", "h2.x", 3)]
+    # max_out=1 keeps only the lexicographically-first host per page:
+    # no page contributes any pair
+    out = G.host_cocitation(
+        ray.data.from_arrow(edges), None, min_count=1, max_out=1
+    ).take_all()
+    assert out == []

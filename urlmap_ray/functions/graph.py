@@ -3810,3 +3810,134 @@ def _random_walks_broadcast(edges_ds, starts_ds, *, length: int, start_col: str)
     return starts_ds.map_batches(
         advance_all, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def host_cocitation(
+    pages_ds,
+    nodes,
+    *,
+    min_count: int = 2,
+    max_out: int = 256,
+    membership: str = "auto",
+    n_buckets: int = _MAP_BUCKETS,
+):
+    """Host co-citation: pairs of DISTINCT hosts linked from the same
+    page → ``(host_a, host_b, n_src)`` with ``host_a < host_b`` and
+    ``n_src`` = number of distinct source pages citing both — the
+    classic related-domain / co-citation similarity signal (Small 1973
+    co-citation, applied to the web graph), and the link-graph analogue
+    of the collocation operator's "appear together" rule.
+
+    Scale shape: TWO bucketed exchanges. (1) ``groupby(hash(src) % B)``
+    brings each page's out-hosts together; per bucket the distinct
+    (src, host) rows sort once and pair generation vectorizes per
+    DISTINCT out-degree (the triangle_counts trick — a Python loop over
+    O(#distinct degrees) lengths, never over pairs), with each page's
+    host list capped at a DECLARED ``max_out`` (a mega-hub page citing
+    10^4 hosts would contribute 10^8 pairs; the cap keeps the
+    lexicographically-first hosts, documented like dedup's ``max_df``
+    knob — unsaturated at the gate corpora, where the SQL oracle is
+    therefore exact). Pairs pre-aggregate in-bucket before (2) ONE
+    int32-key pair exchange (the dedup pair-combine shape) sums
+    per-pair counts and applies ``min_count``. Host extraction is the
+    pinned ``_HOST_RE`` cross-engine seam."""
+    from .sketch import hash64_column
+    from .urlmine import _HOST_RE
+
+    edges = build_edges(pages_ds, nodes, membership=membership, n_buckets=n_buckets)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        dst_host = pc.struct_field(
+            pc.extract_regex(t.column("dst"), pattern=_HOST_RE), "host"
+        )
+        tt = pa.table({"src": t.column("src"), "h": dst_host}).filter(
+            pc.is_valid(dst_host)
+        )
+        bk = (hash64_column(tt.column("src")) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return tt.append_column("bk", pa.array(bk, pa.int64()))
+
+    PB = 1024
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pb": pa.array([], pa.int32()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        src = np.asarray(g.column("src").to_pylist(), dtype=object).astype(str)
+        hh = np.asarray(g.column("h").to_pylist(), dtype=object).astype(str)
+        order = np.lexsort((hh, src))
+        s, hh = src[order], hh[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])]
+        s, hh = s[keep], hh[keep]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        runlen = np.diff(np.append(starts, len(s)))
+        rank = np.arange(len(s)) - np.repeat(starts, runlen)
+        capped = rank < max_out
+        s, hh = s[capped], hh[capped]
+        if not len(s):
+            return empty
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        runlen = np.diff(np.append(starts, len(s)))
+        a_parts, b_parts = [], []
+        for L in np.unique(runlen):
+            if L < 2:
+                continue
+            iu, ju = np.triu_indices(int(L), k=1)
+            sel = starts[runlen == L]
+            a_parts.append(hh[(sel[:, None] + iu[None, :]).ravel()])
+            b_parts.append(hh[(sel[:, None] + ju[None, :]).ravel()])
+        if not a_parts:
+            return empty
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        key = np.char.add(np.char.add(a.astype(str), "\x01"), b.astype(str))
+        o2 = np.argsort(key, kind="stable")
+        a, b, key = a[o2], b[o2], key[o2]
+        st2 = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        cnt = np.diff(np.append(st2, len(key)))
+        arr_a = pa.array(a[st2], pa.string())
+        pbk = (
+            hash64_column(pa.array(key[st2], pa.string())) % np.uint64(PB)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "a": arr_a,
+                "b": pa.array(b[st2], pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "pb": pa.array(pbk, pa.int32()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = np.asarray(g.column("a").to_pylist(), dtype=object).astype(str)
+        b = np.asarray(g.column("b").to_pylist(), dtype=object).astype(str)
+        c = g.column("cnt").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(a, "\x01"), b)
+        order = np.argsort(key, kind="stable")
+        a, b, c, key = a[order], b[order], c[order], key[order]
+        st = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tot = np.add.reduceat(c, st)
+        ok = tot >= min_count
+        return pa.table(
+            {
+                "host_a": pa.array(a[st][ok], pa.string()),
+                "host_b": pa.array(b[st][ok], pa.string()),
+                "n_src": pa.array(tot[ok].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bk")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(combine, batch_format="pyarrow")
+    )

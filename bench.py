@@ -153,6 +153,7 @@ def run_bench() -> dict:
         "events_user_skew_ams",
         "events_users_bloom",
         "events_type_top_users",
+        "events_rolling_users",
         "events_pivot",
         "events_running",
         "events_lag",

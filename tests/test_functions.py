@@ -2385,3 +2385,52 @@ def test_mg_topk_per_key_saturated_keeps_heavy_hitter(ray_session):
     (top,) = rows
     assert top["value"] == "hot"
     assert 2000 - 3 * n // 65 <= top["n"] <= 2000
+
+
+def test_kmv_rolling_distinct_exact_with_calendar_hole(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_rolling_distinct
+
+    rng = np.random.default_rng(2)
+    days = rng.integers(100, 130, 4000)
+    days = days[days != 115]  # a hole: no window reported for day 115
+    users = rng.integers(0, 300, len(days))
+    t = pa.table(
+        {"day": pa.array(days, pa.int64()), "u": pa.array(users, pa.int64())}
+    )
+    ref = {
+        d: len(set(users[(days >= d - 2) & (days <= d)].tolist()))
+        for d in sorted(set(days.tolist()))
+    }
+    for parts in (1, 4):
+        rows = kmv_rolling_distinct(
+            ray.data.from_arrow(t).repartition(parts),
+            day_col="day",
+            col="u",
+            window=3,
+            k=4096,
+        ).take_all()
+        got = {r["day"]: r["n_distinct"] for r in rows}
+        # exact below saturation at any parallelism; day 115 absent
+        assert got == ref
+        assert 115 not in got
+
+
+def test_kmv_rolling_distinct_saturated_estimate(ray_session):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_rolling_distinct
+
+    # one day, 20k distinct values, k=256 -> KMV estimate within ~15%
+    n = 20000
+    t = pa.table(
+        {
+            "day": pa.array(np.full(n, 7), pa.int64()),
+            "u": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    (row,) = kmv_rolling_distinct(
+        ray.data.from_arrow(t).repartition(4), day_col="day", col="u", k=256
+    ).take_all()
+    assert abs(row["n_distinct"] - n) / n < 0.2

@@ -1111,3 +1111,115 @@ def bloom_filter_ds(ds, bitmap: np.ndarray, *, col: str, k: int = 7, negate: boo
         return t.filter(pa.array(mask))
 
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmv_rolling_distinct(ds, *, day_col: str, col: str, window: int = 3, k: int = 2048):
+    """Trailing-window distinct counts — rolling DAU/WAU — by MERGING
+    per-day KMV sketches instead of re-scanning each window: the payoff
+    of mergeable summaries applied across OVERLAPPING windows (a day's
+    events are read once; its bottom-k sketch feeds every trailing
+    window that covers it).
+
+    Returns a Dataset of ``(day, n_distinct)``: for each epoch-day value
+    present in ``ds[day_col]`` (int64), the distinct count of ``col``
+    over days ``[day - window + 1, day]``. Windows are reported only
+    for days present in the data (the pinned semantics the SQL oracle
+    mirrors with a DISTINCT-day self-join).
+
+    Scale shape: per-batch per-day bottom-k partials (the
+    kmv_distinct_per_key run scan — the exchange is ≤ k 8-byte hashes
+    per (batch, day)); the DISTINCT day set is pulled once to the
+    driver under the CALENDAR bound (10 years of data = 3,653 rows —
+    declared, not data-dependent) and broadcast; each partial row then
+    replicates to the ≤ window present end-days it feeds (a ×window row
+    multiplier on sketch rows, never on events) and ONE
+    ``groupby(end_day)`` fold estimates each window. Exact below
+    saturation (every window's true cardinality < k) — the regime the
+    COUNT(DISTINCT) trailing-join oracle certifies; ±1/sqrt(k-2) per
+    window beyond."""
+    import ray
+
+    flip = _U64(1 << 63)
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        tt = t.select([day_col, col])
+        if tt.num_rows and tt.column(col).null_count:
+            tt = tt.filter(pc.is_valid(tt.column(col)))
+        if not tt.num_rows:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        day = tt.column(day_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        signed = (hash64_column(tt.column(col)) ^ flip).view(np.int64)
+        order = np.lexsort((signed, day))
+        sd, sh = day[order], signed[order]
+        first = np.ones(len(sd), dtype=bool)
+        first[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+        sd, sh = sd[first], sh[first]
+        newk = np.ones(len(sd), dtype=bool)
+        newk[1:] = sd[1:] != sd[:-1]
+        starts = np.flatnonzero(newk)
+        runlen = np.diff(np.append(starts, len(sd)))
+        rank = np.arange(len(sd)) - np.repeat(starts, runlen)
+        keep = rank < k  # sorted within day → bottom-k
+        return pa.table(
+            {
+                "day": pa.array(sd[keep], pa.int64()),
+                "h": pa.array(sh[keep], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        batch_sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice: day-set pass + replicate pass
+    day_rows = partials.groupby("day").count().take_all()  # calendar-bounded
+    days = np.array(sorted(r["day"] for r in day_rows), dtype=np.int64)
+    days_ref = ray.put(days)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        dd = ray.get(days_ref)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        outs = []
+        for off in range(window):
+            e = day + off
+            if not len(dd):
+                continue
+            pos = np.searchsorted(dd, e)
+            pos_c = np.minimum(pos, len(dd) - 1)
+            ok = dd[pos_c] == e  # only windows ending on a PRESENT day
+            outs.append(
+                pa.table(
+                    {
+                        "day": pa.array(e[ok], pa.int64()),
+                        "h": pa.array(h[ok], pa.int64()),
+                    }
+                )
+            )
+        return (
+            pa.concat_tables(outs)
+            if outs
+            else pa.table(
+                {"day": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+            )
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        hs = (
+            g.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(_U64) ^ flip
+        return pa.table(
+            {
+                "day": g.column("day").slice(0, 1),
+                "n_distinct": pa.array([kmv_estimate(hs, k)], pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(fold, batch_format="pyarrow")
+    )

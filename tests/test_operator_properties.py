@@ -296,3 +296,88 @@ def test_pii_chain_matches_duckdb_on_fuzzed_text():
                 assert oc is None or (isinstance(oc, float) and math.isnan(oc))
             else:
                 assert ec == int(oc), (name, e, o)
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(2, 400), parts=st.integers(1, 7))
+def test_cross_moments_matches_fraction_exact_reference(ray_session, seed, n, parts):
+    import math
+    from fractions import Fraction
+
+    import ray.data
+
+    from urlmap_ray.functions.profile import cross_moments
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-(1 << 20), 1 << 20, n)
+    y = rng.integers(-(1 << 20), 1 << 20, n)
+    t = pa.table({"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+    (row,) = cross_moments(
+        ray.data.from_arrow(t).repartition(parts), cols=["x", "y"]
+    ).take_all()
+    # exact-integer reference through Fractions, then the pinned chain
+    xs, ys = [int(v) for v in x], [int(v) for v in y]
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    d1 = n * sum(a * a for a in xs) - sum(xs) ** 2
+    d2 = n * sum(b * b for b in ys) - sum(ys) ** 2
+    if d1 > 0 and d2 > 0:
+        want = math.floor(
+            float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2))) * 1e9 + 0.5
+        )
+        assert row["corr_ppb"] == want
+        # |corr| <= 1 up to the half-ppb rounding
+        assert abs(row["corr_ppb"]) <= 1_000_000_001
+        assert Fraction(num) ** 2 <= Fraction(d1) * Fraction(d2)
+    else:
+        assert row["corr_ppb"] is None
+    assert row["n_rows"] == n
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 500), parts=st.integers(1, 7))
+def test_bloom_no_false_negatives_and_merge_identity(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        hash64_column,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(-(1 << 40), 1 << 40, n)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    bm = bloom_build(ray.data.from_arrow(t).repartition(parts), col="v", m_bits=1 << 16)
+    one = bloom_build(ray.data.from_arrow(t), col="v", m_bits=1 << 16)
+    # bit-OR fold: identical bitmap at any partitioning
+    assert bm.tobytes() == one.tobytes()
+    # no false negatives, for any data and any split
+    assert bloom_contains(bm, hash64_column(pa.array(vals, pa.int64()))).all()
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 400), parts=st.integers(1, 7))
+def test_rolling_kmv_below_saturation_equals_exact(ray_session, seed, n, parts):
+    import ray.data
+
+    from urlmap_ray.functions.sketch import kmv_rolling_distinct
+
+    rng = np.random.default_rng(seed)
+    days = rng.integers(0, 12, n)
+    vals = rng.integers(0, 50, n)
+    t = pa.table(
+        {"d": pa.array(days, pa.int64()), "v": pa.array(vals, pa.int64())}
+    )
+    rows = kmv_rolling_distinct(
+        ray.data.from_arrow(t).repartition(parts),
+        day_col="d",
+        col="v",
+        window=3,
+        k=512,
+    ).take_all()
+    got = {r["day"]: r["n_distinct"] for r in rows}
+    want = {
+        d: len(set(vals[(days >= d - 2) & (days <= d)].tolist()))
+        for d in sorted(set(days.tolist()))
+    }
+    assert got == want  # exact below saturation, any partitioning

@@ -2434,3 +2434,98 @@ def test_kmv_rolling_distinct_saturated_estimate(ray_session):
         ray.data.from_arrow(t).repartition(4), day_col="day", col="u", k=256
     ).take_all()
     assert abs(row["n_distinct"] - n) / n < 0.2
+
+
+def test_topk_q8_tolerates_empty_blocks(ray_session, emb_tbl):
+    # ADVICE r4: empty blocks (repartition leftovers / empty fragments)
+    # must not crash the envelope or the partial scan
+    import ray.data
+
+    from urlmap_ray.functions.similarity import topk_cosine, topk_cosine_q8
+
+    m = np.asarray(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    q = m[:2]
+    # far more partitions than rows guarantees some empty blocks
+    ds = ray.data.from_arrow(emb_tbl.slice(0, 5)).repartition(16)
+    got = topk_cosine_q8(ds, q, k=3)
+    exact = topk_cosine(ray.data.from_arrow(emb_tbl.slice(0, 5)), q, k=3)
+    assert got.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+
+
+def test_bloom_filter_carries_build_k(ray_session):
+    # ADVICE r4: the bitmap must carry k — building with a non-default k
+    # and probing with the default silently produced false negatives
+    import ray.data
+
+    from urlmap_ray.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        hash64_column,
+    )
+
+    vals = pa.array([f"u{i}" for i in range(500)], pa.string())
+    bloom = bloom_build(
+        ray.data.from_arrow(pa.table({"v": vals})), col="v", m_bits=1 << 16, k=3
+    )
+    assert bloom.k == 3
+    h = hash64_column(vals)
+    # probe through the wrapper: uses the build k, no false negatives
+    assert bloom_contains(bloom, h).all()
+    # an explicit conflicting k fails loudly instead of silently probing
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_contains(bloom, h, k=7)
+    with pytest.raises(ValueError):
+        from urlmap_ray.functions.sketch import bloom_filter_ds
+
+        bloom_filter_ds(
+            ray.data.from_arrow(pa.table({"v": vals})), bloom, col="v", k=7
+        )
+
+
+def test_bloom_filter_ds_null_rows(ray_session):
+    # ADVICE r4: nulls are dropped at build, so a null row was never
+    # inserted — it must gate as not-present (kept under negate=True,
+    # dropped otherwise), never hashed as the ""/0 sentinel
+    import ray.data
+
+    from urlmap_ray.functions.sketch import bloom_build, bloom_filter_ds
+
+    seen = pa.table({"url": pa.array(["", "a", "b"], pa.string())})
+    bloom = bloom_build(ray.data.from_arrow(seen), col="url", m_bits=1 << 16)
+    cand = pa.table({"url": pa.array(["a", None, "z", None], pa.string())})
+    fresh = bloom_filter_ds(
+        ray.data.from_arrow(cand), bloom, col="url", negate=True
+    ).take_all()
+    # "" IS a real seen value; the null rows must still survive the
+    # negate gate (previously they hashed as "" and were wrongly dropped)
+    assert sorted([r["url"] for r in fresh], key=lambda v: (v is None, v)) == [
+        "z",
+        None,
+        None,
+    ]
+    kept = bloom_filter_ds(
+        ray.data.from_arrow(cand), bloom, col="url", negate=False
+    ).take_all()
+    assert [r["url"] for r in kept] == ["a"]
+
+
+def test_cross_moments_contract_violation_fails_loudly(ray_session):
+    # ADVICE r4: values at/above 2^21 could overflow the int64 partial
+    # sums silently — the contract must be enforced, not documented
+    import ray.data
+
+    import pytest
+
+    from urlmap_ray.functions.profile import cross_moments
+
+    big = pa.table(
+        {
+            "x": pa.array([1 << 21, 5], pa.int64()),
+            "y": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        cross_moments(ray.data.from_arrow(big), cols=["x", "y"]).take_all()
+    assert "2^21" in str(ei.value)

@@ -170,6 +170,23 @@ def cross_moments(ds, *, cols: list[str], n_buckets: int = 32):
             c: t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
             for c in cols
         }
+        # The documented exactness contract (|x| < 2^21, batch <= 2^16
+        # rows) keeps every int64 per-batch sum overflow-free. Violations
+        # must fail loudly — a silent wraparound would produce a wrong
+        # correlation with no error.
+        for c, arr in arrs.items():
+            if len(arr) and int(np.abs(arr).max()) >= 1 << 21:
+                raise ValueError(
+                    f"cross_moments: |{c}| >= 2^21 violates the int64 "
+                    "partial-sum contract (per-batch (x*x).sum() could "
+                    "overflow silently); rescale or bucket the feature"
+                )
+            if len(arr) > 1 << 16:
+                raise ValueError(
+                    f"cross_moments: batch of {len(arr)} rows > 2^16 "
+                    "violates the int64 partial-sum contract; lower "
+                    "batch_size upstream"
+                )
         ca, cb, sub, n, sx, sy, sxx, syy, sxy = [], [], [], [], [], [], [], [], []
         for a, b in pairs:
             x, y = arrs[a], arrs[b]
@@ -242,7 +259,14 @@ def cross_moments(ds, *, cols: list[str], n_buckets: int = 32):
         )
 
     return (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(
+            partials,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            # the exactness contract is per-batch: cap rows so the int64
+            # partial sums provably can't overflow (enforced in partials)
+            batch_size=1 << 16,
+        )
         .groupby(["col_a", "col_b", "sub"])
         .map_groups(compact, batch_format="pyarrow")
         .groupby(["col_a", "col_b"])

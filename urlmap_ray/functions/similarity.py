@@ -236,6 +236,15 @@ def _minmax_per_dim(ds, *, emb_col: str, n_buckets: int = 16):
     import ray
 
     def batch_env(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty blocks (repartition leftovers, empty fragments) carry
+            # no envelope — min/max over zero rows would raise
+            return pa.table(
+                {
+                    "bk": pa.array([], pa.int64()),
+                    "env": pa.array([], pa.binary()),
+                }
+            )
         m = _unit(_to_matrix(t, emb_col))
         lo, hi = m.min(axis=0), m.max(axis=0)
         blob = lo.tobytes() + hi.tobytes()
@@ -309,6 +318,17 @@ def topk_cosine_q8(
     cand_counter = {"cand": 0, "total": 0}
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # tolerate empty blocks like the sibling topk_cosine does
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "n_cand": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
         lo_, scale_, qs_, qlo_, err_, q_ = ray.get(state)
         ids = (
             batch.column(id_col)

@@ -991,9 +991,47 @@ def bloom_positions(hashes: np.ndarray, *, m_bits: int, k: int) -> np.ndarray:
     return np.unique(pos)
 
 
-def bloom_contains(bitmap: np.ndarray, hashes: np.ndarray, *, k: int = 7) -> np.ndarray:
+class BloomFilter:
+    """A built Bloom filter: the uint8 bitmap plus the BUILD-time probe
+    count ``k``, carried together so a probe can never silently run with a
+    mismatched ``k`` — probing with fewer/other hash functions than the
+    build used breaks the no-false-negatives guarantee without any error.
+    Delegates ``tobytes``/``len`` so bitmap-level call sites keep working."""
+
+    __slots__ = ("bitmap", "k")
+
+    def __init__(self, bitmap: np.ndarray, k: int) -> None:
+        self.bitmap = bitmap
+        self.k = int(k)
+
+    def tobytes(self) -> bytes:
+        return self.bitmap.tobytes()
+
+    def __len__(self) -> int:
+        return len(self.bitmap)
+
+
+def _bloom_parts(bloom, k) -> tuple[np.ndarray, int]:
+    """Resolve (bitmap, k) from a BloomFilter or a raw bitmap array. An
+    explicit k that disagrees with a BloomFilter's build k is an error,
+    not a silent false-negative source."""
+    if isinstance(bloom, BloomFilter):
+        if k is not None and int(k) != bloom.k:
+            raise ValueError(
+                f"probe k={k} != build k={bloom.k}: probing with a different "
+                "hash count than the build voids the no-false-negative "
+                "guarantee"
+            )
+        return bloom.bitmap, bloom.k
+    return bloom, 7 if k is None else int(k)
+
+
+def bloom_contains(bloom, hashes: np.ndarray, *, k: int | None = None) -> np.ndarray:
     """Probe value hashes against a built filter → bool array. No false
-    negatives ever; false-positive odds ≈ (1 - e^(-k·n/m))^k."""
+    negatives ever; false-positive odds ≈ (1 - e^(-k·n/m))^k. Pass the
+    :class:`BloomFilter` from :func:`bloom_build` (k travels with it); a
+    raw bitmap is accepted for compatibility with k defaulting to 7."""
+    bitmap, k = _bloom_parts(bloom, k)
     m_bits = len(bitmap) * 8
     if not len(hashes):
         return np.zeros(0, bool)
@@ -1010,9 +1048,11 @@ def bloom_contains(bitmap: np.ndarray, hashes: np.ndarray, *, k: int = 7) -> np.
 
 def bloom_build(
     ds, *, col: str, m_bits: int = 1 << 22, k: int = 7, n_buckets: int = 32
-) -> np.ndarray:
-    """Distributed Bloom-filter build over ``ds[col]`` → the final uint8
-    bitmap (m_bits/8 bytes). The membership member of the sketch family
+) -> "BloomFilter":
+    """Distributed Bloom-filter build over ``ds[col]`` → a
+    :class:`BloomFilter` carrying the final uint8 bitmap (m_bits/8 bytes)
+    AND the build k, so probes can't mismatch the hash count. The
+    membership member of the sketch family
     (cardinality = KMV/HLL, heavy hitters = MG, quantiles = QS,
     frequency = CMS, F2 = AMS): at 10^10-URL scale this is the seen-set
     / "probably already crawled" primitive — build once over the visited
@@ -1088,25 +1128,33 @@ def bloom_build(
     total = np.zeros(m_bytes, np.uint8)
     for r in rows:
         _or_into(total, r["form"], r["bits"])
-    return total
+    return BloomFilter(total, k)
 
 
-def bloom_filter_ds(ds, bitmap: np.ndarray, *, col: str, k: int = 7, negate: bool = False):
+def bloom_filter_ds(ds, bloom, *, col: str, k: int | None = None, negate: bool = False):
     """Row-local membership gate: keep rows whose ``col`` is (probably)
     in the filter — or certainly NOT in it with ``negate=True``, the
     frontier-dedup direction (zero false negatives means nothing new is
     ever wrongly dropped... new URLs survive unless an FP fires). The
     bitmap ships ONCE via ``ray.put``; every batch probes the shared
-    object-store copy."""
+    object-store copy.
+
+    Null rows: the build DROPS nulls, so a null was never inserted —
+    null rows probe as not-present (kept under ``negate=True``, dropped
+    otherwise), never hashed as a sentinel ""/0 that could collide with
+    a real seen value."""
     import ray
 
+    bitmap, k = _bloom_parts(bloom, k)
     ref = ray.put(bitmap)
 
     def gate(t: pa.Table) -> pa.Table:
         bm = ray.get(ref)
         c = t.column(col)
-        fill = "" if pa.types.is_string(c.type) else 0
-        hit = bloom_contains(bm, hash64_column(pc.fill_null(c, fill)), k=k)
+        hit = np.zeros(len(c), bool)
+        if c.null_count < len(c):
+            valid = pc.is_valid(c).combine_chunks().to_numpy(zero_copy_only=False)
+            hit[valid] = bloom_contains(bm, hash64_column(c.drop_null()), k=k)
         mask = ~hit if negate else hit
         return t.filter(pa.array(mask))
 

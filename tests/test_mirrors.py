@@ -174,3 +174,29 @@ def test_trap_templates_empty(ray_session):
     # a trap-free frontier yields zero rows (an all-empty aggregate emits
     # no batches at all, so there is no schema to assert on)
     assert len(out) == 0
+
+
+def test_mirror_hosts_modes_identical(ray_session):
+    # the broadcast size-attach (driver-side fold under the declared
+    # bound) and the shuffle attach (union+sort+merge) must agree exactly
+    import ray.data
+
+    ds = ray.data.from_arrow(_mirror_corpus())
+    kw = dict(min_jaccard_ppb=100_000_000, min_common=2, n_buckets=8)
+    bcast = (
+        mirror_hosts(ds, **kw)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    shuf = (
+        mirror_hosts(ds, broadcast_max_size_rows=0, **kw)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        bcast[sorted(bcast.columns)], shuf[sorted(shuf.columns)]
+    )

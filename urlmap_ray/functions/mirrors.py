@@ -87,7 +87,7 @@ def _pairs_from_runs(
     triangle-counting wedge trick): runs of equal length stack into a
     matrix and one ``triu_indices`` emits every pair."""
     if len(keys) == 0:
-        return np.empty(0, object), np.empty(0, object)
+        return np.empty(0, vals.dtype), np.empty(0, vals.dtype)
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     lengths = np.diff(np.r_[starts, len(keys)])
     a_out: list[np.ndarray] = []
@@ -104,7 +104,7 @@ def _pairs_from_runs(
         a_out.append(mat[:, ii].ravel())
         b_out.append(mat[:, jj].ravel())
     if not a_out:
-        return np.empty(0, object), np.empty(0, object)
+        return np.empty(0, vals.dtype), np.empty(0, vals.dtype)
     return np.concatenate(a_out), np.concatenate(b_out)
 
 
@@ -134,6 +134,7 @@ def mirror_hosts(
     min_common: int = 10,
     n_buckets: int = 64,
     max_hosts_per_fp: int = MAX_HOSTS_PER_FP,
+    broadcast_max_size_rows: int = 5_000_000,
 ):
     """Exact host-pair content overlap → (a, b, common, na, nb,
     jaccard_ppb) for pairs with ``common ≥ min_common`` and Jaccard ≥
@@ -155,22 +156,42 @@ def mirror_hosts(
 
     def per_bucket(g: pa.Table) -> pa.Table:
         # finish the global distinct, then per-fp host runs → pairs +
-        # per-host size partials (one output table, size rows have b null)
+        # per-host size partials (one output table, size rows have b null).
+        # Zero-copy run scan (the lines.py/sketch.py pattern): dictionary-
+        # encode both columns, lexsort the int codes — host codes remapped
+        # to lexicographic RANKS so in-run order (and thus a < b) matches
+        # string order — and emit pairs as int ranks, decoded once via a
+        # single take on the rank-sorted vocab. Strings never enter a
+        # Python list.
         d = g.group_by(["fp", "host"]).aggregate([])
-        d = d.sort_by([("fp", "ascending"), ("host", "ascending")])
-        fp = np.asarray(d.column("fp").to_pylist(), dtype=object)
-        host = np.asarray(d.column("host").to_pylist(), dtype=object)
-        a, b = _pairs_from_runs(fp, host, max_hosts_per_fp)
+        fp_enc = pc.dictionary_encode(d.column("fp").combine_chunks())
+        h_enc = pc.dictionary_encode(d.column("host").combine_chunks())
+        fp_idx = fp_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h_idx = h_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = h_enc.dictionary
+        order = (
+            pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        sorted_vocab = vocab.take(pa.array(order, pa.int64()))
+        h_rank = rank[h_idx]
+        perm = np.lexsort((h_rank, fp_idx))
+        a_r, b_r = _pairs_from_runs(fp_idx[perm], h_rank[perm], max_hosts_per_fp)
         # per-host distinct-fp counts in this bucket (size partials)
         sizes = d.group_by(["host"]).aggregate([([], "count_all")])
         return pa.concat_tables(
             [
                 pa.table(
                     {
-                        "a": pa.array(list(a), pa.string()),
-                        "b": pa.array(list(b), pa.string()),
+                        "a": sorted_vocab.take(pa.array(a_r, pa.int64())).cast(
+                            pa.string()
+                        ),
+                        "b": sorted_vocab.take(pa.array(b_r, pa.int64())).cast(
+                            pa.string()
+                        ),
                         "n_part": pa.array(
-                            np.ones(len(a), np.int64), pa.int64()
+                            np.ones(len(a_r), np.int64), pa.int64()
                         ),
                     }
                 ),
@@ -236,6 +257,71 @@ def mirror_hosts(
     sizes_ds = marked.map_batches(
         split_sizes, batch_format="pyarrow", zero_copy_batch=True
     )
+
+    def _finish_arrays(a, b, common, na, nb):
+        union = na + nb - common
+        jac = np.where(
+            union > 0, (common * 1_000_000_000) // np.maximum(union, 1), 0
+        ).astype(np.int64)
+        keep = (common >= min_common) & (jac >= min_jaccard_ppb)
+        return pa.table(
+            {
+                "a": a,
+                "b": b,
+                "common": pa.array(common, pa.int64()),
+                "na": pa.array(na, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+                "jaccard_ppb": pa.array(jac, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    _EMPTY_OUT = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "common": pa.array([], pa.int64()),
+            "na": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+            "jaccard_ppb": pa.array([], pa.int64()),
+        }
+    )
+
+    # --- BROADCAST regime: the size table is host-cardinality (one row per
+    # (fp-bucket, host) partial, <= n_hosts * n_buckets) — when it fits the
+    # declared driver bound, fold it driver-side, ship the dict once via
+    # ray.put, and finish each pair row-locally. This skips the
+    # union+sort+merge exchange entirely; its fixed all-to-all floors
+    # dominate wall time at test scale, and at 100 TB host cardinality
+    # (~10^7) still sits under the bound. Above the bound the shuffle
+    # attach below is unchanged (the graph.py membership-regime split).
+    if sizes_ds.count() <= broadcast_max_size_rows:
+        import ray as _ray
+
+        folded_sizes: dict[str, int] = {}
+        for r in sizes_ds.take_all():  # bounded by the regime test above
+            folded_sizes[r["host"]] = folded_sizes.get(r["host"], 0) + int(
+                r["n_part"]
+            )
+        ref = _ray.put(folded_sizes)
+
+        def finish_bcast(t: pa.Table) -> pa.Table:
+            if "n_pair" not in t.column_names or t.num_rows == 0:
+                return _EMPTY_OUT
+            szs = _ray.get(ref)
+            # pair cardinality is host-pair scale — the tiny end of the
+            # plan — so a per-row dict probe here is bounded, not O(corpus)
+            a = t.column("a").to_pylist()
+            b = t.column("b").to_pylist()
+            common = (
+                t.column("n_pair").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            na = np.fromiter((szs[x] for x in a), np.int64, len(a))
+            nb = np.fromiter((szs[x] for x in b), np.int64, len(b))
+            return _finish_arrays(t.column("a"), t.column("b"), common, na, nb)
+
+        return pairs_ds.map_batches(
+            finish_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     # --- fused attach: pair rows keyed by a AND by b, size rows by host ---
     def key_sizes(t: pa.Table) -> pa.Table:

@@ -286,7 +286,7 @@ def test_media_real_decode_wav(ray_session):
     assert silence[5] == 0.0 and silence[6] == 0.0  # silent: no energy
     assert silence[1] == tone[1]  # same container params decode
     assert all(v == 0.0 for v in bad)  # corrupt payload → zero vector
-    assert all(v == 0.0 for v in video)  # video: honestly undecoded
+    assert all(v == 0.0 for v in video)  # non-BMFF video payload → zeros
     # decode is deterministic
     ex = MediaFeatureExtractor(mode="real")
     assert np.array_equal(
@@ -2529,3 +2529,98 @@ def test_cross_moments_contract_violation_fails_loudly(ray_session):
     with pytest.raises(Exception) as ei:
         cross_moments(ray.data.from_arrow(big), cols=["x", "y"]).take_all()
     assert "2^21" in str(ei.value)
+
+
+def _mp4_bytes(
+    *, dur_s: float = 120.0, timescale: int = 1000, w: int = 1920, h: int = 1080,
+    fast_start: bool = True, mvhd_version: int = 0
+):
+    """Hand-built minimal ISO BMFF file: ftyp + moov(mvhd + trak(tkhd)) +
+    mdat, the same role _wav_bytes plays for the audio decoder."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    if mvhd_version == 0:
+        mvhd = box(
+            b"mvhd",
+            bytes([0, 0, 0, 0])  # version 0 + flags
+            + struct.pack(">II", 0, 0)  # ctime, mtime
+            + struct.pack(">I", timescale)
+            + struct.pack(">I", int(dur_s * timescale))
+            + b"\x00" * (4 + 2 + 10 + 36 + 24 + 4),
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", int(dur_s * timescale))
+            + b"\x00" * (4 + 2 + 10 + 36 + 24 + 4),
+        )
+    tkhd = box(
+        b"tkhd",
+        bytes([0, 0, 0, 0])
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime mtime track_id reserved
+        + struct.pack(">I", int(dur_s * timescale))
+        + b"\x00" * (8 + 2 + 2 + 2 + 2 + 36)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = box(b"mdat", b"\x00" * 64)
+    return ftyp + (moov + mdat if fast_start else mdat + moov)
+
+
+def test_media_real_decode_mp4_header(ray_session):
+    """Video rows: the stdlib ISO BMFF container-header probe yields
+    duration / resolution / track-count / fast-start features without any
+    frame decode; corrupt or non-BMFF payloads yield the zero vector."""
+    import ray.data
+
+    payloads = [
+        _mp4_bytes(),
+        _mp4_bytes(fast_start=False),
+        _mp4_bytes(mvhd_version=1, dur_s=7200.0),  # v1 64-bit, > 1h cap
+        b"definitely not an mp4",
+        _mp4_bytes()[:40],  # truncated mid-box
+    ]
+    media = pa.table(
+        {
+            "media_id": pa.array(list(range(1, 6)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video"] * 5, pa.string()),
+            "width": pa.array([0] * 5, pa.int32()),
+            "height": pa.array([0] * 5, pa.int32()),
+            "duration_ms": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs=dict(mode="real"),
+            concurrency=(1, 1),
+            batch_size=8,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    good, late_moov, v1, junk, trunc = (out.loc[i, "features"] for i in range(1, 6))
+    assert good[0] == 1.0  # parsed
+    assert good[1] == np.float32(120.0 / 3600.0)  # 2-minute duration
+    assert good[3] == np.float32(1920 / 4096.0)
+    assert good[4] == np.float32(1080 / 4096.0)
+    assert good[5] == np.float32(1 / 8.0)  # one track
+    assert good[6] == 1.0  # moov before mdat: streamable
+    assert late_moov[6] == 0.0  # moov after mdat
+    assert late_moov[1] == good[1]  # same duration either layout
+    assert v1[1] == 1.0  # 2h clamps at the 1h cap; v1 64-bit fields parse
+    assert all(v == 0.0 for v in junk)
+    assert all(v == 0.0 for v in trunc)
+    # determinism
+    ex = MediaFeatureExtractor(mode="real")
+    assert np.array_equal(ex._features_mp4(_mp4_bytes()), ex._features_mp4(_mp4_bytes()))

@@ -13,9 +13,13 @@ Two decode modes, same output schema:
   images decode via Pillow when importable (an optional dependency —
   absent in this container, so an image ROW under mode="real" raises
   NotImplementedError loudly at call time; the Pillow path is covered by
-  a skipped-without-Pillow test). Video (ffmpeg) remains honestly
-  unimplemented and yields the zero vector, the same corrupt-payload
-  convention as the decoders.
+  a skipped-without-Pillow test). Video rows get a stdlib ISO BMFF
+  (MP4/MOV) container-HEADER probe — ftyp/mvhd/tkhd walk yielding
+  duration, resolution, track count and fast-start layout, the triage
+  features a pipeline filters on before paying for decode — while frame
+  decoding itself (ffmpeg) stays honestly out of scope; non-BMFF or
+  corrupt payloads yield the zero vector, the same convention as the
+  other decoders.
 
 At scale: binary payloads dominate block size, so stages here should run
 with small ``batch_size`` (32-128) and ``target_max_block_size`` tuned so
@@ -173,14 +177,113 @@ class MediaFeatureExtractor:
         except Exception:
             return np.zeros(self.N_FEATURES, dtype=np.float32)
 
+    def _features_mp4(self, payload: bytes) -> np.ndarray:
+        """Container-HEADER probe for video rows: walk the ISO BMFF
+        (MP4/MOV) box tree with pure stdlib byte arithmetic — ``ftyp``
+        presence, ``moov/mvhd`` timescale+duration, per-``trak`` ``tkhd``
+        width/height (16.16 fixed point), track count, and whether
+        ``moov`` precedes ``mdat`` (fast-start / streamable). No frame is
+        decoded — that genuinely needs ffmpeg — but duration / resolution
+        / streamability are exactly the triage features a 100 TB video
+        pipeline filters on before paying for decode. Corrupt or
+        non-BMFF payloads → zero vector, the WAV/image convention."""
+        try:
+            data = payload or b""
+            n = len(data)
+
+            def boxes(lo: int, hi: int):
+                off = lo
+                while off + 8 <= hi:
+                    size = int.from_bytes(data[off : off + 4], "big")
+                    typ = data[off + 4 : off + 8]
+                    body = off + 8
+                    if size == 1:  # 64-bit largesize
+                        if body + 8 > hi:
+                            return
+                        size = int.from_bytes(data[body : body + 8], "big")
+                        body += 8
+                    elif size == 0:  # box extends to end of file
+                        size = hi - off
+                    if size < 8 or off + size > hi:
+                        return
+                    yield typ, body, off + size
+                    off += size
+
+            has_ftyp = False
+            moov_pos = mdat_pos = -1
+            timescale = duration = 0
+            widths: list[float] = []
+            heights: list[float] = []
+            n_tracks = 0
+            for typ, body, end in boxes(0, n):
+                if typ == b"ftyp":
+                    has_ftyp = True
+                elif typ == b"mdat" and mdat_pos < 0:
+                    mdat_pos = body
+                elif typ == b"moov":
+                    moov_pos = body
+                    for t2, b2, e2 in boxes(body, end):
+                        if t2 == b"mvhd" and b2 < e2:
+                            ver = data[b2]
+                            # v0: 4-byte times; v1: 8-byte
+                            ts_off = b2 + 4 + (16 if ver == 1 else 8)
+                            timescale = int.from_bytes(
+                                data[ts_off : ts_off + 4], "big"
+                            )
+                            dur_off = ts_off + 4
+                            dlen = 8 if ver == 1 else 4
+                            duration = int.from_bytes(
+                                data[dur_off : dur_off + dlen], "big"
+                            )
+                        elif t2 == b"trak":
+                            n_tracks += 1
+                            for t3, b3, e3 in boxes(b2, e2):
+                                if t3 == b"tkhd":
+                                    ver = data[b3]
+                                    # width/height are the LAST 8 bytes
+                                    # of the tkhd box, 16.16 fixed point
+                                    widths.append(
+                                        int.from_bytes(
+                                            data[e3 - 8 : e3 - 4], "big"
+                                        )
+                                        / 65536.0
+                                    )
+                                    heights.append(
+                                        int.from_bytes(
+                                            data[e3 - 4 : e3], "big"
+                                        )
+                                        / 65536.0
+                                    )
+            if not has_ftyp or moov_pos < 0:
+                return np.zeros(self.N_FEATURES, dtype=np.float32)
+            dur_s = duration / timescale if timescale > 0 else 0.0
+            fast_start = 1.0 if (mdat_pos < 0 or moov_pos < mdat_pos) else 0.0
+            w = max(widths, default=0.0)
+            h = max(heights, default=0.0)
+            return np.array(
+                [
+                    1.0,  # parsed-ok flag (zeros ⇒ corrupt, like WAV)
+                    min(1.0, dur_s / 3600.0),
+                    min(1.0, timescale / 1e6),
+                    min(1.0, w / 4096.0),
+                    min(1.0, h / 4096.0),
+                    min(1.0, n_tracks / 8.0),
+                    fast_start,
+                    min(1.0, n / float(1 << 30)),
+                ],
+                dtype=np.float32,
+            )
+        except Exception:
+            return np.zeros(self.N_FEATURES, dtype=np.float32)
+
     def _features_real(self, payload: bytes, media_type: str) -> np.ndarray:
         if media_type == "image":
             return self._features_image(payload)
         if media_type == "audio":
             return self._features_wav(payload)
-        # video: no real decoder here (ffmpeg) — honest zero vector, the
-        # same downstream-filterable convention as a corrupt payload
-        return np.zeros(self.N_FEATURES, dtype=np.float32)
+        # video: container-header probe (no frame decode — that needs
+        # ffmpeg); non-BMFF payloads yield the zero vector
+        return self._features_mp4(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "deterministic-fake":

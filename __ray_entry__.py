@@ -2807,7 +2807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (
             ray.data.read_parquet(info.pages_path, columns=["url", "html"])
             .map_batches(root_rows, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(DomainSpaDetector, concurrency=2, batch_format="pyarrow")
+            .map_batches(
+                DomainSpaDetector, concurrency=(1, 2), batch_format="pyarrow"
+            )
             .select_columns(["domain", "is_spa", "confidence"])
             .sort("domain")
         )

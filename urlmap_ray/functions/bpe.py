@@ -224,7 +224,14 @@ def bpe_token_counts(
     id_col: str = "doc_id",
 ):
     """Distributed encoding: broadcast the merge table once (``ray.put``),
-    score per batch in an actor pool."""
+    score per batch in an actor pool.
+
+    The pool is AUTOSCALING ``(1, concurrency)``, not a fixed count: a
+    fixed-size pool of N CPU-1 actors on a cluster with exactly N CPUs
+    starves the upstream read tasks of every core and the pipeline
+    deadlocks (observed: a 600-row encode hanging forever in a 4-cpu
+    test session). Min 1 actor always fits; the executor grows the pool
+    only while spare CPUs exist."""
     import ray
 
     ref = ray.put(merges)
@@ -234,5 +241,5 @@ def bpe_token_counts(
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
